@@ -1,0 +1,59 @@
+package graft.graph
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped materialized views of the link graph and its rank
+  * vector, keyed by (session, data dir).
+  *
+  * The reference pipeline is one linear DAG, so every downstream job
+  * implicitly reuses the upstream jobs' HDFS output
+  * (/root/reference/src/PageRank/PageRank.java:455-497: job2 reads job1's
+  * files, the 8 rank jobs read each other's, the order jobs read theirs).
+  * In an engine whose "queries" are independent entry points, the
+  * equivalent is a catalog of persisted intermediates: the cleaned edge
+  * set, the vertex set, N, and the converged rank vector are computed
+  * once per (session, dataset) and shared by every query that needs them
+  * — exactly like a lakehouse materialized view, but kept in the Spark
+  * block store (MEMORY_AND_DISK, spills cleanly).
+  *
+  * Scale note (100 TB): persistence here is per-dataset, not per-query;
+  * the persisted artifacts are the *small* derived state (edges after
+  * dedup+semi-join, the 16 B/row rank vector), not raw inputs. On a real
+  * cluster the same role is played by a Delta/Iceberg materialized table;
+  * the cache keys would be table versions.
+  */
+object GraphCatalog {
+
+  final case class LinkGraphData(pages: DataFrame, edges: DataFrame, n: Long)
+
+  private val graphs = TrieMap.empty[(SparkSession, String), LinkGraphData]
+  private val ranks = TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
+  /** Cleaned TPC-H citation graph (customers → suppliers they bought
+    * from), pages ∪ edges persisted, N counted — built once per dir. */
+  def tpch(spark: SparkSession, dir: String): LinkGraphData =
+    graphs.getOrElseUpdate((spark, dir), {
+      val pages = LinkGraph.tpchPages(spark, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val edges = LinkGraph
+        .removeRedLinks(LinkGraph.tpchEdges(spark, dir), pages)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = pages.count()
+      LinkGraphData(pages, edges, n)
+    })
+
+  /** Reference-convention rank vector after `iters` iterations —
+    * computed once per (session, dir, iters), persisted. */
+  def tpchRanks(spark: SparkSession, dir: String,
+                iters: Int = PageRank.DefaultIters): DataFrame =
+    ranks.getOrElseUpdate((spark, dir, iters), {
+      val g = tpch(spark, dir)
+      val r = PageRank.run(g.pages, g.edges, iters)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    })
+}

@@ -39,10 +39,20 @@ object LinkGraph {
     * reference's `(page,"!")` pass-through trick (PageRank.java:185-197)
     * without the in-band marker. `array_sort` makes the result
     * deterministic (the reference's tab-concat order was shuffle order).
+    *
+    * Scale caveat (ADVICE r1 item 5): `collect_set` materializes a page's
+    * full outlink set as one aggregation row; a mega-hub (out-degree in
+    * the hundreds of millions) would blow a single executor's memory. The
+    * scale path keeps the graph in exploded edge form — [[PageRank]]
+    * never calls this — and callers that genuinely need arrays at scale
+    * pass `maxOutlinks` to cap them (sorted, so the cap is deterministic).
     */
-  def adjacency(edges: DataFrame, pages: DataFrame): DataFrame = {
+  def adjacency(edges: DataFrame, pages: DataFrame,
+                maxOutlinks: Option[Int] = None): DataFrame = {
+    val outs = array_sort(collect_set(col("dst")))
+    val capped = maxOutlinks.fold(outs)(k => slice(outs, 1, k))
     val agg = edges.groupBy(col("src").as("page"))
-      .agg(array_sort(collect_set(col("dst"))).as("outlinks"))
+      .agg(capped.as("outlinks"))
     pages.join(agg, Seq("page"), "left")
       .select(col("page"),
         coalesce(col("outlinks"), array().cast("array<string>")).as("outlinks"))

@@ -18,55 +18,80 @@ import org.apache.spark.storage.StorageLevel
   *
   * Spark-first design: each iteration is
   *   contributions (explode-free: join ranks⋈edges⋈degrees)
-  *   → groupBy(dst).sum     — one shuffle on dst, with map-side partial agg
-  *   → left join back onto the vertex set — second shuffle (or broadcast)
-  * and the loop truncates lineage with localCheckpoint so Catalyst never
-  * re-optimizes an 8-deep accumulated plan (SURVEY.md §4.2 "iterative loop
-  * lineage"). The reference spent 8 full HDFS text write+read round-trips
-  * here (PageRank.java:543-564); we keep everything in memory.
+  *   → groupBy(dst).sum     — map-side partial agg + one small shuffle
+  *   → left join back onto the vertex set
+  * and the loop truncates lineage each iteration so Catalyst never
+  * re-optimizes an 8-deep accumulated plan (SURVEY.md §4.2 "iterative
+  * loop lineage"). The reference spent 8 full HDFS text write+read
+  * round-trips here (PageRank.java:543-564); we keep everything in memory.
   *
-  * Scale notes (100 TB / 1000 executors): ranks and edges both shuffle on
-  * their join keys; AQE handles skewed high-in-degree vertices
-  * (skew-join split). For a production run, pre-partition `edges` by src
-  * AND a copy by dst (or use GraphX's edge-partitioned representation,
-  * see [[PageRankGraphX]]) so each iteration reuses the exchange instead
-  * of re-shuffling — locally AQE + exchange reuse already picks this up.
+  * Join-strategy selection: the rank vector is |V| rows of (page, double)
+  * while the edge set is |E| ≫ |V|. When the rank vector is small enough
+  * to broadcast (tens of millions of rows — it is ~16 bytes/row), both
+  * per-iteration joins become map-side broadcast-hash joins and the only
+  * shuffle left is the tiny contribution aggregation; above the threshold
+  * we fall back to shuffled joins and AQE (skew-join split handles hub
+  * vertices). This is the decision Catalyst's size estimator cannot make
+  * by itself mid-loop because the rank vector is a fresh checkpoint each
+  * iteration (no stats), so we hint it explicitly from the known n.
+  *
+  * Fault tolerance at scale: `localCheckpoint` stores blocks only on
+  * executors — fine on local[*], unrecoverable if an executor dies on a
+  * real cluster. When the session has a reliable checkpoint dir
+  * configured (`spark.sparkContext.setCheckpointDir`), we use reliable
+  * `checkpoint()` every `checkpointInterval` iterations instead (ADVICE
+  * r1 item 3); production runs should always set one.
   */
 object PageRank {
 
   val Damping = 0.85
+  val ResetProb = 0.15 // exactly 0.15, not 1 - 0.85 (fp: 0.1500…0002)
   val DefaultIters = 8
+
+  /** Rank vectors at/below this row count are broadcast in the
+    * per-iteration joins (≈16 B/row → ≤ ~160 MB broadcast, well inside
+    * executor memory on any serious cluster; tune per deployment). */
+  val BroadcastVertexLimit = 10_000_000L
 
   /** @param pages DataFrame["page"]; @param edges DataFrame["src","dst"]
     * (already red-link-cleaned and deduped — use [[LinkGraph.removeRedLinks]]).
     * @return DataFrame["page", "rank"] — one row per page.
     */
   def run(pages: DataFrame, edges: DataFrame, iters: Int = DefaultIters,
-          damping: Double = Damping): DataFrame = {
+          damping: Double = Damping,
+          checkpointInterval: Int = 1): DataFrame = {
     val spark = pages.sparkSession
 
     val p = pages.persist(StorageLevel.MEMORY_AND_DISK)
     val n = p.count().toDouble // A2 — the reference's NVALUE counter
+    val hintSmall = n <= BroadcastVertexLimit
+    def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
 
     // out-degree per source; rank_contribution(edge) = rank(src)/deg(src).
-    // Precomputed once, reused all 8 iterations (the reference recomputed
+    // Precomputed once, reused all iterations (the reference recomputed
     // it from the adjacency line every iteration, PageRank.java:265).
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
-    val edgesWithDeg = edges.join(deg, "src")
+    val edgesWithDeg = edges.join(vhint(deg), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgesWithDeg.count() // materialize once
 
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     var ranks = p.select(col("page"), (lit(1.0) / lit(n)).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = edgesWithDeg
-        .join(ranks, edgesWithDeg("src") === ranks("page"))
+        .join(vhint(ranks), edgesWithDeg("src") === ranks("page"))
         .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
       val sums = contribs.groupBy("dst").agg(sum("contrib").as("mass"))
-      ranks = p.join(sums, p("page") === sums("dst"), "left")
+      val next = p.join(vhint(sums), p("page") === sums("dst"), "left")
         .select(p("page"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
-        .localCheckpoint(eager = true) // truncate lineage per iteration
+      // Truncate lineage; reliable checkpoint (HDFS/alluxio) when a dir
+      // is configured, executor-local blocks otherwise (local runs only).
+      ranks =
+        if (i % checkpointInterval != 0 && i != iters) next
+        else if (reliable) next.checkpoint(eager = true)
+        else next.localCheckpoint(eager = true)
     }
     edgesWithDeg.unpersist()
     p.unpersist()
@@ -74,12 +99,15 @@ object PageRank {
   }
 
   /** F1 + O1 + M2: the reference's final ordering job — keep pages with
-    * rank > 5/N, globally sorted descending (PageRank.java:328-388,
-    * threshold at 336/346, FlipComparator sort at 399-419/578).
-    * Spark: one range-partitioned total sort, no key-flip idiom needed.
+    * rank > multiplier/N, globally sorted descending (PageRank.java:328-388;
+    * the reference hard-codes multiplier 5.0 at 336/346, FlipComparator
+    * sort at 399-419/578). Spark: one range-partitioned total sort, no
+    * key-flip idiom needed. `multiplier` is parameterized so tests can
+    * pick a cut that yields non-empty results on graphs whose max rank
+    * stays below 5/N (ADVICE r1 item 2).
     */
-  def topRanks(ranks: DataFrame, n: Long): DataFrame =
-    ranks.filter(col("rank") > lit(5.0) / lit(n.toDouble))
+  def topRanks(ranks: DataFrame, n: Long, multiplier: Double = 5.0): DataFrame =
+    ranks.filter(col("rank") > lit(multiplier) / lit(n.toDouble))
       .orderBy(col("rank").desc, col("page"))
       .select(col("page"), col("rank"))
 }

@@ -3,13 +3,18 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{LinkGraph, PageRank}
+import graft.graph.{GraphCatalog, LinkGraph, PageRank, PageRankGraphX}
 
 /** The reference's core surface — link graph + PageRank — as driver
   * queries over the TPC-H-ish tables (graph: customers cite suppliers
   * they bought from; see [[LinkGraph.tpchEdges]]). Oracles are ANSI SQL
   * for DuckDB; the 8 PageRank iterations are unrolled as chained CTEs
   * (DuckDB's recursive CTEs can't aggregate in the recursive term).
+  *
+  * All graph queries share the [[GraphCatalog]] materialized link graph
+  * and rank vector — computed once per (session, dir), like the
+  * reference's linear DAG where each job reuses the previous job's HDFS
+  * output (PageRank.java:455-497).
   */
 object GraphQueries {
 
@@ -53,21 +58,30 @@ object GraphQueries {
         $select"""
   }
 
+  /** q_pagerank_top threshold multiplier. The reference hard-codes 5.0
+    * (PageRank.java:336,346) but on the TPC-H citation graph max rank
+    * ≈ 2.3/N, so 5/N selects nothing at any SF (ADVICE r1 item 2) — the
+    * catalog query uses 1.2/N so the filter+sort path is actually
+    * exercised; [[PageRank.topRanks]] keeps 5.0 as its default for
+    * reference parity (tested on a closed-form graph in ScalaTest). The
+    * cut compares the 6-dp *rounded* rank on both engines so membership
+    * can never flip on a last-ulp difference.
+    */
+  private val TopMultiplier = 1.2
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: red-link removal — edges surviving the existence semi-join.
     "q_graph_edges" -> ((s, d) => {
-      LinkGraph.removeRedLinks(LinkGraph.tpchEdges(s, d), LinkGraph.tpchPages(s, d))
-        .orderBy(col("src"), col("dst"))
+      GraphCatalog.tpch(s, d).edges.orderBy(col("src"), col("dst"))
     }),
 
     // A1: adjacency lists; outlinks rendered as a sorted CSV string so the
     // oracle compare is array-free and order-deterministic. Dangling pages
     // (all suppliers) appear with n_out=0 and outs=''.
     "q_graph_adjacency" -> ((s, d) => {
-      val adj = LinkGraph.adjacency(
-        LinkGraph.removeRedLinks(LinkGraph.tpchEdges(s, d), LinkGraph.tpchPages(s, d)),
-        LinkGraph.tpchPages(s, d))
-      adj.select(col("page"), size(col("outlinks")).cast("long").as("n_out"),
+      val g = GraphCatalog.tpch(s, d)
+      LinkGraph.adjacency(g.edges, g.pages)
+        .select(col("page"), size(col("outlinks")).cast("long").as("n_out"),
           array_join(col("outlinks"), ",").as("outs"))
         .orderBy(col("page"))
     }),
@@ -75,25 +89,32 @@ object GraphQueries {
     // A2: N (page count) as a one-row result.
     "q_graph_count" -> ((s, d) => {
       import s.implicits._
-      Seq(LinkGraph.countPages(LinkGraph.tpchPages(s, d))).toDF("n")
+      Seq(GraphCatalog.tpch(s, d).n).toDF("n")
     }),
 
     // Flagship: 8 reference-convention PageRank iterations, every page.
     "q_pagerank" -> ((s, d) => {
-      val pages = LinkGraph.tpchPages(s, d)
-      val edges = LinkGraph.removeRedLinks(LinkGraph.tpchEdges(s, d), pages)
-      PageRank.run(pages, edges)
+      GraphCatalog.tpchRanks(s, d)
         .select(col("page"), round(col("rank"), 6).as("pr"))
         .orderBy(col("page"))
     }),
 
-    // F1+O1+M2: threshold rank > 5/N, globally sorted descending.
-    "q_pagerank_top" -> ((s, d) => {
-      val pages = LinkGraph.tpchPages(s, d)
-      val edges = LinkGraph.removeRedLinks(LinkGraph.tpchEdges(s, d), pages)
-      val n = LinkGraph.countPages(pages)
-      PageRank.topRanks(PageRank.run(pages, edges), n)
+    // Same ranks via GraphX runWithOptions(normalized=false) — the scale
+    // path; checked against the identical DuckDB oracle (ADVICE r1 item 1).
+    "q_pagerank_graphx" -> ((s, d) => {
+      val g = GraphCatalog.tpch(s, d)
+      PageRankGraphX.run(g.pages, g.edges)
         .select(col("page"), round(col("rank"), 6).as("pr"))
+        .orderBy(col("page"))
+    }),
+
+    // F1+O1+M2: threshold cut + global descending sort.
+    "q_pagerank_top" -> ((s, d) => {
+      val g = GraphCatalog.tpch(s, d)
+      GraphCatalog.tpchRanks(s, d)
+        .select(col("page"), round(col("rank"), 6).as("pr"))
+        .filter(col("pr") > lit(TopMultiplier) / lit(g.n.toDouble))
+        .orderBy(col("pr").desc, col("page"))
     })
   )
 
@@ -112,9 +133,11 @@ object GraphQueries {
                 (SELECT COUNT(*) FROM supplier) AS n""",
     "q_pagerank" -> pagerankSql(PageRank.DefaultIters,
       "SELECT page, ROUND(pr, 6) AS pr FROM r8 ORDER BY page"),
+    "q_pagerank_graphx" -> pagerankSql(PageRank.DefaultIters,
+      "SELECT page, ROUND(pr, 6) AS pr FROM r8 ORDER BY page"),
     "q_pagerank_top" -> pagerankSql(PageRank.DefaultIters,
-      """SELECT page, ROUND(pr, 6) AS pr FROM r8
-         WHERE pr > 5.0 / (SELECT n FROM nn)
-         ORDER BY pr DESC, page""")
+      s"""SELECT page, ROUND(pr, 6) AS pr FROM r8
+         WHERE ROUND(pr, 6) > $TopMultiplier / (SELECT n FROM nn)
+         ORDER BY ROUND(pr, 6) DESC, page""")
   )
 }
