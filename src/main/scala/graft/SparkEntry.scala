@@ -15,7 +15,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
     (RelationalQueries.queries, RelationalQueries.oracles),
-    (GraphQueries.queries, GraphQueries.oracles)
+    (GraphQueries.queries, GraphQueries.oracles),
+    (WikiQueries.queries, WikiQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

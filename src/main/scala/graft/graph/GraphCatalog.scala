@@ -3,6 +3,7 @@ package graft.graph
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped materialized views of the link graph and its rank
@@ -52,6 +53,39 @@ object GraphCatalog {
     ranks.getOrElseUpdate((spark, dir, iters), {
       val g = tpch(spark, dir)
       val r = PageRank.run(g.pages, g.edges, iters)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    })
+
+  private val wikiGraphs = TrieMap.empty[(SparkSession, String), LinkGraphData]
+  private val wikiRankCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Link graph of the synthesized wiki dump ([[graft.wiki.WikiDump]]):
+    * full S1→P1→P2→J1 path — XML parse, link extraction, validity
+    * filter, red-link semi-join — built once per (session, dir). */
+  def wiki(spark: SparkSession, dir: String): LinkGraphData =
+    wikiGraphs.getOrElseUpdate((spark, dir), {
+      import graft.wiki.{WikiDump, WikiIngest}
+      val parsed = WikiIngest.parsePageXml(WikiDump.xml(spark, dir), "xml")
+      val pages = WikiIngest.pageTitles(parsed)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val edges = LinkGraph
+        .removeRedLinks(
+          WikiIngest.extractLinks(parsed)
+            .select(col("page").as("src"), col("link").as("dst")),
+          pages)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = pages.count()
+      LinkGraphData(pages, edges, n)
+    })
+
+  /** Rank vector of the wiki graph — the reference's full 13-job DAG
+    * equivalent, computed once per (session, dir). */
+  def wikiRanks(spark: SparkSession, dir: String): DataFrame =
+    wikiRankCache.getOrElseUpdate((spark, dir), {
+      val g = wiki(spark, dir)
+      val r = PageRank.run(g.pages, g.edges)
         .persist(StorageLevel.MEMORY_AND_DISK)
       r.count()
       r

@@ -32,31 +32,8 @@ object GraphQueries {
          SELECT e.src, e.dst FROM edges e
          WHERE EXISTS (SELECT 1 FROM pages p WHERE p.page = e.dst))"""
 
-  /** Reference-convention PageRank unrolled to `iters` chained CTEs:
-    * r0 = 1/N; r_k = 0.15/N + 0.85 * Σ_in r_{k-1}(src)/deg(src).
-    * Dangling mass lost (no redistribution term) — matches
-    * /root/reference/src/PageRank/PageRank.java:305-316.
-    */
-  private def pagerankSql(iters: Int, select: String): String = {
-    val iterCtes = (1 to iters).map { k =>
-      s"""r$k AS (
-            SELECT p.page,
-                   0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.mass, 0) AS pr
-            FROM pages p LEFT JOIN (
-              SELECT g.dst, SUM(r.pr / d.deg) AS mass
-              FROM good g
-              JOIN r${k - 1} r ON g.src = r.page
-              JOIN deg d ON g.src = d.src
-              GROUP BY g.dst) m ON p.page = m.dst)"""
-    }.mkString(",\n")
-    s"""WITH $graphCtes,
-        deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
-                FROM good GROUP BY src),
-        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pages),
-        r0 AS (SELECT page, 1.0 / (SELECT n FROM nn) AS pr FROM pages),
-        $iterCtes
-        $select"""
-  }
+  private def pagerankSql(iters: Int, select: String): String =
+    PageRankOracle.sql(graphCtes, iters, select)
 
   /** q_pagerank_top threshold multiplier. The reference hard-codes 5.0
     * (PageRank.java:336,346) but on the TPC-H citation graph max rank

@@ -1,0 +1,62 @@
+package graft.wiki
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** A deterministic, reference-shaped wiki dump synthesized from the
+  * driver's TPC-H-ish tables (the reference's own sample dump is a
+  * missing blob — /root/reference/.MISSING_LARGE_BLOBS:1).
+  *
+  * Shape: one `<page>` per part ("p <partkey>") whose body cites every
+  * supplier that ever shipped it (`[[s <suppkey>]]`, from lineitem),
+  * plus one dangling page per supplier ("s <suppkey>").
+  *
+  * Each body deliberately exercises every P1/P2 quirk of the
+  * reference's OutLinkMap (/root/reference/src/PageRank/PageRank.java:
+  * 71-95, 115-126):
+  *   - `[[image:part.png]]`     → dropped by the image:/file: filter,
+  *   - `[[missing <partkey>]]`  → a red link (no such page), dropped by
+  *                                 the existence semi-join,
+  *   - every supplier cited twice, plain `[[s K]]` and piped
+  *     `[[s K|vendor]]`         → pipe-stripping + per-page dedup
+  *                                 collapse them to one edge,
+  *   - `[[bad{brace]]`          → dropped by the `{}<>#` filter,
+  *   - titles and links contain spaces → the space→underscore
+  *     normalization is on the hot path for both.
+  *
+  * The expected edge set is therefore exactly
+  * `DISTINCT ('p_'||l_partkey, 's_'||l_suppkey)` — independently
+  * computable by the DuckDB oracle without any XML machinery.
+  */
+object WikiDump {
+
+  /** DataFrame["xml"] — one `<page>…</page>` blob per row. */
+  def xml(spark: SparkSession, dir: String): DataFrame = {
+    val sups = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(array_sort(collect_set(col("l_suppkey").cast("string"))).as("sks"))
+
+    val partPages = Tables.part(spark, dir)
+      .select(col("p_partkey").cast("string").as("partkey"))
+      .join(sups, Seq("partkey"), "left")
+      .select(concat(
+        lit("<page><title>p "), col("partkey"),
+        lit("</title><revision><text>See [[image:part.png]] and [[missing "),
+        col("partkey"), lit("]]. "),
+        coalesce(
+          concat_ws(" ", transform(col("sks"),
+            k => concat(lit("[[s "), k, lit("]] [[s "), k, lit("|vendor]]")))),
+          lit("")),
+        lit("</text></revision></page>")).as("xml"))
+
+    val supplierPages = Tables.supplier(spark, dir)
+      .select(concat(
+        lit("<page><title>s "), col("s_suppkey").cast("string"),
+        lit("</title><revision><text>Dangling [[bad{brace]] page."),
+        lit("</text></revision></page>")).as("xml"))
+
+    partPages.unionAll(supplierPages)
+  }
+}
