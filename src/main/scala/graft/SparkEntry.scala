@@ -16,7 +16,9 @@ object SparkEntry {
                             Map[String, String])] = Seq(
     (RelationalQueries.queries, RelationalQueries.oracles),
     (GraphQueries.queries, GraphQueries.oracles),
-    (WikiQueries.queries, WikiQueries.oracles)
+    (WikiQueries.queries, WikiQueries.oracles),
+    (TextQueries.queries, TextQueries.oracles),
+    (DedupQueries.queries, DedupQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

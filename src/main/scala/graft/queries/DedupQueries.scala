@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * training-data-pipeline surface. Six shapes:
+  *
+  *   exact         one md5-hash shuffle (the corpus is augmented with a
+  *                 simulated re-crawl so the query is non-vacuous — the
+  *                 driver corpus has no byte-identical pairs)
+  *   canonical     exact after bag-of-words canonicalization (the real
+  *                 corpus has 21 such groups)
+  *   minhash       16-permutation signatures, narrow pass
+  *   lsh           banded candidate pairs (4 bands × 4 rows) + exact
+  *                 Jaccard re-verification of candidates only
+  *   simhash       32-bit Charikar signatures, narrow pass
+  *   ngram         blocked exact char-5-gram Jaccard (block = source ×
+  *                 length bucket; the O(n²)-free baseline)
+  *   embedding     label-blocked cosine near-dup over float vectors
+  *
+  * Every query is replicated exactly by its DuckDB oracle (same md5
+  * hashes, same formulas, same rounding) — approximate algorithms are
+  * still deterministic programs.
+  */
+object DedupQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup at scale = groupBy on a fixed-width digest: only the
+    // 16-byte key shuffles. Corpus ∪ re-crawl (ids offset by 100000).
+    "q_dedup_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val crawl2 = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      docs.unionAll(crawl2)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("canonical_id"),
+          count(lit(1)).as("n_copies"),
+          array_join(transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").as("ids"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("h"))
+    }),
+
+    // Canonicalized exact dedup: key = md5 of the sorted distinct
+    // token set (bag-of-words) — catches reorderings/dup-words.
+    "q_dedup_canon" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), "\\s+"))
+        .groupBy(md5(array_join(array_sort(array_distinct(col("toks"))), " "))
+          .as("h"))
+        .agg(min("doc_id").as("canonical_id"),
+          count(lit(1)).as("n_copies"),
+          array_join(transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").as("ids"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("h"))
+    }),
+
+    // MinHash signatures: one md5 per distinct word-3-gram shingle, 16
+    // affine "permutations" over that base hash. Pure narrow pass — no
+    // shuffle before the final presentation ORDER BY.
+    "q_dedup_minhash" -> ((s, d) => {
+      val sigs = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), "\\s+"))
+        .withColumn("sh", expr(Dedup.wordShinglesExpr("toks", 3)))
+        .withColumn("hs", expr(Dedup.shingleHash32Expr("sh")))
+        .withColumn("sig", expr(Dedup.minhashExpr("hs", 16)))
+      sigs.select(col("doc_id") +:
+        (0 until 16).map(i => element_at(col("sig"), i + 1).as(f"sig$i%02d")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LSH candidate pairs + exact re-verification. Shuffles on (band,
+    // band_key) — bucket sizes stay tiny, so candidate generation is
+    // near-linear at any corpus size; exact Jaccard runs on candidates
+    // only. Output: verified near-dup pairs (J ≥ 0.5).
+    "q_dedup_lsh" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), "\\s+"))
+        .withColumn("sh", expr(Dedup.wordShinglesExpr("toks", 3)))
+        .withColumn("hs", expr(Dedup.shingleHash32Expr("sh")))
+      // materialize the banded signature table once (localCheckpoint)
+      // before self-joining: Catalyst plans a self-join as two copies of
+      // the subplan, which would run the shingle+md5 pass twice
+      val banded = base
+        .withColumn("sig", expr(Dedup.minhashExpr("hs", 16)))
+        .select(col("doc_id"), col("hs"),
+          posexplode(expr(Dedup.bandKeysExpr("sig", 4, 4))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+        .localCheckpoint(eager = true)
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          Dedup.jaccard(col("x.hs"), col("y.hs")).as("j"))
+        .groupBy("a", "b").agg(round(max("j"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // SimHash 32-bit signatures (term-frequency-weighted bit votes).
+    "q_dedup_simhash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("ths", expr(Dedup.tokenHashesExpr("text")))
+        .select(col("doc_id"), expr(Dedup.simhashExpr("ths", 32)).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Blocked exact n-gram Jaccard: compare only within (source,
+    // length-bucket) blocks — the deterministic-blocking baseline that
+    // keeps exact similarity O(block²) instead of O(corpus²).
+    "q_dedup_ngram" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("sh5", expr(Dedup.charShinglesExpr("text", 5)))
+        .withColumn("sh", expr(Dedup.shingleHash32Expr("sh5")))
+        .select(col("doc_id"), col("source"),
+          floor(col("n_chars") / 50).as("lb"), col("sh"))
+        .localCheckpoint(eager = true) // hash pass once, not per join side
+      sh.as("x").join(sh.as("y"),
+          col("x.source") === col("y.source") && col("x.lb") === col("y.lb") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          round(Dedup.jaccard(col("x.sh"), col("y.sh")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Embedding cosine near-dup, blocked by the coarse cluster label
+    // (IVF-style: only same-cell pairs are compared).
+    "q_dedup_embedding" -> ((s, d) => {
+      val dot = "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, p) -> a + p)"
+      // norms precomputed per vector (once per row, not once per pair)
+      val e = Tables.embeddings(s, d).withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double)))"))
+        .localCheckpoint(eager = true) // norms once, not per join side
+      e.as("x").join(e.as("y"),
+          col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          col("x.embedding").as("va"), col("y.embedding").as("vb"),
+          col("x.nrm").as("na"), col("y.nrm").as("nb"))
+        .select(col("a"), col("b"),
+          round(expr(s"$dot / (na * nb)"), 6).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy(col("a"), col("b"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val shingle3 =
+    """list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      for i in range(1, len(toks) - 1)])"""
+
+  private val shingleHash =
+    """list_transform(sh,
+         s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT))"""
+
+  private val minhash16 =
+    """[list_aggregate(list_transform(hs,
+          h -> ((2 * i + 1) * h + (i * 2654435761) % 4294967296) % 4294967296),
+        'min') for i in range(0, 16)]"""
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 100000, text FROM documents),
+          g AS (SELECT md5(text) AS h, MIN(doc_id) AS canonical_id,
+                       COUNT(*) AS n_copies,
+                       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+                FROM u GROUP BY md5(text))
+          SELECT * FROM g WHERE n_copies > 1 ORDER BY h""",
+    "q_dedup_canon" ->
+      """WITH t AS (SELECT doc_id,
+                 string_split_regex(text, '\s+') AS toks FROM documents),
+          g AS (SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS h,
+                       MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies,
+                       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+                FROM t GROUP BY 1)
+          SELECT * FROM g WHERE n_copies > 1 ORDER BY h""",
+    "q_dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+          s AS (SELECT doc_id, $shingle3 AS sh FROM t),
+          hh AS (SELECT doc_id, $shingleHash AS hs FROM s),
+          g AS (SELECT doc_id, $minhash16 AS sig FROM hh)
+          SELECT doc_id,
+                 ${(0 until 16).map(i => s"sig[${i + 1}] AS sig${f"$i%02d"}").mkString(", ")}
+          FROM g ORDER BY doc_id""",
+    "q_dedup_lsh" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+          s AS (SELECT doc_id, $shingle3 AS sh FROM t),
+          hh AS (SELECT doc_id, $shingleHash AS hs FROM s),
+          g AS (SELECT doc_id, hs, $minhash16 AS sig FROM hh),
+          bands AS (SELECT doc_id, hs, b.range AS band,
+                           md5(array_to_string(sig[1 + b.range * 4 : 4 + b.range * 4], ','))
+                             AS bkey
+                    FROM g CROSS JOIN range(0, 4) b),
+          cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                          len(list_intersect(x.hs, y.hs)) AS inter,
+                          len(x.hs) AS la, len(y.hs) AS lb
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                        AND x.doc_id < y.doc_id),
+          pairs AS (SELECT a, b,
+                      MAX(ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4))
+                        AS jaccard
+                    FROM cand GROUP BY a, b)
+          SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY a, b""",
+    "q_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id,
+                 list_transform(string_split_regex(text, '\s+'),
+                   t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)) AS ths
+                FROM documents)
+         SELECT doc_id,
+                CAST(list_sum([CASE WHEN list_sum([CASE WHEN ((h >> b) & 1) = 1
+                                                        THEN 1 ELSE -1 END
+                                                   for h in ths]) > 0
+                                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                               for b in range(0, 32)]) AS BIGINT) AS simhash
+         FROM t ORDER BY doc_id""",
+    "q_dedup_ngram" ->
+      """WITH s AS (SELECT doc_id, source, CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
+                 list_transform(
+                   list_distinct([substring(text, i, 5)
+                                  for i in range(1, len(text) - 3)]),
+                   g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)) AS sh
+                FROM documents),
+          p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                       len(list_intersect(x.sh, y.sh)) AS inter,
+                       len(x.sh) AS la, len(y.sh) AS lb2
+                FROM s x JOIN s y ON x.source = y.source AND x.lb = y.lb
+                                  AND x.doc_id < y.doc_id)
+          SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (la + lb2 - inter), 4) AS jaccard
+          FROM p WHERE ROUND(CAST(inter AS DOUBLE) / (la + lb2 - inter), 4) >= 0.2
+          ORDER BY a, b""",
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                           sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
+                    FROM embeddings),
+          p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                       list_sum([x.v[i] * y.v[i] for i in range(1, len(x.v) + 1)]) /
+                       (x.nrm * y.nrm) AS cs
+                FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id)
+          SELECT a, b, ROUND(cs, 6) AS cos FROM p
+          WHERE ROUND(cs, 6) >= 0.4 ORDER BY a, b"""
+  )
+}

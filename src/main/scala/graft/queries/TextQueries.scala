@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (BASELINE.json:6 north star): token
+  * counting, quality scoring, language-ID, winnowing fingerprints.
+  *
+  * Not in the reference (its only text processing is the wiki-link
+  * regex scan, PageRank.java:74-95); these extend the same declarative
+  * style: pure built-in expressions, narrow single-pass plans, no
+  * shuffle except final ORDER BY (driver-compare determinism only —
+  * production pipelines drop it).
+  *
+  * Every metric is replicated exactly (not approximately) by the
+  * DuckDB oracle: hashes are md5-derived, ratios rounded identically.
+  */
+object TextQueries {
+
+  /** Per-language stopword mini-lists for the language-ID heuristic.
+    * Order matters: the CASE tie-break prefers earlier languages. */
+  private val StopLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "von"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "dans")
+  )
+
+  private def toks: Column = TextFunctions.tokens(col("text"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens, distinct tokens, BPE-ish
+    // subword count, char count. One narrow pass over the scan.
+    "q_text_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          size(array_distinct(toks)).cast("long").as("n_types"),
+          TextFunctions.subwordCount(col("text")).cast("long").as("n_subword"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: stopword ratio, type-token ratio, mean token
+    // length, and a blended [0,1] quality score — the standard cheap
+    // pre-filters of LLM data pipelines (C4/Gopher-style rules).
+    "q_text_quality" -> ((s, d) => {
+      val en = StopLists.head._2
+      val nTok = size(toks).cast("double")
+      val stopHits = size(filter(toks,
+        t => t.isin(en: _*))).cast("double")
+      val ttr = size(array_distinct(toks)).cast("double") / nTok
+      val meanLen = expr(
+        "aggregate(split(text, '\\\\s+'), 0L, (a, t) -> a + length(t))")
+        .cast("double") / nTok
+      val stopRatio = stopHits / nTok
+      val score = least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
+        stopRatio * lit(0.3) + ttr * lit(0.3)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(stopRatio, 4).as("stop_ratio"),
+          round(ttr, 4).as("ttr"),
+          round(meanLen, 4).as("mean_tok_len"),
+          round(score, 4).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID: count stopword hits per language, predict argmax
+    // (ties broken in StopLists order via the CASE chain).
+    "q_text_langid" -> ((s, d) => {
+      val hits = StopLists.map { case (lang, words) =>
+        lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
+      }
+      val Seq(en, de, es, fr) = hits.map(_._2)
+      val pred = when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+      Tables.documents(s, d)
+        .select(col("doc_id") +: col("lang").as("labeled") +:
+          hits.map { case (l, c) => c.as(s"${l}_hits") } :+
+          pred.as("pred"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing fingerprints (k=8 char shingles, window w=4): per doc
+    // the fingerprint-set size and its min/max — the join key shape a
+    // plagiarism / near-dup pass would bucket on.
+    "q_text_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("hs", expr(TextFunctions.shingleHashesExpr("text", 8)))
+        .withColumn("fps", expr(TextFunctions.winnowExpr("hs", 4)))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private def sqlStopList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracles: Map[String, String] = {
+    val en = sqlStopList(StopLists.head._2)
+    val langHits = StopLists.map { case (lang, words) =>
+      s"len(list_filter(toks, t -> list_contains(${sqlStopList(words)}, t))) AS ${lang}_hits"
+    }.mkString(",\n           ")
+    Map(
+      "q_text_tokens" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks,
+                             text FROM documents)
+           SELECT doc_id,
+                  len(toks) AS n_tok,
+                  len(list_distinct(toks)) AS n_types,
+                  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                    AS n_subword,
+                  len(text) AS n_chars
+           FROM t ORDER BY doc_id""",
+      "q_text_quality" ->
+        s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                       FROM documents),
+            m AS (SELECT doc_id,
+                   CAST(len(toks) AS DOUBLE) AS n_tok,
+                   CAST(len(list_filter(toks, t -> list_contains($en, t))) AS DOUBLE)
+                     AS stop_hits,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) AS n_types,
+                   CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+                     AS DOUBLE) AS tok_chars
+                  FROM t)
+            SELECT doc_id,
+                   ROUND(stop_hits / n_tok, 4) AS stop_ratio,
+                   ROUND(n_types / n_tok, 4) AS ttr,
+                   ROUND(tok_chars / n_tok, 4) AS mean_tok_len,
+                   ROUND(LEAST(n_tok / 50.0, 1.0) * 0.4 +
+                         (stop_hits / n_tok) * 0.3 +
+                         (n_types / n_tok) * 0.3, 4) AS quality
+            FROM m ORDER BY doc_id""",
+      "q_text_langid" ->
+        s"""WITH t AS (SELECT doc_id, lang AS labeled,
+                              string_split_regex(text, '\\s+') AS toks
+                       FROM documents),
+            h AS (SELECT doc_id, labeled,
+           $langHits
+                  FROM t)
+            SELECT doc_id, labeled, en_hits, de_hits, es_hits, fr_hits,
+                   CASE WHEN en_hits >= de_hits AND en_hits >= es_hits
+                             AND en_hits >= fr_hits THEN 'en'
+                        WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                        WHEN es_hits >= fr_hits THEN 'es'
+                        ELSE 'fr' END AS pred
+            FROM h ORDER BY doc_id""",
+      "q_text_fingerprint" ->
+        """WITH s AS (SELECT doc_id,
+                  list_transform([substring(text, i, 8) for i in range(1, len(text) - 6)],
+                    g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)) AS hs
+                FROM documents),
+           w AS (SELECT doc_id,
+                  list_distinct([list_aggregate(hs[i:i+3], 'min')
+                                 for i in range(1, len(hs) - 2)]) AS fps
+                 FROM s)
+           SELECT doc_id, len(fps) AS n_fp,
+                  list_aggregate(fps, 'min') AS min_fp,
+                  list_aggregate(fps, 'max') AS max_fp
+           FROM w ORDER BY doc_id"""
+    )
+  }
+}
