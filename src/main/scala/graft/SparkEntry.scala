@@ -18,7 +18,10 @@ object SparkEntry {
     (GraphQueries.queries, GraphQueries.oracles),
     (WikiQueries.queries, WikiQueries.oracles),
     (TextQueries.queries, TextQueries.oracles),
-    (DedupQueries.queries, DedupQueries.oracles)
+    (DedupQueries.queries, DedupQueries.oracles),
+    (SimilarityQueries.queries, SimilarityQueries.oracles),
+    (EventQueries.queries, EventQueries.oracles),
+    (MultimodalQueries.queries, MultimodalQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

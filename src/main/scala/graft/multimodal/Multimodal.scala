@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, and per-partition batch feature extraction — the shape a
+  * 100 TB image/audio/video pipeline needs, with the actual media
+  * decode stubbed (no codec libraries in this container; the
+  * deterministic byte-level featurizer below is the stand-in and is
+  * itself a real, testable computation).
+  *
+  * Design notes for the real thing at scale:
+  *   - payloads stay `binary` columns in parquet — Spark never
+  *     interprets them; column pruning means metadata-only queries
+  *     never read the bytes.
+  *   - decode/feature-extract runs in `Dataset.mapPartitions` (the
+  *     Scala analogue of `mapInPandas`): one decoder instance per
+  *     partition (amortized init — the reference's
+  *     per-record DocumentBuilderFactory at PageRank.java:63-67 is the
+  *     anti-pattern), rows streamed through it in batch.
+  *   - partition sizing: media rows are fat, so
+  *     `spark.sql.files.maxPartitionBytes` governs decode batch memory,
+  *     not row counts.
+  */
+object Multimodal {
+
+  /** Per-record features a decoder would emit. */
+  final case class AssetFeatures(
+      doc_id: Long, n_bytes: Long, digest: String, hist: Array[Long])
+
+  /** The plug point for a real decoder (image/audio/video → tensors).
+    * Deliberately unimplemented: codec libraries are absent here; the
+    * pipeline uses [[byteHistogram]] as the deterministic stand-in. */
+  def decodeMedia(bytes: Array[Byte]): Nothing =
+    throw new NotImplementedError(
+      "media codecs unavailable in this environment — see byteHistogram stub")
+
+  /** Deterministic stand-in featurizer: 16-bucket histogram of the
+    * payload's byte values (bucket = byte >> 4). */
+  def byteHistogram(bytes: Array[Byte]): Array[Long] = {
+    val h = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) { h((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+    h
+  }
+
+  /** The asset table: binary payload + typed metadata struct. Payload
+    * is the document's utf-8 bytes standing in for media bytes. */
+  def assets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+        col("source").as("origin")).as("meta"))
+
+  /** Batch feature extraction over the binary payloads: one digest
+    * instance per partition, rows streamed through. */
+  def extractFeatures(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          md.reset()
+          val digest = md.digest(bytes).map("%02x".format(_)).mkString
+          AssetFeatures(id, bytes.length.toLong, digest, byteHistogram(bytes))
+        }
+      }
+      .toDF()
+  }
+}

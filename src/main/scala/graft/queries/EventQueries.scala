@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Event-time windowing over the `events` table — batch runs of the
+  * exact transforms the streaming entry points use
+  * ([[EventStreams]]; Spark's unified batch/stream model makes them
+  * the same code). DuckDB oracles: time_bucket for tumbling/sliding,
+  * gaps-and-islands for sessions.
+  */
+object EventQueries {
+
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 6h windows per event type.
+    "q_events_tumbling" -> ((s, d) => {
+      EventStreams.tumbling(Tables.events(s, d), "6 hours")
+        .select(date_format(col("w.start"), Fmt).as("wstart"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
+
+    // Sliding 12h windows every 6h — each event lands in two windows.
+    "q_events_sliding" -> ((s, d) => {
+      EventStreams.sliding(Tables.events(s, d), "12 hours", "6 hours")
+        .select(date_format(col("w.start"), Fmt).as("wstart"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
+
+    // Per-user session windows, 4h inactivity gap.
+    "q_events_sessions" -> ((s, d) => {
+      EventStreams.sessions(Tables.events(s, d), "4 hours")
+        .select(col("user_id"),
+          date_format(col("w.start"), Fmt).as("wstart"),
+          col("n"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("wstart"))
+    }),
+
+    // Semi-structured props: JSON field extraction + aggregate.
+    "q_events_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          EventStreams.propsK(col("props")).as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 2).as("avg_k"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_events_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+                         '%Y-%m-%d %H:%M:%S') AS wstart,
+                event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "q_events_sliding" ->
+      """SELECT strftime(time_bucket(INTERVAL '6 hours', ts)
+                           - o.range * INTERVAL '6 hours',
+                         '%Y-%m-%d %H:%M:%S') AS wstart,
+                event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+         FROM events CROSS JOIN range(0, 2) o
+         GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "q_events_sessions" ->
+      """WITH m AS (SELECT user_id, ts, value,
+                  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL '4 hours'
+                       THEN 1 ELSE 0 END AS brk
+                  FROM events),
+          s AS (SELECT user_id, ts, value,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m)
+         SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+                COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, wstart""",
+    "q_events_json" ->
+      """SELECT event_type,
+                COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+                SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2)
+                  AS avg_k
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}

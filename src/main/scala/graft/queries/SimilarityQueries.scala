@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH (SimHash-for-vectors, Charikar'02) bucketed
+  * variant as the scale path.
+  *
+  * Scale design (100 TB):
+  *   - brute force: the query set is small → broadcast it against the
+  *     corpus scan; per-partition top-k via window rank. Exact, one
+  *     narrow pass over the corpus, no corpus shuffle. Right answer up
+  *     to ~10⁴ queries × any corpus size.
+  *   - LSH: a 6-hyperplane signature buckets the corpus into 64 cells;
+  *     only same-cell pairs are scored — candidate generation is a
+  *     bucket equi-join, never O(corpus²). The hyperplane "table" is 6
+  *     rows — broadcast. Recall is tunable by planes/probes; this is
+  *     the IVF-coarse-quantization shape.
+  *
+  * Determinism: hyperplane components are md5-derived
+  * (w[j][i] = hash32(j:i)/2³¹ − 1 ∈ [−1,1)), so Spark and DuckDB
+  * compute bit-identical planes, signatures, and cosines; ranking sorts
+  * on the 6-dp-rounded cosine with vec_id tie-break.
+  */
+object SimilarityQueries {
+
+  private val K = 5
+  private val Planes = 6
+
+  /** Query-vector set: every 100th vector. */
+  private def queryVecs(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+
+  /** cosine(qv, embedding) — sequential fold, matches the oracle's
+    * list_sum order. */
+  private val cosExpr =
+    "aggregate(zip_with(qv, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, p) -> a + p) / (qn * nrm)"
+
+  private def withNorm(e: DataFrame): DataFrame =
+    e.withColumn("nrm", expr(
+      "sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double)))"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact top-k: broadcast query set × corpus scan, window rank.
+    "q_ann_bruteforce" -> ((s, d) => {
+      val e = withNorm(Tables.embeddings(s, d))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(queryVecs(e)))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), round(expr(cosExpr), 6).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // LSH-bucketed top-k: signature = sign bits against 6 md5-derived
+    // hyperplanes; candidates = same-bucket vectors only.
+    "q_ann_lsh" -> ((s, d) => {
+      // hyperplane dim table: 6 rows of 64 components, broadcast
+      val planes = s.range(Planes).select(col("id").as("j"),
+        expr("transform(sequence(1, 64), i -> " +
+          "cast(conv(substring(md5(concat(j, ':', i)), 1, 8), 16, 10) as bigint)" +
+          " / 2147483648.0 - 1.0)").as("w"))
+      val e = withNorm(Tables.embeddings(s, d))
+      // signature: bit j set iff dot(w_j, v) >= 0
+      val sigBits = e.crossJoin(broadcast(planes))
+        .select(col("vec_id"), col("j"),
+          expr("aggregate(zip_with(w, embedding, (a, b) -> a * cast(b as double)), 0D, (acc, p) -> acc + p)").as("dot"))
+        .groupBy("vec_id")
+        .agg(sum(when(col("dot") >= 0,
+          expr("shiftleft(1L, cast(j as int))")).otherwise(0L)).as("sig"))
+      val sigs = e.join(sigBits, "vec_id")
+      val q = sigs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("sig").as("qsig"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      sigs.join(broadcast(q), col("sig") === col("qsig") &&
+          col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), round(expr(cosExpr), 6).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .orderBy(col("qid"), col("rank"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
+                     FROM embeddings),
+          q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
+                WHERE vec_id % 100 = 0),
+          sc AS (SELECT q.qid, e.vec_id,
+                        ROUND(list_sum([q.qv[i] * e.v[i]
+                                        for i in range(1, len(q.qv) + 1)]) /
+                              (q.qn * e.nrm), 6) AS cos
+                 FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+          r AS (SELECT qid, vec_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, vec_id) AS rank
+                FROM sc)
+          SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
+          ORDER BY qid, rank""",
+    "q_ann_lsh" ->
+      s"""WITH planes AS (SELECT t.range AS j,
+                  [(CAST(('0x' || substring(md5(CAST(t.range AS VARCHAR) || ':' ||
+                          CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) / 2147483648.0 - 1.0)
+                   for i in range(1, 65)] AS w
+                 FROM range(0, $Planes) t),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
+                FROM embeddings),
+          dots AS (SELECT e.vec_id, p.j,
+                          list_sum([p.w[i] * e.v[i]
+                                    for i in range(1, len(e.v) + 1)]) AS dot
+                   FROM e CROSS JOIN planes p),
+          sigs AS (SELECT vec_id,
+                          SUM(CASE WHEN dot >= 0
+                                   THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                                   ELSE 0 END) AS sig
+                   FROM dots GROUP BY vec_id),
+          ev AS (SELECT e.vec_id, e.v, e.nrm, s.sig FROM e
+                 JOIN sigs s ON e.vec_id = s.vec_id),
+          q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, sig AS qsig
+                FROM ev WHERE vec_id % 100 = 0),
+          sc AS (SELECT q.qid, ev.vec_id,
+                        ROUND(list_sum([q.qv[i] * ev.v[i]
+                                        for i in range(1, len(q.qv) + 1)]) /
+                              (q.qn * ev.nrm), 6) AS cos
+                 FROM q JOIN ev ON ev.sig = q.qsig AND ev.vec_id <> q.qid),
+          r AS (SELECT qid, vec_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, vec_id) AS rank
+                FROM sc)
+          SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
+          ORDER BY qid, rank"""
+  )
+}

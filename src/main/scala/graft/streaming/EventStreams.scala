@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream transforms, written once and used from BOTH batch and
+  * Structured Streaming (the same DataFrame expressions bind to either
+  * — Spark's unified model). Batch runs power the driver's DuckDB
+  * correctness gate; the streaming entry points add watermarks and are
+  * exercised in ScalaTest via MemoryStream.
+  *
+  * The reference has no streaming at all (13 blocking batch jobs,
+  * PageRank.java:422-498); this is the extension surface
+  * (BASELINE.json:6).
+  *
+  * Scale notes: all aggregations key on (window, event_type) or
+  * (user_id, session) — state is bounded by the watermark; shuffle
+  * partitions carry only the keyed state, and tumbling/sliding windows
+  * use fixed slot arithmetic (no per-event range scans).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type. */
+  def tumbling(events: DataFrame, width: String): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Sliding windows (each event lands in width/slide windows). */
+  def sliding(events: DataFrame, width: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Per-user session windows with the given inactivity gap. */
+  def sessions(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming variants: same transforms + event-time watermark (late
+    * data beyond `lateness` is dropped and state evicted). */
+  def tumblingStream(events: DataFrame, width: String,
+                     lateness: String): DataFrame =
+    tumbling(events.withWatermark("ts", lateness), width)
+
+  def sessionsStream(events: DataFrame, gap: String,
+                     lateness: String): DataFrame =
+    sessions(events.withWatermark("ts", lateness), gap)
+
+  /** Semi-structured props: parse the JSON payload column. */
+  def propsK(props: Column): Column =
+    get_json_object(props, "$.k").cast("long")
+}

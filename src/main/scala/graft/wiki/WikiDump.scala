@@ -19,9 +19,9 @@ import graft.Tables
   *   - `[[image:part.png]]`     → dropped by the image:/file: filter,
   *   - `[[missing <partkey>]]`  → a red link (no such page), dropped by
   *                                 the existence semi-join,
-  *   - every supplier cited twice, plain `[[s K]]` and piped
-  *     `[[s K|vendor]]`         → pipe-stripping + per-page dedup
-  *                                 collapse them to one edge,
+  *   - the first supplier is cited twice — plain `[[s K]]` and piped
+  *     `[[s K|vendor]]` — so pipe-stripping + per-page dedup collapse
+  *     them to one edge; the rest are cited plain,
   *   - `[[bad{brace]]`          → dropped by the `{}<>#` filter,
   *   - titles and links contain spaces → the space→underscore
   *     normalization is on the hot path for both.
@@ -46,8 +46,10 @@ object WikiDump {
         lit("</title><revision><text>See [[image:part.png]] and [[missing "),
         col("partkey"), lit("]]. "),
         coalesce(
-          concat_ws(" ", transform(col("sks"),
-            k => concat(lit("[[s "), k, lit("]] [[s "), k, lit("|vendor]]")))),
+          concat_ws(" ", expr(
+            """transform(sks, (k, idx) -> IF(idx = 0,
+                 concat('[[s ', k, ']] [[s ', k, '|vendor]]'),
+                 concat('[[s ', k, ']]')))""")),
           lit("")),
         lit("</text></revision></page>")).as("xml"))
 

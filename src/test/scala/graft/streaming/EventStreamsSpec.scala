@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Structured Streaming parity: the SAME transform objects power batch
+  * (driver correctness gate) and streams; here MemoryStream feeds the
+  * streaming entry points and the result must equal the batch run on
+  * the same data. */
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private val rows = Seq(
+    (ts(0), "click", 1.0), (ts(3), "click", 2.0), (ts(7), "view", 3.0),
+    (ts(12), "click", 4.0), (ts(31), "view", 5.0), (ts(33), "click", 6.0))
+
+  test("tumblingStream over MemoryStream equals batch tumbling") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingStream(streamDf, "10 minutes", "5 minutes")
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+        col("sum_value"))
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val streamed = s.table("tumbling_test")
+        .orderBy("wstart", "event_type").collect().toSeq
+      val batch = EventStreams.tumbling(rows.toDF("ts", "event_type", "value"),
+          "10 minutes")
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("wstart", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.size == 5) // windows 00,00,10,30,30 × types
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped in append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingStream(streamDf, "10 minutes", "5 minutes")
+      .select(col("w.start").as("wstart"), col("n"))
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((ts(5), "click", 1.0)))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark
+      input.addData(Seq((ts(120), "click", 1.0)))
+      q.processAllAvailable()
+      // this event is 2h late — behind the watermark, must be dropped
+      input.addData(Seq((ts(6), "click", 99.0)))
+      q.processAllAvailable()
+      input.addData(Seq((ts(240), "click", 1.0)))
+      q.processAllAvailable()
+      val emitted = s.table("late_test").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      // the 00:00 window was emitted with exactly 1 event (not 2):
+      assert(emitted(ts(0)) == 1L)
+    } finally q.stop()
+  }
+
+  test("sessionsStream groups by inactivity gap like batch sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val sess = Seq(
+      (ts(0), 1L, 1.0), (ts(5), 1L, 2.0),   // session 1 of user 1
+      (ts(60), 1L, 3.0),                    // session 2 of user 1 (gap 55m > 30m)
+      (ts(10), 2L, 4.0))                    // user 2
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val streamDf = input.toDF().toDF("ts", "user_id", "value")
+    val q = EventStreams.sessionsStream(streamDf, "30 minutes", "5 minutes")
+      .select(col("user_id"), col("w.start").as("wstart"), col("n"))
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(sess)
+      q.processAllAvailable()
+      val got = s.table("sessions_test")
+        .orderBy("user_id", "wstart")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+      assert(got == Seq((1L, ts(0), 2L), (1L, ts(60), 1L), (2L, ts(10), 1L)))
+    } finally q.stop()
+  }
+}
