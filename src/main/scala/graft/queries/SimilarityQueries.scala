@@ -78,9 +78,17 @@ object SimilarityQueries {
         .agg(sum(when(col("dot") >= 0,
           expr("shiftleft(1L, cast(j as int))")).otherwise(0L)).as("sig"))
       val sigs = e.join(sigBits, "vec_id")
+      // multiprobe: each query checks its own bucket plus the 6 buckets
+      // at Hamming distance 1 — enumerated probe keys keep candidate
+      // generation an equi-join (the scale-sane form; recall on data
+      // with real neighbor structure is near-1, on near-orthogonal
+      // noise any sublinear ANN is recall-bound)
       val q = sigs.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("nrm").as("qn"), col("sig").as("qsig"))
+          col("nrm").as("qn"),
+          explode(expr(s"transform(sequence(0, $Planes), " +
+            "o -> IF(o = 0, sig, cast(sig as bigint) ^ shiftleft(1L, cast(o - 1 as int))))"))
+            .as("qsig"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))
       sigs.join(broadcast(q), col("sig") === col("qsig") &&
@@ -130,8 +138,13 @@ object SimilarityQueries {
                    FROM dots GROUP BY vec_id),
           ev AS (SELECT e.vec_id, e.v, e.nrm, s.sig FROM e
                  JOIN sigs s ON e.vec_id = s.vec_id),
-          q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, sig AS qsig
-                FROM ev WHERE vec_id % 100 = 0),
+          q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn,
+                       CASE WHEN o.range = 0 THEN sig
+                            ELSE xor(sig, (CAST(1 AS BIGINT)
+                                           << CAST(o.range - 1 AS INTEGER)))
+                       END AS qsig
+                FROM ev CROSS JOIN range(0, $Planes + 1) o
+                WHERE vec_id % 100 = 0),
           sc AS (SELECT q.qid, ev.vec_id,
                         ROUND(list_sum([q.qv[i] * ev.v[i]
                                         for i in range(1, len(q.qv) + 1)]) /
