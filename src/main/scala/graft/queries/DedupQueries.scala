@@ -131,18 +131,13 @@ object DedupQueries {
     // Embedding cosine near-dup, blocked by the coarse cluster label
     // (IVF-style: only same-cell pairs are compared).
     "q_dedup_embedding" -> ((s, d) => {
-      val dot = "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, p) -> a + p)"
-      // norms precomputed per vector (once per row, not once per pair)
-      val e = Tables.embeddings(s, d).withColumn("nrm", expr(
-        "sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double)))"))
-        .localCheckpoint(eager = true) // norms once, not per join side
+      graft.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
       e.as("x").join(e.as("y"),
           col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-          col("x.embedding").as("va"), col("y.embedding").as("vb"),
-          col("x.nrm").as("na"), col("y.nrm").as("nb"))
-        .select(col("a"), col("b"),
-          round(expr(s"$dot / (na * nb)"), 6).as("cos"))
+          round(call_function("cosine_sim",
+            col("x.embedding"), col("y.embedding")), 6).as("cos"))
         .filter(col("cos") >= 0.4)
         .orderBy(col("a"), col("b"))
     })

@@ -35,27 +35,25 @@ object SimilarityQueries {
   /** Query-vector set: every 100th vector. */
   private def queryVecs(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("nrm").as("qn"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
 
-  /** cosine(qv, embedding) — sequential fold, matches the oracle's
-    * list_sum order. */
-  private val cosExpr =
-    "aggregate(zip_with(qv, embedding, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, p) -> a + p) / (qn * nrm)"
-
-  private def withNorm(e: DataFrame): DataFrame =
-    e.withColumn("nrm", expr(
-      "sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double)))"))
+  /** cosine(qv, embedding) via the native codegen'd expression
+    * ([[graft.functions.CosineSimilarity]]) — same sequential fold as
+    * the oracle's list_sum replication, but a fused primitive loop
+    * instead of interpreted higher-order lambdas. */
+  private def cos: org.apache.spark.sql.Column =
+    call_function("cosine_sim", col("qv"), col("embedding"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-k: broadcast query set × corpus scan, window rank.
     "q_ann_bruteforce" -> ((s, d) => {
-      val e = withNorm(Tables.embeddings(s, d))
+      graft.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))
       e.crossJoin(broadcast(queryVecs(e)))
         .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), round(expr(cosExpr), 6).as("cos"))
+        .select(col("qid"), col("vec_id"), round(cos, 6).as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .orderBy(col("qid"), col("rank"))
@@ -64,12 +62,13 @@ object SimilarityQueries {
     // LSH-bucketed top-k: signature = sign bits against 6 md5-derived
     // hyperplanes; candidates = same-bucket vectors only.
     "q_ann_lsh" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
       // hyperplane dim table: 6 rows of 64 components, broadcast
       val planes = s.range(Planes).select(col("id").as("j"),
         expr("transform(sequence(1, 64), i -> " +
           "cast(conv(substring(md5(concat(j, ':', i)), 1, 8), 16, 10) as bigint)" +
           " / 2147483648.0 - 1.0)").as("w"))
-      val e = withNorm(Tables.embeddings(s, d))
+      val e = Tables.embeddings(s, d)
       // signature: bit j set iff dot(w_j, v) >= 0
       val sigBits = e.crossJoin(broadcast(planes))
         .select(col("vec_id"), col("j"),
@@ -85,7 +84,6 @@ object SimilarityQueries {
       // noise any sublinear ANN is recall-bound)
       val q = sigs.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("nrm").as("qn"),
           explode(expr(s"transform(sequence(0, $Planes), " +
             "o -> IF(o = 0, sig, cast(sig as bigint) ^ shiftleft(1L, cast(o - 1 as int))))"))
             .as("qsig"))
@@ -93,7 +91,7 @@ object SimilarityQueries {
         .orderBy(col("cos").desc, col("vec_id"))
       sigs.join(broadcast(q), col("sig") === col("qsig") &&
           col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), round(expr(cosExpr), 6).as("cos"))
+        .select(col("qid"), col("vec_id"), round(cos, 6).as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .orderBy(col("qid"), col("rank"))
