@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SortedIntersectCount}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -21,24 +21,33 @@ import graft.functions.CosineSimilarity
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.cosineSimEntry)
+    GraftFunctions.entries.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
 
-  private[graft] val cosineSimEntry
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+  private type Entry =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def binary(name: String, cls: Class[_],
+                     mk: (Expression, Expression) => Expression): Entry = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
     (children: Seq[Expression]) => {
-      require(children.size == 2, "cosine_sim expects exactly 2 arguments")
-      CosineSimilarity(children.head, children(1))
+      require(children.size == 2, s"$name expects exactly 2 arguments")
+      mk(children.head, children(1))
     }
   )
 
+  private[graft] val entries: Seq[Entry] = Seq(
+    binary("cosine_sim", classOf[CosineSimilarity], CosineSimilarity.apply),
+    binary("sorted_intersect_count", classOf[SortedIntersectCount],
+      SortedIntersectCount.apply)
+  )
+
   /** Idempotent registration on a live session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineSimEntry
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    entries.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

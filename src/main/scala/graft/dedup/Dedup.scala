@@ -44,13 +44,16 @@ object Dedup {
       s"array_distinct(transform(sequence(1, length($textCol) - ${k - 1}), " +
       s"i -> substring($textCol, i, $k))), cast(array() as array<string>))"
 
-  /** Portable 32-bit hash of each (distinct) shingle: first 8 md5 hex
-    * digits as a long. One md5 per shingle — the [[minhashExpr]]
-    * permutations are affine maps over this single hash, not fresh
-    * digests (16× fewer md5 evaluations on the hot path). */
+  /** Portable 32-bit hash set of the (distinct) shingles: first 8 md5
+    * hex digits as a long, deduped and ASC-sorted. One md5 per shingle
+    * — the [[minhashExpr]] permutations are affine maps over this
+    * single hash, not fresh digests (16× fewer md5 evaluations on the
+    * hot path). Sorted so the pair-verify step can use the O(n+m)
+    * [[graft.functions.SortedIntersectCount]] merge (sort paid once
+    * per row, not once per candidate pair). */
   def shingleHash32Expr(shinglesCol: String): String =
-    s"transform($shinglesCol, " +
-      "s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
+    s"array_sort(array_distinct(transform($shinglesCol, " +
+      "s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))))"
 
   /** MinHash signature via the standard universal-hash family over one
     * base hash: sig[i] = min over shingles of (a_i·h + b_i) mod 2³²,
@@ -88,6 +91,15 @@ object Dedup {
   /** Exact set-Jaccard between two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
+  }
+
+  /** Set-Jaccard for SORTED duplicate-free long arrays (the
+    * [[shingleHash32Expr]] shape) via the native merge-count
+    * expression — no per-pair hash-set allocation. Callers must have
+    * registered [[graft.GraftFunctions]]. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = call_function("sorted_intersect_count", a, b).cast("double")
     inter / (size(a).cast("double") + size(b).cast("double") - inter)
   }
 }

@@ -78,6 +78,7 @@ object DedupQueries {
     // near-linear at any corpus size; exact Jaccard runs on candidates
     // only. Output: verified near-dup pairs (J ≥ 0.5).
     "q_dedup_lsh" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
       val base = Tables.documents(s, d)
         .withColumn("toks", split(col("text"), "\\s+"))
         .withColumn("sh", expr(Dedup.wordShinglesExpr("toks", 3)))
@@ -95,7 +96,7 @@ object DedupQueries {
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          Dedup.jaccard(col("x.hs"), col("y.hs")).as("j"))
+          Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
         .groupBy("a", "b").agg(round(max("j"), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("a"), col("b"))
@@ -113,6 +114,7 @@ object DedupQueries {
     // length-bucket) blocks — the deterministic-blocking baseline that
     // keeps exact similarity O(block²) instead of O(corpus²).
     "q_dedup_ngram" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
       val sh = Tables.documents(s, d)
         .withColumn("sh5", expr(Dedup.charShinglesExpr("text", 5)))
         .withColumn("sh", expr(Dedup.shingleHash32Expr("sh5")))
@@ -123,7 +125,7 @@ object DedupQueries {
           col("x.source") === col("y.source") && col("x.lb") === col("y.lb") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          round(Dedup.jaccard(col("x.sh"), col("y.sh")), 4).as("jaccard"))
+          round(Dedup.jaccardSorted(col("x.sh"), col("y.sh")), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.2)
         .orderBy(col("a"), col("b"))
     }),
@@ -150,8 +152,8 @@ object DedupQueries {
                       for i in range(1, len(toks) - 1)])"""
 
   private val shingleHash =
-    """list_transform(sh,
-         s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT))"""
+    """list_distinct(list_transform(sh,
+         s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)))"""
 
   private val minhash16 =
     """[list_aggregate(list_transform(hs,
@@ -219,10 +221,10 @@ object DedupQueries {
          FROM t ORDER BY doc_id""",
     "q_dedup_ngram" ->
       """WITH s AS (SELECT doc_id, source, CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
-                 list_transform(
+                 list_distinct(list_transform(
                    list_distinct([substring(text, i, 5)
                                   for i in range(1, len(text) - 3)]),
-                   g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)) AS sh
+                   g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT))) AS sh
                 FROM documents),
           p AS (SELECT x.doc_id AS a, y.doc_id AS b,
                        len(list_intersect(x.sh, y.sh)) AS inter,
