@@ -48,4 +48,37 @@ object EventStreams {
   /** Semi-structured props: parse the JSON payload column. */
   def propsK(props: Column): Column =
     get_json_object(props, "$.k").cast("long")
+
+  /** Per-user running state for custom stateful logic that windowed
+    * aggs can't express: emits one row per input batch per user with
+    * the lifetime event count and a session-ish "streak" that resets
+    * after `gapMinutes` of inactivity — `mapGroupsWithState` with
+    * event-time timeout semantics handled manually via the stored
+    * last-seen timestamp. State is one small case class per user,
+    * bounded by the user population.
+    */
+  final case class UserState(n: Long, streak: Long, lastSeenMs: Long)
+  final case class UserUpdate(user_id: Long, n: Long, streak: Long)
+
+  def userRunningState(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+                       gapMinutes: Int): org.apache.spark.sql.Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserUpdate](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val ts = rows.map(_._2.getTime).toSeq.sorted
+          var st = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+          val gapMs = gapMinutes * 60000L
+          ts.foreach { t =>
+            val streak =
+              if (st.lastSeenMs != Long.MinValue && t - st.lastSeenMs < gapMs)
+                st.streak + 1
+              else 1L
+            st = UserState(st.n + 1, streak, math.max(st.lastSeenMs, t))
+          }
+          state.update(st)
+          UserUpdate(user, st.n, st.streak)
+      }
+  }
 }

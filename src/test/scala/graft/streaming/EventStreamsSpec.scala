@@ -76,6 +76,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: lifetime count accumulates, streak resets across the gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.userRunningState(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq((1L, ts(0)), (1L, ts(5)), (2L, ts(0))))
+      q.processAllAvailable()
+      input.addData(Seq((1L, ts(10))))   // within gap → streak extends
+      q.processAllAvailable()
+      input.addData(Seq((1L, ts(120)))) // 110 min later → streak resets
+      q.processAllAvailable()
+      val got = s.table("state_test")
+        .groupBy("user_id").agg(max("n").as("n"), last("streak").as("streak"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got(1L) == 4L) // lifetime count survives across batches
+      assert(got(2L) == 1L)
+      val updates = s.table("state_test").filter(col("user_id") === 1)
+        .orderBy("n").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(updates == Seq((2L, 2L), (3L, 3L), (4L, 1L)),
+        s"got $updates") // streak 2 after batch1, 3 in-gap, reset to 1
+    } finally q.stop()
+  }
+
   test("sessionsStream groups by inactivity gap like batch sessions") {
     val s = spark
     import s.implicits._
