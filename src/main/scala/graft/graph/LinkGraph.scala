@@ -91,8 +91,9 @@ object LinkGraph {
   def tpchEdges(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    // raw (possibly duplicated) pairs — [[removeRedLinks]] owns the
+    // distinct, so the pipeline shuffles on (src,dst) exactly once
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(cid(col("o_custkey")).as("src"), sid(col("l_suppkey")).as("dst"))
-      .dropDuplicates("src", "dst")
   }
 }

@@ -76,16 +76,23 @@ object PageRank {
     edgesWithDeg.count() // materialize once
 
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    // zero-contribution row per page: unioned into the contribution
+    // aggregation so every page is a group key — this FUSES the
+    // reference's `$%$` keep-alive trick (PageRank.java:281,317-319)
+    // into the aggregate itself; the union is free (no shuffle), which
+    // drops the old "left join ranks back onto the vertex set" second
+    // join per iteration. Adding 0.0 to a double sum is exact, so the
+    // rank values are unchanged.
+    val zero = p.select(col("page").as("dst"), lit(0.0).as("contrib"))
     var ranks = p.select(col("page"), (lit(1.0) / lit(n)).as("rank"))
     for (i <- 1 to iters) {
       val contribs = edgesWithDeg
         .join(vhint(ranks), edgesWithDeg("src") === ranks("page"))
         .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
-      val sums = contribs.groupBy("dst").agg(sum("contrib").as("mass"))
-      val next = p.join(vhint(sums), p("page") === sums("dst"), "left")
-        .select(p("page"),
-          (lit((1 - damping) / n) +
-            lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+      val next = contribs.unionAll(zero)
+        .groupBy("dst").agg(sum("contrib").as("mass"))
+        .select(col("dst").as("page"),
+          (lit((1 - damping) / n) + lit(damping) * col("mass")).as("rank"))
       // Truncate lineage; reliable checkpoint (HDFS/alluxio) when a dir
       // is configured, executor-local blocks otherwise (local runs only).
       ranks =

@@ -91,8 +91,7 @@ object WikiIngest {
     val normalized = transform(valid, l => regexp_replace(l, " ", "_"))
     pages
       .select(regexp_replace(col("title"), " ", "_").as("page"),
-        explode(normalized).as("link"))
-      .dropDuplicates("page", "link")
+        explode(array_distinct(normalized)).as("link"))
   }
 
   /** The vertex set of a dump: every page's normalized title. */
