@@ -110,6 +110,25 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Mergeable-sketch aggregation (the UDAF surface): per-source
+    // MinHash signature = element-wise min over the source's document
+    // signatures, via a typed Aggregator — partial+final agg, one
+    // fixed-width array per group crosses the shuffle. Estimates
+    // source-level shingle-union similarity without touching documents
+    // pairwise.
+    "q_dedup_source_sketch" -> ((s, d) => {
+      val merge = udaf(new graft.functions.MinHashMergeAgg(16))
+      val sigs = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), "\\s+"))
+        .withColumn("sh", expr(Dedup.wordShinglesExpr("toks", 3)))
+        .withColumn("hs", expr(Dedup.shingleHash32Expr("sh")))
+        .withColumn("sig", expr(Dedup.minhashExpr("hs", 16)))
+      sigs.groupBy("source").agg(merge(col("sig")).as("msig"))
+        .select(col("source") +:
+          (0 until 16).map(i => element_at(col("msig"), i + 1).as(f"sig$i%02d")): _*)
+        .orderBy(col("source"))
+    }),
+
     // Blocked exact n-gram Jaccard: compare only within (source,
     // length-bucket) blocks — the deterministic-blocking baseline that
     // keeps exact similarity O(block²) instead of O(corpus²).
@@ -207,6 +226,15 @@ object DedupQueries {
                         AS jaccard
                     FROM cand GROUP BY a, b)
           SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY a, b""",
+    "q_dedup_source_sketch" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+          s AS (SELECT doc_id, source, $shingle3 AS sh FROM t),
+          hh AS (SELECT doc_id, source, $shingleHash AS hs FROM s),
+          g AS (SELECT doc_id, source, $minhash16 AS sig FROM hh)
+          SELECT source,
+                 ${(0 until 16).map(i => s"MIN(sig[${i + 1}]) AS sig${f"$i%02d"}").mkString(", ")}
+          FROM g GROUP BY source ORDER BY source""",
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id,
                  list_transform(string_split_regex(text, '\s+'),
