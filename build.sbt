@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked run output goes straight to stdout, NOT through sbt's logger:
+// the driver parses graft.Bench's single JSON line from stdout, and the
+// default logger prefixes every line with "[info] " (BENCH_r01.json
+// recorded parsed: null because of it).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)

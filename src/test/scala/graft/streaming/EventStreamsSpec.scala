@@ -76,6 +76,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: parquet dropped into a watched dir flows through the same transform") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = s.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.tumblingStream(stream, "10 minutes", "5 minutes")
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode("complete").start()
+    try {
+      rows.take(3).toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val n1 = s.table("file_stream_test").agg(sum("n")).head().getLong(0)
+      assert(n1 == 3L)
+      // a second file lands in the watched dir → incremental processing
+      rows.drop(3).toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val n2 = s.table("file_stream_test").agg(sum("n")).head().getLong(0)
+      assert(n2 == 6L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: lifetime count accumulates, streak resets across the gap") {
     val s = spark
     import s.implicits._
