@@ -1,0 +1,43 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-round minimum-label propagation — the deterministic,
+  * oracle-checkable form of connected components (HashMin algorithm).
+  *
+  * Each round every vertex takes the min of its own label and its
+  * neighbors' labels (undirected view of the edge set); after k rounds
+  * every vertex holds the min page-id within distance k — full
+  * components once k ≥ diameter. A fixed k keeps the computation
+  * bit-deterministic so DuckDB can replay it as chained CTEs (the same
+  * trick as the PageRank oracle); production runs loop until a round
+  * changes nothing (the label count converges) with the same body.
+  *
+  * Scale shape: per round one join of the (broadcastable) label vector
+  * against the edge list + a min-aggregation — identical cost profile
+  * to a PageRank iteration; lineage truncated per round.
+  */
+object Components {
+
+  /** @return DataFrame["page", "comp"] — comp = min label within
+    *         `rounds` hops (component representative once converged). */
+  def labelPropagation(pages: DataFrame, edges: DataFrame,
+                       rounds: Int): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = pages.select(col("page"), col("page").as("lbl"))
+    for (i <- 1 to rounds) {
+      val neighbor = undirected
+        .join(broadcast(labels), undirected("dst") === labels("page"))
+        .select(undirected("src").as("page"), col("lbl"))
+      labels = neighbor.unionAll(labels)
+        .groupBy("page").agg(min("lbl").as("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    undirected.unpersist()
+    labels.select(col("page"), col("lbl").as("comp"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{GraphCatalog, LinkGraph, PageRank, PageRankGraphX}
+import graft.graph.{Components, GraphCatalog, LinkGraph, PageRank, PageRankGraphX}
 
 /** The reference's core surface — link graph + PageRank — as driver
   * queries over the TPC-H-ish tables (graph: customers cite suppliers
@@ -85,6 +85,14 @@ object GraphQueries {
         .orderBy(col("page"))
     }),
 
+    // Fixed-round HashMin connected components (3 rounds) — the
+    // deterministic partial-CC whose oracle replays the same rounds.
+    "q_graph_components" -> ((s, d) => {
+      val g = GraphCatalog.tpch(s, d)
+      Components.labelPropagation(g.pages, g.edges, rounds = 3)
+        .orderBy(col("page"))
+    }),
+
     // F1+O1+M2: threshold cut + global descending sort.
     "q_pagerank_top" -> ((s, d) => {
       val g = GraphCatalog.tpch(s, d)
@@ -115,6 +123,21 @@ object GraphQueries {
     "q_pagerank_top" -> pagerankSql(PageRank.DefaultIters,
       s"""SELECT page, ROUND(pr, 6) AS pr FROM r8
          WHERE ROUND(pr, 6) > $TopMultiplier / (SELECT n FROM nn)
-         ORDER BY ROUND(pr, 6) DESC, page""")
+         ORDER BY ROUND(pr, 6) DESC, page"""),
+    "q_graph_components" -> {
+      val roundCtes = (1 to 3).map { k =>
+        s"""l$k AS (SELECT page, MIN(lbl) AS lbl FROM (
+              SELECT u.src AS page, l.lbl
+              FROM und u JOIN l${k - 1} l ON u.dst = l.page
+              UNION ALL SELECT page, lbl FROM l${k - 1}
+            ) GROUP BY page)"""
+      }.mkString(",\n")
+      s"""WITH $graphCtes,
+          und AS (SELECT src, dst FROM good
+                  UNION ALL SELECT dst, src FROM good),
+          l0 AS (SELECT page, page AS lbl FROM pages),
+          $roundCtes
+          SELECT page, lbl AS comp FROM l3 ORDER BY page"""
+    }
   )
 }

@@ -139,6 +139,32 @@ object RelationalQueries {
         .orderBy(col("flag"), col("status"))
     }),
 
+    // Cube — all grouping-set combinations (rollup's superset).
+    "q_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("flag"), col("status"))
+    }),
+
+    // Exact interpolated percentiles (Spark `percentile` and DuckDB
+    // `quantile_cont` both use linear interpolation on the sorted set).
+    "q_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Distinct aggregate + conditional aggregate in one pass.
     "q_distinct_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -222,6 +248,19 @@ object RelationalQueries {
          ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY flag, status""",
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+         COALESCE(l_linestatus, 'ALL') AS status,
+         ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+         ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+         ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+         ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+         ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_distinct_agg" ->
       """SELECT l_returnflag,
          COUNT(DISTINCT l_suppkey) AS n_supp,
