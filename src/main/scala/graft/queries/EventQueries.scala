@@ -44,6 +44,49 @@ object EventQueries {
         .orderBy(col("user_id"), col("wstart"))
     }),
 
+    // As-of join (backward): each error event paired with the latest
+    // signup of the same user at or before it. Expressed the scale-right
+    // way — union the tagged streams and carry the last signup forward
+    // with a window (one shuffle on user_id), never an O(n²) theta join.
+    "q_events_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("error", "signup"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("signup_id",
+          last(when(col("event_type") === "signup", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("signup_ts",
+          last(when(col("event_type") === "signup", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("signup_id"),
+          ((unix_micros(col("ts")) - unix_micros(col("signup_ts")))
+            / lit(1000000L)).cast("long").as("gap_sec"))
+        .orderBy(col("err_id"))
+    }),
+
+    // Range join: each error event joined to the same user's clicks in
+    // the preceding 3 days — equi on user_id (the shuffle key), range
+    // predicate applied within the join.
+    "q_events_range" -> ((s, d) => {
+      val errors = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(col("user_id").as("eu"), col("event_id").as("err_id"),
+          col("ts").as("ets"))
+      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      errors.join(clicks,
+          col("eu") === col("cu") && col("cts") < col("ets") &&
+            col("cts") >= col("ets") - expr("INTERVAL 3 DAYS"), "left")
+        .groupBy(col("err_id"))
+        .agg(count(col("cts")).as("n_clicks"))
+        .orderBy(col("err_id"))
+    }),
+
     // Semi-structured props: JSON field extraction + aggregate.
     "q_events_json" -> ((s, d) => {
       Tables.events(s, d)
@@ -85,6 +128,34 @@ object EventQueries {
          SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS wstart,
                 COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
          FROM s GROUP BY user_id, sid ORDER BY user_id, wstart""",
+    "q_events_asof" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events
+                     WHERE event_type IN ('error', 'signup')),
+          m AS (SELECT user_id, event_id, ts, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS signup_id,
+                 LAST_VALUE(CASE WHEN event_type = 'signup' THEN ts END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS signup_ts
+                FROM ev)
+         SELECT user_id, event_id AS err_id, signup_id,
+                CAST((epoch_us(ts) - epoch_us(signup_ts)) // 1000000 AS BIGINT)
+                  AS gap_sec
+         FROM m WHERE event_type = 'error' ORDER BY err_id""",
+    "q_events_range" ->
+      """SELECT e.event_id AS err_id, COUNT(c.ts) AS n_clicks
+         FROM (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'error') e
+         LEFT JOIN (SELECT user_id, ts FROM events
+                    WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND c.ts < e.ts
+              AND c.ts >= e.ts - INTERVAL 3 DAY
+         GROUP BY e.event_id ORDER BY err_id""",
     "q_events_json" ->
       """SELECT event_type,
                 COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,

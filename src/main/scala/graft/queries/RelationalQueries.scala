@@ -74,6 +74,26 @@ object RelationalQueries {
         .orderBy(col("n_name"))
     }),
 
+    // Full outer join with both sides filtered so both unmatched
+    // directions are non-vacuous; match status aggregated.
+    "q_outerjoin" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          when(col("c_custkey").isNull, "order_only")
+            .when(col("o_custkey").isNull, "customer_only")
+            .otherwise("both").as("side"),
+          coalesce(col("c_custkey"), col("o_custkey")).as("k"))
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("n_keys"))
+        .orderBy(col("side"))
+    }),
+
     // Window function: top-2 orders per customer by price. Single shuffle
     // on o_custkey; rank ties broken by o_orderkey for determinism.
     "q_window_topn" -> ((s, d) => {
@@ -216,6 +236,18 @@ object RelationalQueries {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "q_outerjoin" ->
+      """SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+                     WHEN o_custkey IS NULL THEN 'customer_only'
+                     ELSE 'both' END AS side,
+                COUNT(*) AS n,
+                COUNT(DISTINCT COALESCE(c_custkey, o_custkey)) AS n_keys
+         FROM (SELECT c_custkey FROM customer
+               WHERE c_mktsegment = 'BUILDING') c
+         FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+                          WHERE o_orderdate >= TIMESTAMP '1997-01-01') o
+           ON c.c_custkey = o.o_custkey
+         GROUP BY 1 ORDER BY side""",
     "q_window_topn" ->
       """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price, rn
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
