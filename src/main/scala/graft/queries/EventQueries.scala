@@ -87,6 +87,27 @@ object EventQueries {
         .orderBy(col("err_id"))
     }),
 
+    // Conversion funnel: of users with a signup, how many purchase
+    // within 7 days of their FIRST signup. Two tiny aggs + one join —
+    // the sessionized-funnel shape at any scale.
+    "q_events_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val firstSignup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("s_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("p_ts"))
+      val conv = firstSignup.join(purchases,
+          col("user_id") === col("pu") && col("p_ts") >= col("s_ts") &&
+            col("p_ts") < col("s_ts") + expr("INTERVAL 7 DAYS"), "left")
+        .groupBy("user_id")
+        .agg(max(col("p_ts").isNotNull).as("converted"))
+      conv.agg(
+          count(lit(1)).as("n_signup_users"),
+          sum(col("converted").cast("long")).as("n_converted"),
+          round(sum(col("converted").cast("long")).cast("double") /
+            count(lit(1)), 4).as("conv_rate"))
+    }),
+
     // Semi-structured props: JSON field extraction + aggregate.
     "q_events_json" -> ((s, d) => {
       Tables.events(s, d)
@@ -156,6 +177,22 @@ object EventQueries {
            ON e.user_id = c.user_id AND c.ts < e.ts
               AND c.ts >= e.ts - INTERVAL 3 DAY
          GROUP BY e.event_id ORDER BY err_id""",
+    "q_events_funnel" ->
+      """WITH fs AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+          conv AS (SELECT fs.user_id,
+                          MAX(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END)
+                            AS converted
+                   FROM fs LEFT JOIN (SELECT user_id, ts FROM events
+                                      WHERE event_type = 'purchase') p
+                     ON fs.user_id = p.user_id AND p.ts >= fs.s_ts
+                        AND p.ts < fs.s_ts + INTERVAL 7 DAY
+                   GROUP BY fs.user_id)
+         SELECT COUNT(*) AS n_signup_users,
+                SUM(converted) AS n_converted,
+                ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 4)
+                  AS conv_rate
+         FROM conv""",
     "q_events_json" ->
       """SELECT event_type,
                 COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,

@@ -87,6 +87,46 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF: top-3 terms per document. tf = termcount/doclen;
+    // idf = ln((N+1)/(df+1)) + 1 (smoothed); exact arithmetic both
+    // engines, ranked on the rounded score with term tie-break.
+    // Shape at scale: explode → two hash aggs (term-doc counts, df) →
+    // broadcast df back → window top-k per doc.
+    "q_text_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.count().toDouble
+      val toksL = docs.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("term"))
+      val tf = toksL.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("n_term"))
+        .withColumn("doc_len",
+          sum(col("n_term")).over(Window.partitionBy(col("doc_id"))))
+      val df_ = toksL.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(broadcast(df_), "term")
+        .withColumn("tfidf", round(
+          (col("n_term").cast("double") / col("doc_len")) *
+            (log((lit(n) + 1) / (col("df") + 1)) + 1), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // Deterministic hash sampling — the reproducible ~10% split every
+    // training pipeline needs (no RNG state, stable under reruns and
+    // repartitioning): keep docs whose md5-derived hash mod 100 < 10.
+    "q_text_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(100)) < 10)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (k=8 char shingles, window w=4): per doc
     // the fingerprint-set size and its min/max — the join key shape a
     // plagiarism / near-dup pass would bucket on.
@@ -154,6 +194,33 @@ object TextQueries {
                         WHEN es_hits >= fr_hits THEN 'es'
                         ELSE 'fr' END AS pred
             FROM h ORDER BY doc_id""",
+      "q_text_tfidf" ->
+        """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+                         FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS n_term FROM toks
+                   GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, term, n_term,
+                          SUM(n_term) OVER (PARTITION BY doc_id) AS doc_len
+                   FROM tf),
+            dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+                    GROUP BY term),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            sc AS (SELECT d.doc_id, d.term,
+                          ROUND((CAST(d.n_term AS DOUBLE) / d.doc_len) *
+                                (ln(((SELECT n FROM nn) + 1) / (f.df + 1)) + 1), 6)
+                            AS tfidf
+                   FROM dl d JOIN dfr f ON d.term = f.term),
+            rk AS (SELECT doc_id, term, tfidf,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rk
+                   FROM sc)
+            SELECT doc_id, rk, term, tfidf FROM rk WHERE rk <= 3
+            ORDER BY doc_id, rk""",
+      "q_text_sample" ->
+        """SELECT doc_id, n_chars FROM documents
+           WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100 < 10
+           ORDER BY doc_id""",
       "q_text_fingerprint" ->
         """WITH s AS (SELECT doc_id,
                   list_transform([substring(text, i, 8) for i in range(1, len(text) - 6)],
