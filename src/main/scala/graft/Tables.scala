@@ -20,15 +20,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** The session conf required to read TIMESTAMP(NANOS) parquet; set it
+    * at session-BUILD time (Verify/Bench/SparkSpec all do). It cannot be
+    * scoped to a single read: it is not a ParquetOptions key, and both
+    * footer schema inference and `buildReaderWithPartitionValues` pull it
+    * from the session SQLConf at execution time (verified against Spark
+    * 4.1.2), so a set-then-restore around the lazy read would break the
+    * later scan. */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects outright; read the column as raw nanos
     * (legacy.parquet.nanosAsLong) and truncate to micros — exactly what
     * DuckDB's reader does implicitly (its TIMESTAMP is micro-precision),
     * so both engines see identical values. `div` keeps the arithmetic in
     * integers: nanos since 2024 ≈ 1.7e18 > 2⁵³ would lose precision as a
-    * double. */
+    * double.
+    *
+    * The conf flip below is a deliberate, idempotent safety net for
+    * sessions not built by our mains (e.g. the driver's own smoke-check
+    * session) — ADVICE r2 item 3: the supported path is setting
+    * [[NanosConf]] when the session is built, not here. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!s.conf.getOption(NanosConf).contains("true"))
+      s.conf.set(NanosConf, "true")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -16,8 +16,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * similarity of the groups' shingle-set UNIONS, e.g. source-level
   * near-dup screening before any document-level comparison.
   *
-  * Null/empty rows (documents too short to shingle) carry no
-  * information and leave the buffer unchanged.
+  * Null/empty/short rows (documents too short to shingle, or a
+  * signature built with fewer perms than this aggregator) carry no
+  * information and leave the buffer unchanged — a short row would
+  * otherwise throw IndexOutOfBoundsException mid-aggregation
+  * (ADVICE r2 item 5).
   */
 class MinHashMergeAgg(perms: Int)
     extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
@@ -25,7 +28,7 @@ class MinHashMergeAgg(perms: Int)
   override def zero: Array[Long] = Array.fill(perms)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], row: Seq[Long]): Array[Long] = {
-    if (row != null && row.nonEmpty) {
+    if (row != null && row.size >= perms) {
       var i = 0
       while (i < perms) { if (row(i) < buf(i)) buf(i) = row(i); i += 1 }
     }

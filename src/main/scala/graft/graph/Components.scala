@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * trick as the PageRank oracle); production runs loop until a round
   * changes nothing (the label count converges) with the same body.
   *
-  * Scale shape: per round one join of the (broadcastable) label vector
-  * against the edge list + a min-aggregation — identical cost profile
-  * to a PageRank iteration; lineage truncated per round.
+  * Scale shape: per round one join of the label vector against the edge
+  * list + a min-aggregation — identical cost profile to a PageRank
+  * iteration; lineage truncated per round. The label vector is broadcast
+  * only while |V| ≤ [[PageRank.BroadcastVertexLimit]] (same gate as the
+  * PageRank rank vector — a full-vertex broadcast would OOM at 100 TB,
+  * ADVICE r2 item 4); above it the join shuffles and AQE handles skew.
   */
 object Components {
 
@@ -28,10 +31,13 @@ object Components {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    val hintSmall = pages.count() <= PageRank.BroadcastVertexLimit
+    def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
+
     var labels = pages.select(col("page"), col("page").as("lbl"))
     for (i <- 1 to rounds) {
       val neighbor = undirected
-        .join(broadcast(labels), undirected("dst") === labels("page"))
+        .join(vhint(labels), undirected("dst") === labels("page"))
         .select(undirected("src").as("page"), col("lbl"))
       labels = neighbor.unionAll(labels)
         .groupBy("page").agg(min("lbl").as("lbl"))

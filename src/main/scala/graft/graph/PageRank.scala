@@ -58,7 +58,7 @@ object PageRank {
     * @return DataFrame["page", "rank"] — one row per page.
     */
   def run(pages: DataFrame, edges: DataFrame, iters: Int = DefaultIters,
-          damping: Double = Damping,
+          damping: Double = Damping, resetProb: Double = ResetProb,
           checkpointInterval: Int = 1): DataFrame = {
     val spark = pages.sparkSession
 
@@ -92,7 +92,11 @@ object PageRank {
       val next = contribs.unionAll(zero)
         .groupBy("dst").agg(sum("contrib").as("mass"))
         .select(col("dst").as("page"),
-          (lit((1 - damping) / n) + lit(damping) * col("mass")).as("rank"))
+          // teleport from the exact resetProb constant, NOT 1 - damping:
+          // (1 - 0.85) is 0.15000000000000002 in double fp, while the
+          // reference, the DuckDB oracle, and GraphX all use exact 0.15
+          // (ADVICE r2 item 1 — keeps parity without relying on rounding).
+          (lit(resetProb / n) + lit(damping) * col("mass")).as("rank"))
       // Truncate lineage; reliable checkpoint (HDFS/alluxio) when a dir
       // is configured, executor-local blocks otherwise (local runs only).
       ranks =
