@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, SortedIntersectCount}
+import graft.functions.{CharShingleHashes, CosineSimilarity, MinHashSig,
+  SimHash32, SortedIntersectCount, WordShingleHashes}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -39,10 +40,47 @@ object GraftFunctions {
     }
   )
 
+  private def unary(name: String, cls: Class[_],
+                    mk: Expression => Expression): Entry = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, s"$name expects exactly 1 argument")
+      mk(children.head)
+    }
+  )
+
+  /** (expr, int-literal) builders: the second argument must be a foldable
+    * integer (a structural parameter, not data — it shapes the generated
+    * loop, like the `2` in `round(x, 2)`). */
+  private def withIntParam(name: String, cls: Class[_],
+                           mk: (Expression, Int) => Expression): Entry = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"$name expects exactly 2 arguments")
+      require(children(1).foldable,
+        s"$name's second argument must be a literal integer")
+      val v = children(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$name's second argument must be an integer, got $other")
+      }
+      mk(children.head, v)
+    }
+  )
+
   private[graft] val entries: Seq[Entry] = Seq(
     binary("cosine_sim", classOf[CosineSimilarity], CosineSimilarity.apply),
     binary("sorted_intersect_count", classOf[SortedIntersectCount],
-      SortedIntersectCount.apply)
+      SortedIntersectCount.apply),
+    withIntParam("word_shingle_hashes", classOf[WordShingleHashes],
+      WordShingleHashes.apply),
+    withIntParam("char_shingle_hashes", classOf[CharShingleHashes],
+      CharShingleHashes.apply),
+    withIntParam("minhash_sig", classOf[MinHashSig], MinHashSig.apply),
+    unary("simhash32", classOf[SimHash32], SimHash32.apply)
   )
 
   /** Idempotent registration on a live session. */

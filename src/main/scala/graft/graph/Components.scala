@@ -39,9 +39,11 @@ object Components {
       val neighbor = undirected
         .join(vhint(labels), undirected("dst") === labels("page"))
         .select(undirected("src").as("page"), col("lbl"))
+      // lazy truncation per round, one eager materialization at the end
+      // (same pattern and rationale as the PageRank loop)
       labels = neighbor.unionAll(labels)
         .groupBy("page").agg(min("lbl").as("lbl"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = i == rounds)
     }
     undirected.unpersist()
     labels.select(col("page"), col("lbl").as("comp"))

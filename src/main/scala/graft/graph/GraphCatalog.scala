@@ -67,7 +67,13 @@ object GraphCatalog {
   def wiki(spark: SparkSession, dir: String): LinkGraphData =
     wikiGraphs.getOrElseUpdate((spark, dir), {
       import graft.wiki.{WikiDump, WikiIngest}
+      // The parsed (title, text) pages feed BOTH the vertex set and the
+      // edge extraction; without a pin the XML synthesis + from_xml parse
+      // would run twice (once per consumer). Pin it, materialize both
+      // derived caches eagerly, then drop the pin — the parse runs once
+      // and only the small derived state stays resident.
       val parsed = WikiIngest.parsePageXml(WikiDump.xml(spark, dir), "xml")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val pages = WikiIngest.pageTitles(parsed)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val edges = LinkGraph
@@ -77,6 +83,8 @@ object GraphCatalog {
           pages)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val n = pages.count()
+      edges.count()
+      parsed.unpersist(blocking = false)
       LinkGraphData(pages, edges, n)
     })
 
