@@ -197,6 +197,103 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Pivot with EXPLICIT values — no values-discovery job (the implicit
+    // form runs a distinct scan first; at 100 TB the value set must be
+    // declared, not discovered). Single agg → output columns are the
+    // pivot values themselves.
+    "q_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Unpivot (melt): wide per-flag aggregates → long (flag, metric,
+    // value) — a narrow generate, no shuffle beyond the agg's own.
+    "q_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_base")), "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
+    // Explicit GROUPING SETS with grouping() indicators — the general
+    // form rollup/cube specialize; via the SQL surface (the engine's
+    // spark.sql entry point), one Expand + one aggregation.
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_gs")
+      s.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY flag, status""")
+    }),
+
+    // Offset windows: lag/lead/ntile over each customer's order history
+    // — one shuffle on the partition key, no self-join.
+    "q_window_lag" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Two-phase salted aggregation — the skew-mitigation shape: phase 1
+    // aggregates on (key, salt) spreading a hot key over 16 reducers,
+    // phase 2 merges the partials. The result is salt-invariant (sum and
+    // count are associative), so the oracle is the plain GROUP BY; the
+    // quantities are small integers, so the two-phase double sum is
+    // exact. AQE's skew handling covers joins; salting is the
+    // aggregation-side counterpart, chosen statically for known-hot keys.
+    "q_agg_salted" -> ((s, d) => {
+      val partial = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("l_quantity")).as("pq"), count(lit(1)).as("pc"))
+      partial.groupBy(col("l_returnflag"))
+        .agg(round(sum(col("pq")), 2).as("sum_qty"),
+          sum(col("pc")).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // KMV distinct-count sketch ([[graft.functions.KMVAgg]]): mergeable
+    // partial+final aggregation — ≤ k longs per group per partition cross
+    // the shuffle (vs countDistinct shuffling every distinct value). The
+    // md5-derived hash makes the sketch — and so the estimate —
+    // deterministic and oracle-replicable; est = (k−1)·2³²/kth_min.
+    "q_distinct_kmv" -> ((s, d) => {
+      val k = 64
+      val kmv = udaf(new graft.functions.KMVAgg(k))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("hv"))
+        .groupBy(col("l_returnflag"))
+        .agg(kmv(col("hv")).as("sk"))
+        .select(col("l_returnflag"),
+          size(col("sk")).cast("long").as("n_sketch"),
+          element_at(col("sk"), size(col("sk"))).as("kth"),
+          round(when(size(col("sk")) < k, size(col("sk")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+              element_at(col("sk"), k)), 2).as("est_distinct"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Date/time handling + filter pushdown to the parquet scan.
     "q_date_filter" -> ((s, d) => {
       Tables.orders(s, d)
@@ -300,6 +397,58 @@ object RelationalQueries {
          ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END), 2)
            AS qty_hi_disc
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_pivot" ->
+      """SELECT l_returnflag,
+         ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+         ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+                    ROUND(SUM(l_quantity), 2) AS sum_qty,
+                    ROUND(SUM(l_extendedprice), 2) AS sum_base
+                    FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+         UNION ALL
+         SELECT l_returnflag, 'sum_base' AS metric, sum_base AS value FROM a
+         ORDER BY l_returnflag, metric""",
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+                COALESCE(l_linestatus, 'ALL') AS status,
+                CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+                CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+                ROUND(SUM(l_quantity), 2) AS sum_qty,
+                COUNT(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY flag, status""",
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+         ROUND(LAG(o_totalprice, 1) OVER w, 2) AS prev_price,
+         ROUND(LEAD(o_totalprice, 1) OVER w, 2) AS next_price,
+         NTILE(4) OVER w AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_agg_salted" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_distinct_kmv" ->
+      """WITH h AS (SELECT l_returnflag,
+                    CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS hv
+                    FROM lineitem),
+          s AS (SELECT l_returnflag,
+                       list_sort(list_distinct(list(hv))) AS all_h
+                FROM h GROUP BY l_returnflag),
+          k AS (SELECT l_returnflag, all_h[1:64] AS sk FROM s)
+         SELECT l_returnflag,
+                CAST(len(sk) AS BIGINT) AS n_sketch,
+                sk[len(sk)] AS kth,
+                ROUND(CASE WHEN len(sk) < 64 THEN CAST(len(sk) AS DOUBLE)
+                           ELSE 63.0 * 4294967296.0 / sk[64] END, 2)
+                  AS est_distinct
+         FROM k ORDER BY l_returnflag""",
     "q_date_filter" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
          COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total

@@ -116,6 +116,41 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // BM25 (Okapi, k1=1.2 b=0.75): top-3 terms per document — TF-IDF's
+    // production successor (doc-length-normalized saturation). Same plan
+    // shape as q_text_tfidf; N and avgdl are exact driver-side integers
+    // (so the double arithmetic is order-independent), every float
+    // literal is written with the same text both engines parse to the
+    // same IEEE double, and ranking uses the 4-dp-rounded score with a
+    // term tie-break.
+    "q_text_bm25" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val toksL = docs.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("term"))
+      val totalToks = toksL.count()
+      val avgdl = lit(totalToks.toDouble) / lit(n.toDouble)
+      val tf = toksL.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("dl",
+          sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      val dfT = toksL.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) +
+        (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val score = idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("bm25").desc, col("term"))
+      tf.join(broadcast(dfT), "term")
+        .withColumn("bm25", round(score, 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("bm25"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // Deterministic hash sampling — the reproducible ~10% split every
     // training pipeline needs (no RNG state, stable under reruns and
     // repartitioning): keep docs whose md5-derived hash mod 100 < 10.
@@ -215,6 +250,32 @@ object TextQueries {
                             ORDER BY tfidf DESC, term) AS rk
                    FROM sc)
             SELECT doc_id, rk, term, tfidf FROM rk WHERE rk <= 3
+            ORDER BY doc_id, rk""",
+      "q_text_bm25" ->
+        """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+                         FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                   GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, term, tf,
+                          SUM(tf) OVER (PARTITION BY doc_id) AS dl
+                   FROM tf),
+            dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+                    GROUP BY term),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks),
+            sc AS (SELECT d.doc_id, d.term,
+                          ROUND(ln(1.0 + ((SELECT n FROM nn) - f.df + 0.5)
+                                         / (f.df + 0.5)) *
+                                (d.tf * 2.2) /
+                                (d.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl /
+                                  ((SELECT t FROM tt) / (SELECT n FROM nn)))), 4)
+                            AS bm25
+                   FROM dl d JOIN dfr f ON d.term = f.term),
+            rk AS (SELECT doc_id, term, bm25,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY bm25 DESC, term) AS rk
+                   FROM sc)
+            SELECT doc_id, rk, term, bm25 FROM rk WHERE rk <= 3
             ORDER BY doc_id, rk""",
       "q_text_sample" ->
         """SELECT doc_id, n_chars FROM documents

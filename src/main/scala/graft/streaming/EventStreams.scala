@@ -49,6 +49,42 @@ object EventStreams {
   def propsK(props: Column): Column =
     get_json_object(props, "$.k").cast("long")
 
+  /** Stream-stream interval join: each error joined to the same user's
+    * clicks in the preceding `horizon` — the streaming form of the batch
+    * range join (q_events_range). Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark can evict
+    * buffered state once the watermark passes: state per key is
+    * O(events within horizon + lateness), never unbounded. Equi key:
+    * user_id (the shuffle key); the time bound is applied within the
+    * joined partitions.
+    *
+    * Inputs: DataFrame["user_id","event_id","ts"] each. */
+  def clickErrorJoinStream(clicks: DataFrame, errors: DataFrame,
+                           horizon: String, lateness: String): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val e = errors.withWatermark("ts", lateness)
+      .select(col("user_id").as("eu"), col("event_id").as("err_id"),
+        col("ts").as("ets"))
+    e.join(c, col("eu") === col("cu") &&
+      col("cts") >= col("ets") - expr(s"INTERVAL $horizon") &&
+      col("cts") <= col("ets"))
+      .select(col("eu").as("user_id"), col("err_id"), col("click_id"),
+        col("cts"), col("ets"))
+  }
+
+  /** Streaming exact dedup on an id column within the watermark: the
+    * streaming form of q_dedup_exact. `dropDuplicatesWithinWatermark`
+    * keeps one row per key and evicts key state once the watermark
+    * passes the key's first-seen time + lateness — bounded state, vs
+    * plain `dropDuplicates` on a stream which must remember every key
+    * forever. */
+  def dedupStream(events: DataFrame, idCol: String,
+                  lateness: String): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Per-user running state for custom stateful logic that windowed
     * aggs can't express: emits one row per input batch per user with
     * the lifetime event count and a session-ish "streak" that resets

@@ -135,6 +135,61 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: errors pick up same-user clicks within the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val errors = MemoryStream[(Long, Long, Timestamp)]
+    val cdf = clicks.toDF().toDF("user_id", "event_id", "ts")
+    val edf = errors.toDF().toDF("user_id", "event_id", "ts")
+    val q = EventStreams.clickErrorJoinStream(cdf, edf,
+        horizon = "30 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Seq((1L, 100L, ts(0)), (1L, 101L, ts(20)),
+        (1L, 102L, ts(90)), (2L, 200L, ts(10))))
+      errors.addData(Seq((1L, 900L, ts(25)), (2L, 901L, ts(60))))
+      q.processAllAvailable()
+      // advance both watermarks so joined rows are emitted (distinct
+      // users so the advancer rows don't join with each other)
+      clicks.addData(Seq((8L, 999L, ts(300))))
+      errors.addData(Seq((9L, 998L, ts(300))))
+      q.processAllAvailable()
+      val got = s.table("ssjoin_test")
+        .select("err_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // error 900 @25: clicks 100 (@0, 25m before) and 101 (@20, 5m before) hit;
+      // click 102 is after the error. error 901 @60: user 2's click @10 is
+      // 50m before — outside the 30m horizon.
+      assert(got == Set((900L, 100L), (900L, 101L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: same event_id delivered twice emits once") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupStream(df, "event_id", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, ts(0), 1.0), (2L, ts(1), 2.0)))
+      q.processAllAvailable()
+      // redelivery of event 1 (at-least-once source) within the watermark
+      input.addData(Seq((1L, ts(2), 1.0), (3L, ts(3), 3.0)))
+      q.processAllAvailable()
+      val ids = s.table("dedup_stream_test")
+        .select("event_id").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("sessionsStream groups by inactivity gap like batch sessions") {
     val s = spark
     import s.implicits._
