@@ -58,6 +58,30 @@ object Multimodal {
         octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
         col("source").as("origin")).as("meta"))
 
+  /** Frame sampling over binary payloads — the video-pipeline shape:
+    * chunk each payload into fixed-size "frames" (byte slices standing
+    * in for decoded frames) and keep every `every`-th one. Pure
+    * expressions: a generated index sequence filtered BEFORE the
+    * explode, so skipped frames are never materialized — at 100 TB the
+    * generate output is corpus_bytes/(frameBytes·every) rows, not
+    * corpus_bytes/frameBytes. The byte slicing itself is
+    * `substring(payload, …)` on the binary column (no decode, no copy
+    * amplification beyond the kept frames).
+    */
+  def frameSample(assets: DataFrame, frameBytes: Int, every: Int): DataFrame =
+    assets
+      .select(col("doc_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
+      .withColumn("frame_idx", explode(expr(
+        s"""IF(n_bytes > 0,
+              filter(sequence(0, cast(ceil(n_bytes / $frameBytes.0) as int) - 1),
+                     i -> i % $every = 0),
+              array())""")))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"length(substring(payload, frame_idx * $frameBytes + 1, $frameBytes))")
+          .as("frame_len"),
+        expr(s"md5(substring(payload, frame_idx * $frameBytes + 1, $frameBytes))")
+          .as("frame_md5"))
+
   /** Batch feature extraction over the binary payloads: one digest
     * instance per partition, rows streamed through. */
   def extractFeatures(assets: DataFrame): DataFrame = {

@@ -108,6 +108,28 @@ object EventQueries {
             count(lit(1)), 4).as("conv_rate"))
     }),
 
+    // Cohort retention: users bucketed by first-signup week × the weeks
+    // they were active, 0–3 weeks out — the product-analytics staple.
+    // Two aggregations plus one join on user_id; both week columns are
+    // Monday-truncated so the offset division is exact.
+    "q_events_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"), date_trunc("week", col("first_ts")).as("cw"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+        .distinct()
+      cohort.join(activity, "user_id")
+        .withColumn("week_offset",
+          expr("CAST(datediff(aw, cw) / 7 AS BIGINT)"))
+        .filter(col("week_offset").between(0, 3))
+        .groupBy(date_format(col("cw"), Fmt).as("cohort_week"),
+          col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Semi-structured props: JSON field extraction + aggregate.
     "q_events_json" -> ((s, d) => {
       Tables.events(s, d)
@@ -193,6 +215,22 @@ object EventQueries {
                 ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 4)
                   AS conv_rate
          FROM conv""",
+    "q_events_retention" ->
+      """WITH c AS (SELECT user_id,
+                    date_trunc('week', MIN(ts)) AS cw
+                    FROM events WHERE event_type = 'signup'
+                    GROUP BY user_id),
+          a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+                FROM events),
+          j AS (SELECT c.user_id, c.cw,
+                       CAST(datediff('day', c.cw, a.aw) / 7 AS BIGINT)
+                         AS week_offset
+                FROM c JOIN a ON c.user_id = a.user_id)
+         SELECT strftime(cw, '%Y-%m-%d %H:%M:%S') AS cohort_week,
+                week_offset, COUNT(DISTINCT user_id) AS n_users
+         FROM j WHERE week_offset BETWEEN 0 AND 3
+         GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
     "q_events_json" ->
       """SELECT event_type,
                 COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,

@@ -93,6 +93,19 @@ object GraphQueries {
         .orderBy(col("page"))
     }),
 
+    // Degree distribution — the graph-health histogram every pipeline
+    // checks before running PageRank (hub detection, skew planning).
+    // Two small aggregations; dangling pages appear as out_deg = 0.
+    "q_graph_degrees" -> ((s, d) => {
+      val g = GraphCatalog.tpch(s, d)
+      g.pages
+        .join(g.edges.groupBy(col("src").as("page"))
+          .agg(count(lit(1)).as("deg")), Seq("page"), "left")
+        .select(coalesce(col("deg"), lit(0L)).as("out_deg"))
+        .groupBy("out_deg").agg(count(lit(1)).as("n_pages"))
+        .orderBy("out_deg")
+    }),
+
     // F1+O1+M2: threshold cut + global descending sort.
     "q_pagerank_top" -> ((s, d) => {
       val g = GraphCatalog.tpch(s, d)
@@ -116,6 +129,12 @@ object GraphQueries {
     "q_graph_count" ->
       """SELECT (SELECT COUNT(*) FROM customer) +
                 (SELECT COUNT(*) FROM supplier) AS n""",
+    "q_graph_degrees" ->
+      s"""WITH $graphCtes,
+          d AS (SELECT src, COUNT(*) AS deg FROM good GROUP BY src)
+          SELECT COALESCE(d.deg, 0) AS out_deg, COUNT(*) AS n_pages
+          FROM pages p LEFT JOIN d ON p.page = d.src
+          GROUP BY 1 ORDER BY out_deg""",
     "q_pagerank" -> pagerankSql(PageRank.DefaultIters,
       "SELECT page, ROUND(pr, 6) AS pr FROM r8 ORDER BY page"),
     "q_pagerank_graphx" -> pagerankSql(PageRank.DefaultIters,

@@ -20,6 +20,17 @@ object MultimodalQueries {
       feats.select(col("doc_id") +: col("n_bytes") +: col("digest") +:
         (0 until 16).map(i => element_at(col("hist"), i + 1).as(f"h$i%02d")): _*)
         .orderBy(col("doc_id"))
+    }),
+
+    // Frame sampling: 64-byte frames, every 4th kept — the
+    // video-decode-and-sample plumbing with byte slices standing in for
+    // frames (the oracle replays it on the text since the corpus is
+    // ASCII: byte == char).
+    "q_mm_frames" -> ((s, d) => {
+      Multimodal.frameSample(Multimodal.assets(s, d), 64, 4)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_len").cast("long").as("frame_len"), col("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     })
   )
 
@@ -37,6 +48,17 @@ object MultimodalQueries {
          SELECT doc_id, n_bytes, digest,
                 $histCols
          FROM b ORDER BY doc_id"""
-    }
+    },
+    "q_mm_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+                    unnest([i for i in range(0,
+                              CAST(ceil(len(text) / 64.0) AS INT))
+                            if i % 4 = 0]) AS frame_idx
+                    FROM documents WHERE len(text) > 0)
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(len(substring(text, frame_idx * 64 + 1, 64)) AS BIGINT)
+                  AS frame_len,
+                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
+         FROM f ORDER BY doc_id, frame_idx"""
   )
 }
