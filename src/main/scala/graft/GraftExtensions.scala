@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharShingleHashes, CosineSimilarity, MinHashSig,
-  SimHash32, SortedIntersectCount, WordShingleHashes}
+import graft.functions.{CharShingleHashes, CosineSimilarity, DotProduct,
+  MinHashSig, SimHash32, SortedIntersectCount, WordShingleHashes}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -75,6 +75,7 @@ object GraftFunctions {
     binary("cosine_sim", classOf[CosineSimilarity], CosineSimilarity.apply),
     binary("sorted_intersect_count", classOf[SortedIntersectCount],
       SortedIntersectCount.apply),
+    binary("dot_product", classOf[DotProduct], DotProduct.apply),
     withIntParam("word_shingle_hashes", classOf[WordShingleHashes],
       WordShingleHashes.apply),
     withIntParam("char_shingle_hashes", classOf[CharShingleHashes],

@@ -87,13 +87,20 @@ object LinkGraph {
     * this is a shuffled hash / sort-merge join — correct. The projection
     * to two columns happens before the join so only (o_orderkey,
     * o_custkey) and (l_orderkey, l_suppkey) are scanned (column pruning).
+    *
+    * The distinct runs on the RAW INT key pair, and the string node ids
+    * are built afterwards: the dedup shuffle then carries 16 bytes/row of
+    * fixed-width ints (cheap hashing, partial-agg friendly) instead of
+    * two materialized strings per raw pair — at |lineitem| rows that is
+    * the difference between shuffling the corpus and shuffling the edge
+    * set. [[removeRedLinks]]'s own dropDuplicates then dedups the
+    * already-distinct string pairs — a cheap |E|-sized pass.
     */
   def tpchEdges(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-    // raw (possibly duplicated) pairs — [[removeRedLinks]] owns the
-    // distinct, so the pipeline shuffles on (src,dst) exactly once
     o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
       .select(cid(col("o_custkey")).as("src"), sid(col("l_suppkey")).as("dst"))
   }
 }

@@ -64,15 +64,20 @@ object SimilarityQueries {
     "q_ann_lsh" -> ((s, d) => {
       graft.GraftFunctions.register(s)
       // hyperplane dim table: 6 rows of 64 components, broadcast
+      // 2147483648D/1D: explicit DOUBLE literals — an undecorated float
+      // literal parses as decimal, which would make w array<decimal> and
+      // round each component to 12 dp; the oracle computes in doubles.
       val planes = s.range(Planes).select(col("id").as("j"),
         expr("transform(sequence(1, 64), i -> " +
           "cast(conv(substring(md5(concat(j, ':', i)), 1, 8), 16, 10) as bigint)" +
-          " / 2147483648.0 - 1.0)").as("w"))
+          " / 2147483648D - 1D)").as("w"))
       val e = Tables.embeddings(s, d)
       // signature: bit j set iff dot(w_j, v) >= 0
       val sigBits = e.crossJoin(broadcast(planes))
         .select(col("vec_id"), col("j"),
-          expr("aggregate(zip_with(w, embedding, (a, b) -> a * cast(b as double)), 0D, (acc, p) -> acc + p)").as("dot"))
+          // native index-order fold — bit-identical to the interpreted
+          // aggregate(zip_with(...)) form and the oracle's list_sum
+          call_function("dot_product", col("w"), col("embedding")).as("dot"))
         .groupBy("vec_id")
         .agg(sum(when(col("dot") >= 0,
           expr("shiftleft(1L, cast(j as int))")).otherwise(0L)).as("sig"))
