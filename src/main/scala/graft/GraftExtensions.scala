@@ -21,8 +21,10 @@ import graft.functions.{CharShingleHashes, CosineSimilarity, DotProduct,
   * DataFrame API via `call_function("cosine_sim", …)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.entries.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
+  }
 }
 
 object GraftFunctions {

@@ -48,4 +48,44 @@ object Components {
     undirected.unpersist()
     labels.select(col("page"), col("lbl").as("comp"))
   }
+
+  /** HashMin to convergence: iterate [[labelPropagation]] rounds until a
+    * round changes no label (or `maxRounds` as a runaway guard). The
+    * convergence check is an anti-join count of changed (page, lbl)
+    * pairs — labels only ever decrease, so "no change" is a fixpoint.
+    * Rounds here are eager by necessity: the loop CONDITION reads the
+    * data, so each round is an action (unlike the fixed-round PageRank
+    * loop, which defers to one final materialization). Round count is
+    * bounded by the graph diameter — small for real link graphs.
+    */
+  def components(pages: DataFrame, edges: DataFrame,
+                 maxRounds: Int = 50): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val hintSmall = pages.count() <= PageRank.BroadcastVertexLimit
+    def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
+
+    var labels = pages.select(col("page"), col("page").as("lbl"))
+      .localCheckpoint(eager = true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val neighbor = undirected
+        .join(vhint(labels), undirected("dst") === labels("page"))
+        .select(undirected("src").as("page"), col("lbl"))
+      val next = neighbor.unionAll(labels)
+        .groupBy("page").agg(min("lbl").as("lbl"))
+        .localCheckpoint(eager = true)
+      changed = next.join(labels,
+        next("page") === labels("page") && next("lbl") === labels("lbl"),
+        "left_anti").count()
+      labels.unpersist(blocking = false)
+      labels = next
+      round += 1
+    }
+    undirected.unpersist()
+    labels.select(col("page"), col("lbl").as("comp"))
+  }
 }

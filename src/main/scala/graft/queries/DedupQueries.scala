@@ -98,8 +98,9 @@ object DedupQueries {
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          // unrounded: exact-int arithmetic, bit-equal to the oracle
           Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
-        .groupBy("a", "b").agg(round(max("j"), 4).as("jaccard"))
+        .groupBy("a", "b").agg(max("j").as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("a"), col("b"))
     }),
@@ -146,7 +147,7 @@ object DedupQueries {
           col("x.source") === col("y.source") && col("x.lb") === col("y.lb") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          round(Dedup.jaccardSorted(col("x.sh"), col("y.sh")), 4).as("jaccard"))
+          Dedup.jaccardSorted(col("x.sh"), col("y.sh")).as("jaccard"))
         .filter(col("jaccard") >= 0.2)
         .orderBy(col("a"), col("b"))
     }),
@@ -159,8 +160,9 @@ object DedupQueries {
       e.as("x").join(e.as("y"),
           col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-          round(call_function("cosine_sim",
-            col("x.embedding"), col("y.embedding")), 6).as("cos"))
+          // unrounded: index-order fold + sqrt are bit-equal both engines
+          call_function("cosine_sim",
+            col("x.embedding"), col("y.embedding")).as("cos"))
         .filter(col("cos") >= 0.4)
         .orderBy(col("a"), col("b"))
     })
@@ -224,7 +226,7 @@ object DedupQueries {
                      ON x.band = y.band AND x.bkey = y.bkey
                         AND x.doc_id < y.doc_id),
           pairs AS (SELECT a, b,
-                      MAX(ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4))
+                      MAX(CAST(inter AS DOUBLE) / (la + lb - inter))
                         AS jaccard
                     FROM cand GROUP BY a, b)
           SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY a, b""",
@@ -261,8 +263,8 @@ object DedupQueries {
                        len(x.sh) AS la, len(y.sh) AS lb2
                 FROM s x JOIN s y ON x.source = y.source AND x.lb = y.lb
                                   AND x.doc_id < y.doc_id)
-          SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (la + lb2 - inter), 4) AS jaccard
-          FROM p WHERE ROUND(CAST(inter AS DOUBLE) / (la + lb2 - inter), 4) >= 0.2
+          SELECT a, b, CAST(inter AS DOUBLE) / (la + lb2 - inter) AS jaccard
+          FROM p WHERE CAST(inter AS DOUBLE) / (la + lb2 - inter) >= 0.2
           ORDER BY a, b""",
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -272,7 +274,7 @@ object DedupQueries {
                        list_sum([x.v[i] * y.v[i] for i in range(1, len(x.v) + 1)]) /
                        (x.nrm * y.nrm) AS cs
                 FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id)
-          SELECT a, b, ROUND(cs, 6) AS cos FROM p
-          WHERE ROUND(cs, 6) >= 0.4 ORDER BY a, b"""
+          SELECT a, b, cs AS cos FROM p
+          WHERE cs >= 0.4 ORDER BY a, b"""
   )
 }

@@ -24,8 +24,10 @@ import graft.Tables
   *
   * Determinism: hyperplane components are md5-derived
   * (w[j][i] = hash32(j:i)/2³¹ − 1 ∈ [−1,1)), so Spark and DuckDB
-  * compute bit-identical planes, signatures, and cosines; ranking sorts
-  * on the 6-dp-rounded cosine with vec_id tie-break.
+  * compute bit-identical planes, signatures, and cosines (index-order
+  * folds + IEEE sqrt on both engines); cosines ship UNROUNDED — the
+  * doubles are equal by construction and decimal rounding would only
+  * add boundary risk — with vec_id tie-breaking the rank.
   */
 object SimilarityQueries {
 
@@ -53,7 +55,10 @@ object SimilarityQueries {
         .orderBy(col("cos").desc, col("vec_id"))
       e.crossJoin(broadcast(queryVecs(e)))
         .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), round(cos, 6).as("cos"))
+        // unrounded: the index-order fold + sqrt pipeline is bit-equal
+        // to the oracle's list_sum replication, so ranks agree exactly;
+        // rounding would only add decimal-boundary risk
+        .select(col("qid"), col("vec_id"), cos.as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .orderBy(col("qid"), col("rank"))
@@ -96,7 +101,7 @@ object SimilarityQueries {
         .orderBy(col("cos").desc, col("vec_id"))
       sigs.join(broadcast(q), col("sig") === col("qsig") &&
           col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), round(cos, 6).as("cos"))
+        .select(col("qid"), col("vec_id"), cos.as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .orderBy(col("qid"), col("rank"))
@@ -111,9 +116,9 @@ object SimilarityQueries {
           q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
                 WHERE vec_id % 100 = 0),
           sc AS (SELECT q.qid, e.vec_id,
-                        ROUND(list_sum([q.qv[i] * e.v[i]
-                                        for i in range(1, len(q.qv) + 1)]) /
-                              (q.qn * e.nrm), 6) AS cos
+                        list_sum([q.qv[i] * e.v[i]
+                                  for i in range(1, len(q.qv) + 1)]) /
+                              (q.qn * e.nrm) AS cos
                  FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
           r AS (SELECT qid, vec_id, cos,
                        ROW_NUMBER() OVER (PARTITION BY qid
@@ -149,9 +154,9 @@ object SimilarityQueries {
                 FROM ev CROSS JOIN range(0, $Planes + 1) o
                 WHERE vec_id % 100 = 0),
           sc AS (SELECT q.qid, ev.vec_id,
-                        ROUND(list_sum([q.qv[i] * ev.v[i]
-                                        for i in range(1, len(q.qv) + 1)]) /
-                              (q.qn * ev.nrm), 6) AS cos
+                        list_sum([q.qv[i] * ev.v[i]
+                                  for i in range(1, len(q.qv) + 1)]) /
+                              (q.qn * ev.nrm) AS cos
                  FROM q JOIN ev ON ev.sig = q.qsig AND ev.vec_id <> q.qid),
           r AS (SELECT qid, vec_id, cos,
                        ROW_NUMBER() OVER (PARTITION BY qid

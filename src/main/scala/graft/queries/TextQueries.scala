@@ -60,12 +60,19 @@ object TextQueries {
       val stopRatio = stopHits / nTok
       val score = least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
         stopRatio * lit(0.3) + ttr * lit(0.3)
+      // UNROUNDED on purpose: every metric is per-row arithmetic on
+      // exact integers with the identical operation order in the oracle,
+      // so the doubles are bit-equal by construction. Rounding would
+      // only ADD risk: DuckDB's round(x, 4) computes round(x·10⁴)/10⁴,
+      // and the multiply can land exactly on .5 for a value just below
+      // the boundary (seen at sf0.1: quality 0.49974999999999997 →
+      // DuckDB 0.4998, exact rounding 0.4997).
       Tables.documents(s, d)
         .select(col("doc_id"),
-          round(stopRatio, 4).as("stop_ratio"),
-          round(ttr, 4).as("ttr"),
-          round(meanLen, 4).as("mean_tok_len"),
-          round(score, 4).as("quality"))
+          stopRatio.as("stop_ratio"),
+          ttr.as("ttr"),
+          meanLen.as("mean_tok_len"),
+          score.as("quality"))
         .orderBy(col("doc_id"))
     }),
 
@@ -208,12 +215,12 @@ object TextQueries {
                      AS DOUBLE) AS tok_chars
                   FROM t)
             SELECT doc_id,
-                   ROUND(stop_hits / n_tok, 4) AS stop_ratio,
-                   ROUND(n_types / n_tok, 4) AS ttr,
-                   ROUND(tok_chars / n_tok, 4) AS mean_tok_len,
-                   ROUND(LEAST(n_tok / 50.0, 1.0) * 0.4 +
+                   stop_hits / n_tok AS stop_ratio,
+                   n_types / n_tok AS ttr,
+                   tok_chars / n_tok AS mean_tok_len,
+                   LEAST(n_tok / 50.0, 1.0) * 0.4 +
                          (stop_hits / n_tok) * 0.3 +
-                         (n_types / n_tok) * 0.3, 4) AS quality
+                         (n_types / n_tok) * 0.3 AS quality
             FROM m ORDER BY doc_id""",
       "q_text_langid" ->
         s"""WITH t AS (SELECT doc_id, lang AS labeled,
