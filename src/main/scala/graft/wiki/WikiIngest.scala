@@ -42,6 +42,10 @@ object WikiIngest {
     spark.read.format("xml").option("rowTag", "page")
       .schema(PageSchema).load(path)
       .select(col("title"), col("revision.text").as("text"))
+      // malformed/empty records surface as null titles — dropped silently,
+      // matching the column form and the reference's per-record try/catch
+      // swallow (PageRank.java:104-110)
+      .filter(col("title").isNotNull)
 
   /** S1 (column form): parse `<page>` XML blobs already sitting in a
     * string column — the path used when XML arrives via another table
