@@ -14,14 +14,18 @@ object Bench {
     // JIT/codegen/scheduler warmup outside the timed section so the
     // first measured query doesn't absorb one-time JVM costs
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: Map iteration order is arbitrary, which made
+    // per-query times incomparable across rounds (whichever query ran
+    // first paid the shared GraphCatalog builds); alphabetical order
+    // pins the warm-up attribution
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -190,6 +190,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: each micro-batch lands in the external store exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // the production sink pattern: stream → foreachBatch(batchDf, id)
+    // → idempotent write keyed by batch id (here: a concurrent map
+    // standing in for a parquet/Delta MERGE target)
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, Long)]]()
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.tumblingStream(
+        input.toDF().toDF("ts", "event_type", "value"), "10 minutes", "5 minutes")
+      .select(col("event_type"), col("n"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        store.put(id, batch.collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
+        (): Unit
+      }
+      .start()
+    try {
+      input.addData(rows.take(3))
+      q.processAllAvailable()
+      input.addData(rows.drop(3))
+      q.processAllAvailable()
+      val batches = store.values().toArray.toSeq
+        .asInstanceOf[Seq[Seq[(String, Long)]]].filter(_.nonEmpty)
+      assert(batches.size == 2, s"got ${store.size} batches")
+      // update mode re-emits changed (window, type) rows per batch; both
+      // event types must have flowed through the sink
+      assert(batches.flatten.map(_._1).toSet == Set("click", "view"))
+    } finally q.stop()
+  }
+
   test("sessionsStream groups by inactivity gap like batch sessions") {
     val s = spark
     import s.implicits._
