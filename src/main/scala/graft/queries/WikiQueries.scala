@@ -43,6 +43,22 @@ object WikiQueries {
       Seq(GraphCatalog.wiki(s, d).n).toDF("n")
     }),
 
+    // The FULL file path of S1: the synthesized dump is written to disk
+    // as rootless concatenated-record XML (the reference's actual input
+    // shape), read back through the custom graft-xml DataSource V2 with
+    // 64 KiB splits (records straddle many split boundaries), parsed,
+    // and counted — same oracle as q_wiki_count, so a single dropped or
+    // duplicated record at any boundary fails the gate.
+    "q_wiki_source_count" -> ((s, d) => {
+      import s.implicits._
+      val dir = graft.wiki.WikiDump.materializedDump(s, d)
+      val n = graft.wiki.WikiIngest.parsePageXml(
+        s.read.format("graft-xml").option("path", dir)
+          .option("maxSplitBytes", (64 * 1024).toString).load(), "xml")
+        .count()
+      Seq(n).toDF("n")
+    }),
+
     // The reference pipeline end to end: 8 PageRank iterations over the
     // parsed dump, every page ranked.
     "q_wiki_pagerank" -> ((s, d) => {
@@ -67,6 +83,9 @@ object WikiQueries {
     "q_wiki_links" ->
       s"WITH $wikiCtes SELECT src, dst FROM good ORDER BY src, dst",
     "q_wiki_count" ->
+      """SELECT (SELECT COUNT(*) FROM part) +
+                (SELECT COUNT(*) FROM supplier) AS n""",
+    "q_wiki_source_count" ->
       """SELECT (SELECT COUNT(*) FROM part) +
                 (SELECT COUNT(*) FROM supplier) AS n""",
     "q_wiki_pagerank" -> PageRankOracle.sql(wikiCtes, PageRank.DefaultIters,

@@ -61,4 +61,20 @@ object WikiDump {
 
     partPages.unionAll(supplierPages)
   }
+
+  private val dumps =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Write the dump to a session-temp directory as rootless
+    * concatenated-record text — the reference's actual on-disk input
+    * shape (XmlInputFormat consumed raw `<page>…</page>` streams, no
+    * root element) — once per (session, dir); returns the path. Input
+    * for the [[graft.sources.XmlRecordSource]] file path of S1. */
+  def materializedDump(spark: SparkSession, dir: String): String =
+    dumps.getOrElseUpdate((spark, dir), {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-wikidump").toString
+      xml(spark, dir).write.mode("overwrite").text(out)
+      out
+    })
 }
