@@ -82,6 +82,44 @@ object Multimodal {
         expr(s"md5(substring(payload, frame_idx * $frameBytes + 1, $frameBytes))")
           .as("frame_md5"))
 
+  /** Resize stand-in — the image-pipeline shape: view the payload as a
+    * `width`-byte-per-row grid and 2×2 average-pool it (floor division,
+    * partial rows/columns trimmed), exactly what a decoder's downscale
+    * would do to pixel data. Pure integer arithmetic on the byte values
+    * so the oracle replays it bit-for-bit; runs as a single generated
+    * projection per row (no shuffle, no UDF).
+    *
+    * @return doc_id, out_h × out_w pooled dims, and the pooled grid's
+    *         checksum (sum of pooled values) — the verifiable digest of
+    *         the "resized image".
+    */
+  def resizePooled(assets: DataFrame, width: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val h = bytes.length / width // full rows only
+        val outH = h / 2
+        val outW = width / 2
+        var sum = 0L
+        var i = 0
+        while (i < outH) {
+          var j = 0
+          while (j < outW) {
+            val base = (2 * i) * width + 2 * j
+            val p = ((bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
+              (bytes(base + width) & 0xff) + (bytes(base + width + 1) & 0xff)) / 4
+            sum += p
+            j += 1
+          }
+          i += 1
+        }
+        (id, outH.toLong, outW.toLong, sum)
+      }
+      .toDF("doc_id", "out_h", "out_w", "pooled_sum")
+  }
+
   /** Batch feature extraction over the binary payloads: one digest
     * instance per partition, rows streamed through. */
   def extractFeatures(assets: DataFrame): DataFrame = {

@@ -22,6 +22,14 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Resize: view the payload as a 32-byte-wide grid, 2×2 average-pool
+    // (the decoder-downscale shape, integer arithmetic, no shuffle);
+    // the oracle replays the pooling on the text's character codes.
+    "q_mm_resize" -> ((s, d) => {
+      Multimodal.resizePooled(Multimodal.assets(s, d), 32)
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame sampling: 64-byte frames, every 4th kept — the
     // video-decode-and-sample plumbing with byte slices standing in for
     // frames (the oracle replays it on the text since the corpus is
@@ -49,6 +57,24 @@ object MultimodalQueries {
                 $histCols
          FROM b ORDER BY doc_id"""
     },
+    "q_mm_resize" ->
+      """WITH b AS (SELECT doc_id,
+                    [unicode(substring(text, k, 1))
+                     for k in range(1, len(text) + 1)] AS c,
+                    len(text) // 32 AS h
+                    FROM documents),
+          p AS (SELECT doc_id,
+                       CAST(h // 2 AS BIGINT) AS out_h,
+                       CAST(16 AS BIGINT) AS out_w,
+                       CAST(COALESCE(list_sum(
+                         [(c[(2 * (m // 16)) * 32 + 2 * (m % 16) + 1]
+                           + c[(2 * (m // 16)) * 32 + 2 * (m % 16) + 2]
+                           + c[(2 * (m // 16) + 1) * 32 + 2 * (m % 16) + 1]
+                           + c[(2 * (m // 16) + 1) * 32 + 2 * (m % 16) + 2]) // 4
+                          for m in range(0, (h // 2) * 16)]), 0) AS BIGINT)
+                         AS pooled_sum
+                FROM b)
+         SELECT doc_id, out_h, out_w, pooled_sum FROM p ORDER BY doc_id""",
     "q_mm_frames" ->
       """WITH f AS (SELECT doc_id, text,
                     unnest([i for i in range(0,
