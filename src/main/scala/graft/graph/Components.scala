@@ -26,12 +26,15 @@ object Components {
   /** @return DataFrame["page", "comp"] — comp = min label within
     *         `rounds` hops (component representative once converged). */
   def labelPropagation(pages: DataFrame, edges: DataFrame,
-                       rounds: Int): DataFrame = {
+                       rounds: Int,
+                       knownVertexCount: Option[Long] = None): DataFrame = {
     val undirected = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val hintSmall = pages.count() <= PageRank.BroadcastVertexLimit
+    // callers that already hold |V| (GraphCatalog) skip the count job
+    val hintSmall = knownVertexCount.getOrElse(pages.count()) <=
+      PageRank.BroadcastVertexLimit
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
 
     var labels = pages.select(col("page"), col("page").as("lbl"))
@@ -59,12 +62,14 @@ object Components {
     * bounded by the graph diameter — small for real link graphs.
     */
   def components(pages: DataFrame, edges: DataFrame,
-                 maxRounds: Int = 50): DataFrame = {
+                 maxRounds: Int = 50,
+                 knownVertexCount: Option[Long] = None): DataFrame = {
     val undirected = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val hintSmall = pages.count() <= PageRank.BroadcastVertexLimit
+    val hintSmall = knownVertexCount.getOrElse(pages.count()) <=
+      PageRank.BroadcastVertexLimit
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
 
     var labels = pages.select(col("page"), col("page").as("lbl"))

@@ -89,7 +89,8 @@ object GraphQueries {
     // deterministic partial-CC whose oracle replays the same rounds.
     "q_graph_components" -> ((s, d) => {
       val g = GraphCatalog.tpch(s, d)
-      Components.labelPropagation(g.pages, g.edges, rounds = 3)
+      Components.labelPropagation(g.pages, g.edges, rounds = 3,
+        knownVertexCount = Some(g.n))
         .orderBy(col("page"))
     }),
 
