@@ -66,8 +66,12 @@ object RelationalQueries {
       val l = Tables.lineitem(s, d)
         .select(col("l_orderkey"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      // nation is FIXED cardinality (25 rows) → hint it; customer SCALES
+      // with the dataset, so its join strategy is left to Catalyst/AQE
+      // (broadcast at test SF, shuffled at 100 TB — a hard hint would
+      // OOM there)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_items"))

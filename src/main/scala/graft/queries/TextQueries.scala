@@ -113,7 +113,10 @@ object TextQueries {
         .groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
-      tf.join(broadcast(df_), "term")
+      // no broadcast hint on the df table: it is vocabulary-sized, which
+      // SCALES with the corpus (AQE broadcasts it at test SF; at 100 TB
+      // it shuffles — a hard hint would OOM)
+      tf.join(df_, "term")
         .withColumn("tfidf", round(
           (col("n_term").cast("double") / col("doc_len")) *
             (log((lit(n) + 1) / (col("df") + 1)) + 1), 6))
@@ -150,7 +153,7 @@ object TextQueries {
         (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("bm25").desc, col("term"))
-      tf.join(broadcast(dfT), "term")
+      tf.join(dfT, "term") // df table scales with vocabulary — AQE decides
         .withColumn("bm25", round(score, 4))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
