@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.{GraftFunctions, SparkSpec}
+import graft.dedup.Dedup
+
+/** Property-based parity: the native codegen'd sketch expressions must
+  * equal the interpreted SQL forms on ScalaCheck-generated inputs —
+  * including non-ASCII tokens (multi-byte UTF-8 reaches md5 and the
+  * char/byte distinction in substring), repeated tokens, empty strings,
+  * and single-char texts. Complements ShingleHashesSpec's real-corpus
+  * sweep (the corpus is pure ASCII).
+  */
+class ShingleHashesProperties extends SparkSpec {
+
+  private val tokenGen: Gen[String] = Gen.oneOf(
+    Gen.stringOfN(3, Gen.alphaNumChar),
+    Gen.oneOf("münchen", "héllo", "日本語", "a", "", "naïve", "ωμέγα"),
+    Gen.stringOfN(1, Gen.alphaChar))
+
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    toks <- Gen.listOfN(n, tokenGen)
+  } yield toks.mkString(" ")
+
+  private def docs(k: Int): Seq[String] =
+    (1 to k).flatMap(i => docGen.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  test("word_shingle_hashes / minhash_sig / simhash32 match SQL forms on random unicode docs") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    val df = docs(60).toDF("text")
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("refH", expr(Dedup.shingleHash32Expr(
+        s"(${Dedup.wordShinglesExpr("toks", 3)})")))
+      .withColumn("gotH", call_function("word_shingle_hashes", col("toks"), lit(3)))
+      .withColumn("refS", expr(Dedup.minhashExpr("gotH", 8)))
+      .withColumn("gotS", call_function("minhash_sig", col("gotH"), lit(8)))
+      .withColumn("refSim", expr(Dedup.simhashExpr(
+        s"(${Dedup.tokenHashesExpr("text")})", 32)))
+      .withColumn("gotSim", call_function("simhash32", split(col("text"), "\\s+")))
+    assert(df.filter(not(col("refH") === col("gotH"))).count() == 0)
+    assert(df.filter(not(coalesce(col("refS") === col("gotS"),
+      col("refS").isNull && col("gotS").isNull))).count() == 0)
+    assert(df.filter(col("refSim") =!= col("gotSim")).count() == 0)
+    assert(df.count() == 60)
+  }
+
+  test("char_shingle_hashes matches the SQL form on random unicode texts (char semantics)") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    val df = docs(60).toDF("text")
+      .withColumn("ref", expr(Dedup.shingleHash32Expr(
+        s"(${Dedup.charShinglesExpr("text", 4)})")))
+      .withColumn("got", call_function("char_shingle_hashes", col("text"), lit(4)))
+    assert(df.filter(not(col("ref") === col("got"))).count() == 0)
+  }
+}
