@@ -26,6 +26,22 @@ class RankSinkSpec extends SparkSpec {
     assert(lines == Seq("a\t0.5", "b\t0.25", "c\t0.125"))
   }
 
+  test("JSON-lines round trip preserves ranks bit-for-bit across write/read") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp() + "/json"
+    val ranks = Seq(("a", 0.5), ("b", 1.0 / 3.0), ("c", 1e-12))
+      .toDF("page", "rank")
+    ranks.write.mode("overwrite").json(dir)
+    // explicit schema: inference is an extra pass and can widen types
+    val back = spark.read
+      .schema("page STRING, rank DOUBLE").json(dir)
+      .orderBy("page").collect().map(r => (r.getString(0), r.getDouble(1)))
+    // Spark writes JSON doubles via shortest-round-trip formatting, so
+    // the read-back double is bit-identical (including 1/3 and 1e-12)
+    assert(back.toSeq == Seq(("a", 0.5), ("b", 1.0 / 3.0), ("c", 1e-12)))
+  }
+
   test("partitioned snapshot write is partition-pruned on read") {
     val s = spark
     import s.implicits._
