@@ -107,6 +107,48 @@ object GraphQueries {
         .orderBy("out_deg")
     }),
 
+    // Triangle counting with degree-ordered orientation (the classic
+    // MapReduce-era trick, Suri-Vassilvitskii'11): orient every edge
+    // from its (degree, id)-smaller endpoint to the larger, so each
+    // triangle is counted exactly once and — crucially at scale — the
+    // join fan-out of a hub vertex is bounded by the number of
+    // HIGHER-degree neighbors (≤ √(2·|E|)), not its full degree.
+    // Graph: suppliers co-occurring in an order with l_quantity > 45
+    // (the quantity cut keeps the co-occurrence projection sparse).
+    // Oriented edge list is localCheckpoint'ed before the triple
+    // self-join — Catalyst plans self-joins as independent subplan
+    // copies, which would re-run the projection three times.
+    "q_graph_triangles" -> ((s, d) => {
+      val li = graft.Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("s1"), col("y.l_suppkey").as("s2"))
+        .distinct()
+      val und = e.unionAll(e.select(col("s2").as("s1"), col("s1").as("s2")))
+      val deg = und.groupBy(col("s1").as("v")).agg(count(lit(1)).as("dg"))
+      // deg is vertex-sized (data-scaled): no broadcast hint — AQE picks
+      val flip = struct(col("da.dg"), col("s1")) >
+        struct(col("db.dg"), col("s2"))
+      val oriented = e
+        .join(deg.as("da"), col("s1") === col("da.v"))
+        .join(deg.as("db"), col("s2") === col("db.v"))
+        .select(when(flip, col("s2")).otherwise(col("s1")).as("lo"),
+          when(flip, col("s1")).otherwise(col("s2")).as("hi"))
+        .localCheckpoint(eager = true)
+      val tri = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.hi") === col("e2.lo"))
+        .join(oriented.as("e3"),
+          col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+        .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
+          col("e2.hi").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("supplier"))
+        .groupBy("supplier").agg(count(lit(1)).as("n_tri"))
+        .orderBy("supplier")
+    }),
+
     // F1+O1+M2: threshold cut + global descending sort.
     "q_pagerank_top" -> ((s, d) => {
       val g = GraphCatalog.tpch(s, d)
@@ -144,6 +186,29 @@ object GraphQueries {
       s"""SELECT page, ROUND(pr, 6) AS pr FROM r8
          WHERE ROUND(pr, 6) > $TopMultiplier / (SELECT n FROM nn)
          ORDER BY ROUND(pr, 6) DESC, page"""),
+    "q_graph_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                     WHERE l_quantity > 45),
+          e AS (SELECT DISTINCT x.l_suppkey AS s1, y.l_suppkey AS s2
+                FROM li x JOIN li y
+                  ON x.l_orderkey = y.l_orderkey
+                     AND x.l_suppkey < y.l_suppkey),
+          und AS (SELECT s1, s2 FROM e UNION ALL SELECT s2, s1 FROM e),
+          deg AS (SELECT s1 AS v, COUNT(*) AS dg FROM und GROUP BY 1),
+          o AS (SELECT CASE WHEN (da.dg, e.s1) > (db.dg, e.s2)
+                            THEN e.s2 ELSE e.s1 END AS lo,
+                       CASE WHEN (da.dg, e.s1) > (db.dg, e.s2)
+                            THEN e.s1 ELSE e.s2 END AS hi
+                FROM e JOIN deg da ON da.v = e.s1
+                       JOIN deg db ON db.v = e.s2),
+          tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+                  FROM o e1 JOIN o e2 ON e1.hi = e2.lo
+                  JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+          x AS (SELECT a AS supplier FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+          SELECT supplier, COUNT(*) AS n_tri FROM x
+          GROUP BY supplier ORDER BY supplier""",
     "q_graph_components" -> {
       val roundCtes = (1 to 3).map { k =>
         s"""l$k AS (SELECT page, MIN(lbl) AS lbl FROM (
