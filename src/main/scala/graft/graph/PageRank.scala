@@ -55,11 +55,17 @@ object PageRank {
 
   /** @param pages DataFrame["page"]; @param edges DataFrame["src","dst"]
     * (already red-link-cleaned and deduped — use [[LinkGraph.removeRedLinks]]).
+    * @param onIteration called after each iteration with (i, ranks-so-far);
+    * the reference's job12 (rank snapshot after iteration 1 only,
+    * PageRank.java:480-487) plugs in here — consuming the DataFrame
+    * inside the hook materializes that iteration's checkpoint, exactly
+    * like the reference's extra blocking MR job at that point.
     * @return DataFrame["page", "rank"] — one row per page.
     */
   def run(pages: DataFrame, edges: DataFrame, iters: Int = DefaultIters,
           damping: Double = Damping, resetProb: Double = ResetProb,
-          checkpointInterval: Int = 1): DataFrame = {
+          checkpointInterval: Int = 1,
+          onIteration: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     val spark = pages.sparkSession
 
     val p = pages.persist(StorageLevel.MEMORY_AND_DISK)
@@ -114,6 +120,7 @@ object PageRank {
         else if (i % checkpointInterval != 0) next
         else if (reliable) next.checkpoint(eager = false)
         else next.localCheckpoint(eager = false)
+      onIteration(i, ranks)
     }
     edgesWithDeg.unpersist()
     p.unpersist()

@@ -211,7 +211,7 @@ object EventQueries {
                         AND p.ts < fs.s_ts + INTERVAL 7 DAY
                    GROUP BY fs.user_id)
          SELECT COUNT(*) AS n_signup_users,
-                SUM(converted) AS n_converted,
+                CAST(SUM(converted) AS BIGINT) AS n_converted,
                 ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 4)
                   AS conv_rate
          FROM conv""",
@@ -234,7 +234,8 @@ object EventQueries {
     "q_events_json" ->
       """SELECT event_type,
                 COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-                SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS BIGINT) AS sum_k,
                 ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2)
                   AS avg_k
          FROM events GROUP BY event_type ORDER BY event_type"""

@@ -76,6 +76,15 @@ object GraphQueries {
         .orderBy(col("page"))
     }),
 
+    // Job12 gate: ranks after iteration 1 ONLY — the reference writes a
+    // rank snapshot at exactly this point (i==0, PageRank.java:480-487);
+    // this pins the iteration-1 vector against the unrolled-CTE oracle.
+    "q_pagerank_iter1" -> ((s, d) => {
+      GraphCatalog.tpchRanks(s, d, iters = 1)
+        .select(col("page"), round(col("rank"), 6).as("pr"))
+        .orderBy(col("page"))
+    }),
+
     // Same ranks via GraphX runWithOptions(normalized=false) — the scale
     // path; checked against the identical DuckDB oracle (ADVICE r1 item 1).
     "q_pagerank_graphx" -> ((s, d) => {
@@ -111,8 +120,10 @@ object GraphQueries {
     // MapReduce-era trick, Suri-Vassilvitskii'11): orient every edge
     // from its (degree, id)-smaller endpoint to the larger, so each
     // triangle is counted exactly once and — crucially at scale — the
-    // join fan-out of a hub vertex is bounded by the number of
-    // HIGHER-degree neighbors (≤ √(2·|E|)), not its full degree.
+    // out-neighbor list used in the wedge join is bounded by the number
+    // of HIGHER-degree neighbors (≤ √(2·|E|)), bounding per-wedge
+    // expansion at the middle vertex (the in-degree side of a hub is
+    // not bounded, but each arriving edge fans out ≤ √(2·|E|) ways).
     // Graph: suppliers co-occurring in an order with l_quantity > 45
     // (the quantity cut keeps the co-occurrence projection sparse).
     // Oriented edge list is localCheckpoint'ed before the triple
@@ -129,14 +140,21 @@ object GraphQueries {
         .distinct()
       val und = e.unionAll(e.select(col("s2").as("s1"), col("s1").as("s2")))
       val deg = und.groupBy(col("s1").as("v")).agg(count(lit(1)).as("dg"))
-      // deg is vertex-sized (data-scaled): no broadcast hint — AQE picks
-      val flip = struct(col("da.dg"), col("s1")) >
-        struct(col("db.dg"), col("s2"))
+      // deg is vertex-sized (data-scaled): no broadcast hint — AQE picks.
+      // Struct fields aliased identically on both sides: BinaryComparison
+      // requires sameType, which for structs has historically included
+      // field names (ADVICE r3 item 1 — (dg,s1) vs (dg,s2) was fragile).
+      val flip = struct(col("da.dg").as("d"), col("s1").as("v")) >
+        struct(col("db.dg").as("d"), col("s2").as("v"))
       val oriented = e
         .join(deg.as("da"), col("s1") === col("da.v"))
         .join(deg.as("db"), col("s2") === col("db.v"))
         .select(when(flip, col("s2")).otherwise(col("s1")).as("lo"),
           when(flip, col("s1")).otherwise(col("s2")).as("hi"))
+        // Not explicitly unpersisted: the checkpoint must outlive this
+        // builder (the result is returned lazily and materialized by the
+        // caller), so cleanup is left to the ContextCleaner once the plan
+        // is GC'd; the blocks are |E|-sized (two int columns) — cheap.
         .localCheckpoint(eager = true)
       val tri = oriented.as("e1")
         .join(oriented.as("e2"), col("e1.hi") === col("e2.lo"))
@@ -180,6 +198,8 @@ object GraphQueries {
           GROUP BY 1 ORDER BY out_deg""",
     "q_pagerank" -> pagerankSql(PageRank.DefaultIters,
       "SELECT page, ROUND(pr, 6) AS pr FROM r8 ORDER BY page"),
+    "q_pagerank_iter1" -> pagerankSql(1,
+      "SELECT page, ROUND(pr, 6) AS pr FROM r1 ORDER BY page"),
     "q_pagerank_graphx" -> pagerankSql(PageRank.DefaultIters,
       "SELECT page, ROUND(pr, 6) AS pr FROM r8 ORDER BY page"),
     "q_pagerank_top" -> pagerankSql(PageRank.DefaultIters,

@@ -14,9 +14,10 @@ import graft.graph.{GraphCatalog, PageRank}
   *
   * The oracles never see the XML: by construction the dump's cleaned
   * edge set is exactly `DISTINCT ('p_'||l_partkey, 's_'||l_suppkey)`
-  * from lineitem, so DuckDB recomputes expectations relationally —
-  * any bug in the XML parse, regex extraction, pipe handling, validity
-  * filter, dedup, or semi-join shows up as a mismatch.
+  * from lineitem ∪ `('s_'||s_suppkey, 'hub')` from supplier, so DuckDB
+  * recomputes expectations relationally — any bug in the XML parse,
+  * regex extraction, pipe handling, validity filter, dedup, or
+  * semi-join shows up as a mismatch.
   */
 object WikiQueries {
 
@@ -24,11 +25,15 @@ object WikiQueries {
     """pages AS (
          SELECT 'p_' || CAST(p_partkey AS VARCHAR) AS page FROM part
          UNION ALL
-         SELECT 's_' || CAST(s_suppkey AS VARCHAR) AS page FROM supplier),
+         SELECT 's_' || CAST(s_suppkey AS VARCHAR) AS page FROM supplier
+         UNION ALL
+         SELECT 'hub'),
        good AS (
          SELECT DISTINCT 'p_' || CAST(l_partkey AS VARCHAR) AS src,
                          's_' || CAST(l_suppkey AS VARCHAR) AS dst
-         FROM lineitem)"""
+         FROM lineitem
+         UNION ALL
+         SELECT 's_' || CAST(s_suppkey AS VARCHAR), 'hub' FROM supplier)"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+P1+P2+J1: parse XML pages, extract/clean/dedup links, drop red
@@ -67,14 +72,15 @@ object WikiQueries {
         .orderBy(col("page"))
     }),
 
-    // F1+O1: threshold + global descending order on the wiki ranks
-    // (suppliers concentrate rank mass; 1.2/N is non-vacuous, cf.
-    // GraphQueries.TopMultiplier).
+    // F1+O1: threshold + global descending order on the wiki ranks at
+    // the reference's hard-coded multiplier 5.0 (PageRank.java:336,346)
+    // — non-vacuous on this graph: the hub page and the supplier pages
+    // concentrate rank mass well above 5/N (WikiDump hub design).
     "q_wiki_top" -> ((s, d) => {
       val g = GraphCatalog.wiki(s, d)
       GraphCatalog.wikiRanks(s, d)
         .select(col("page"), round(col("rank"), 6).as("pr"))
-        .filter(col("pr") > lit(1.2) / lit(g.n.toDouble))
+        .filter(col("pr") > lit(5.0) / lit(g.n.toDouble))
         .orderBy(col("pr").desc, col("page"))
     })
   )
@@ -84,15 +90,15 @@ object WikiQueries {
       s"WITH $wikiCtes SELECT src, dst FROM good ORDER BY src, dst",
     "q_wiki_count" ->
       """SELECT (SELECT COUNT(*) FROM part) +
-                (SELECT COUNT(*) FROM supplier) AS n""",
+                (SELECT COUNT(*) FROM supplier) + 1 AS n""",
     "q_wiki_source_count" ->
       """SELECT (SELECT COUNT(*) FROM part) +
-                (SELECT COUNT(*) FROM supplier) AS n""",
+                (SELECT COUNT(*) FROM supplier) + 1 AS n""",
     "q_wiki_pagerank" -> PageRankOracle.sql(wikiCtes, PageRank.DefaultIters,
       "SELECT page, ROUND(pr, 6) AS pr FROM r8 ORDER BY page"),
     "q_wiki_top" -> PageRankOracle.sql(wikiCtes, PageRank.DefaultIters,
       """SELECT page, ROUND(pr, 6) AS pr FROM r8
-         WHERE ROUND(pr, 6) > 1.2 / (SELECT n FROM nn)
+         WHERE ROUND(pr, 6) > 5.0 / (SELECT n FROM nn)
          ORDER BY ROUND(pr, 6) DESC, page""")
   )
 }

@@ -85,10 +85,31 @@ private class XmlRecordTable(options: CaseInsensitiveStringMap)
         val fs = new Path(path).getFileSystem(conf)
         val files = {
           val p = new Path(path)
-          if (fs.getFileStatus(p).isDirectory)
-            fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-              && !s.getPath.getName.startsWith(".")).toSeq
-          else Seq(fs.getFileStatus(p))
+          val root = fs.getFileStatus(p)
+          if (root.isDirectory) {
+            // RECURSIVE listing: a real lake path is nested (partition
+            // dirs, writer subdirs) — a flat listStatus would silently
+            // drop every record under a subdirectory. Hidden files AND
+            // files under hidden directories (_temporary, .staging) are
+            // excluded, matching FileSourceScan conventions.
+            def hidden(f: Path): Boolean = {
+              var q = f
+              var h = false
+              while (q != null && q != root.getPath && !h) {
+                val n = q.getName
+                h = n.startsWith("_") || n.startsWith(".")
+                q = q.getParent
+              }
+              h
+            }
+            val it = fs.listFiles(p, true)
+            val out = ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+            while (it.hasNext) {
+              val f = it.next()
+              if (!hidden(f.getPath)) out += f
+            }
+            out.sortBy(_.getPath.toString).toSeq // deterministic split order
+          } else Seq(root)
         }
         val splits = ArrayBuffer.empty[InputPartition]
         for (f <- files; off <- 0L until math.max(f.getLen, 1L) by maxSplit)
@@ -127,12 +148,18 @@ private class XmlRecordReader(split: XmlSplit, startTag: Array[Byte],
     extends PartitionReader[InternalRow] {
 
   private val end = split.start + split.length
-  private val in: FSDataInputStream = {
+  // The reference read one byte per unbuffered FSDataInputStream.read()
+  // call — faithful but a hot-path syscall per byte at 100 TB. We wrap in
+  // a BufferedInputStream and track the stream position ourselves (the
+  // buffer makes the underlying getPos run ahead of the bytes consumed),
+  // keeping the byte-for-byte boundary semantics identical.
+  private val in: java.io.InputStream = {
     val path = new Path(split.path)
-    val stream = path.getFileSystem(conf.value).open(path)
+    val stream: FSDataInputStream = path.getFileSystem(conf.value).open(path)
     stream.seek(split.start)
-    stream
+    new java.io.BufferedInputStream(stream, 64 * 1024)
   }
+  private var pos: Long = split.start
   private var current: UTF8String = _
 
   override def next(): Boolean = {
@@ -158,13 +185,14 @@ private class XmlRecordReader(split: XmlSplit, startTag: Array[Byte],
     while (true) {
       val b = in.read()
       if (b == -1) return false // end of file (:107-108)
+      pos += 1
       if (buf != null) buf.write(b) // save to buffer within block (:110-111)
       if (b == tag(i)) { // check if we're matching (:113-116)
         i += 1
         if (i >= tag.length) return true
       } else i = 0
       // see if we've passed the stop point (:118-120)
-      if (!withinBlock && i == 0 && in.getPos >= end) return false
+      if (!withinBlock && i == 0 && pos >= end) return false
     }
     false
   }

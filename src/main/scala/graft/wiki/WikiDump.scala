@@ -11,7 +11,12 @@ import graft.Tables
   *
   * Shape: one `<page>` per part ("p <partkey>") whose body cites every
   * supplier that ever shipped it (`[[s <suppkey>]]`, from lineitem),
-  * plus one dangling page per supplier ("s <suppkey>").
+  * one page per supplier ("s <suppkey>") citing the single `hub` page,
+  * and the `hub` page itself (dangling — it exercises the reference's
+  * dangling-mass-lost semantics, and its rank concentrates far above
+  * the reference's hard-coded 5.0/N output threshold
+  * (PageRank.java:336,346), so the reference-default cut is gated
+  * non-vacuously by q_wiki_top).
   *
   * Each body deliberately exercises every P1/P2 quirk of the
   * reference's OutLinkMap (/root/reference/src/PageRank/PageRank.java:
@@ -27,8 +32,9 @@ import graft.Tables
   *     normalization is on the hot path for both.
   *
   * The expected edge set is therefore exactly
-  * `DISTINCT ('p_'||l_partkey, 's_'||l_suppkey)` — independently
-  * computable by the DuckDB oracle without any XML machinery.
+  * `DISTINCT ('p_'||l_partkey, 's_'||l_suppkey)` ∪
+  * `('s_'||s_suppkey, 'hub')` — independently computable by the DuckDB
+  * oracle without any XML machinery.
   */
 object WikiDump {
 
@@ -56,10 +62,16 @@ object WikiDump {
     val supplierPages = Tables.supplier(spark, dir)
       .select(concat(
         lit("<page><title>s "), col("s_suppkey").cast("string"),
-        lit("</title><revision><text>Dangling [[bad{brace]] page."),
+        lit("</title><revision><text>See [[hub]] and [[bad{brace]]."),
         lit("</text></revision></page>")).as("xml"))
 
-    partPages.unionAll(supplierPages)
+    // The hub: cited by every supplier (each supplier's ONLY out-edge,
+    // so the full supplier rank mass flows here), dangling itself.
+    val hubPage = spark.range(1)
+      .select(lit("<page><title>hub</title><revision><text>Center. " +
+        "[[missing hub target]]</text></revision></page>").as("xml"))
+
+    partPages.unionAll(supplierPages).unionAll(hubPage)
   }
 
   private val dumps =

@@ -73,4 +73,31 @@ class XmlRecordSourceSpec extends SparkSpec {
       .load().count()
     assert(got == xml.length)
   }
+
+  test("recursive listing: nested partition dirs are read, hidden dirs skipped") {
+    // a lake-shaped input: records nested two levels deep under partition
+    // directories, plus a _temporary dir and a hidden file that must be
+    // ignored — a flat listing would silently drop the nested records
+    // (VERDICT r3 item 4)
+    val dir = Files.createTempDirectory("graftxml5").toString
+    val xml = WikiDump.xml(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getString(0))
+    val (a, b) = xml.splitAt(xml.length / 2)
+    Files.createDirectories(Paths.get(dir, "day=1", "hour=0"))
+    Files.createDirectories(Paths.get(dir, "day=2"))
+    Files.createDirectories(Paths.get(dir, "_temporary"))
+    Files.write(Paths.get(dir, "day=1", "hour=0", "part-0.xml"),
+      a.mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "day=2", "part-0.xml"),
+      b.mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "_temporary", "junk.xml"),
+      a.take(3).mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "day=2", ".hidden.xml"),
+      a.take(3).mkString("\n").getBytes("UTF-8"))
+    val got = spark.read.format("graft-xml").option("path", dir)
+      .option("maxSplitBytes", "4096")
+      .load().collect().map(_.getString(0))
+    assert(got.length == xml.length, s"${got.length} vs ${xml.length}")
+    assert(got.toSet == xml.toSet)
+  }
 }
