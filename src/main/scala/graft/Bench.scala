@@ -25,11 +25,21 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = named.map { case (name, fn) =>
-      val samples = Seq.fill(reps) {
+      def sample(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+      var samples = Seq.fill(reps)(sample()).sorted
+      // sub-second queries show the most RELATIVE jitter (scheduler /
+      // GC noise is a ~0.1 s fixed floor at local[32]); two extra
+      // samples are nearly free there and tighten the median. Validated
+      // round 4: consecutive runs agree within ~15% for every query
+      // ≥1 s and within ~6% on the total; sub-second queries can still
+      // deviate by the noise floor — judge deltas there in absolute
+      // seconds, not percent
+      if (samples(samples.length / 2) < 1.0 && reps > 1)
+        samples = (samples ++ Seq.fill(2)(sample())).sorted
       name -> samples(samples.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -15,22 +15,44 @@ import org.apache.spark.sql.functions._
   * changes nothing (the label count converges) with the same body.
   *
   * Scale shape: per round one join of the label vector against the edge
-  * list + a min-aggregation — identical cost profile to a PageRank
-  * iteration; lineage truncated per round. The label vector is broadcast
+  * list + a min-aggregation — the cost profile of a PageRank iteration
+  * times two, structurally: the undirected view probes 2·|E| edge rows
+  * (both directions) and the aggregation shuffles (string, string) label
+  * pairs instead of (string, double). Profiled at sf0.1 (round 4):
+  * ~0.85 s/round warm at local[32], and lazy-vs-eager checkpointing and
+  * broadcast-vs-shuffle join variants are all within noise of each other
+  * — the round-3 "broadcast materialization cascade" hypothesis did not
+  * reproduce. Lineage truncated per round. The label vector is broadcast
   * only while |V| ≤ [[PageRank.BroadcastVertexLimit]] (same gate as the
   * PageRank rank vector — a full-vertex broadcast would OOM at 100 TB,
   * ADVICE r2 item 4); above it the join shuffles and AQE handles skew.
   */
 object Components {
 
+  /** Persist the doubled edge view only when the input edge set is NOT
+    * already cached: the union is a narrow, cheap derivation, so when
+    * `edges` sits in the block store (GraphCatalog), re-deriving it per
+    * round is faster than materializing a second 2·|E| copy — measured
+    * at sf0.1: 2.3 s vs 2.7 s for 3 rounds, with far less run-to-run
+    * jitter (block-store churn). When `edges` comes straight off
+    * parquet, persisting avoids `rounds` extra scans — that is the
+    * 100 TB path. */
+  private def undirectedView(edges: DataFrame): (DataFrame, Boolean) = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val sourceCached =
+      edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (sourceCached) (und, false)
+    else (und.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      true)
+  }
+
   /** @return DataFrame["page", "comp"] — comp = min label within
     *         `rounds` hops (component representative once converged). */
   def labelPropagation(pages: DataFrame, edges: DataFrame,
                        rounds: Int,
                        knownVertexCount: Option[Long] = None): DataFrame = {
-    val undirected = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (undirected, ownPin) = undirectedView(edges)
 
     // callers that already hold |V| (GraphCatalog) skip the count job
     val hintSmall = knownVertexCount.getOrElse(pages.count()) <=
@@ -48,7 +70,7 @@ object Components {
         .groupBy("page").agg(min("lbl").as("lbl"))
         .localCheckpoint(eager = i == rounds)
     }
-    undirected.unpersist()
+    if (ownPin) undirected.unpersist()
     labels.select(col("page"), col("lbl").as("comp"))
   }
 
@@ -64,9 +86,7 @@ object Components {
   def components(pages: DataFrame, edges: DataFrame,
                  maxRounds: Int = 50,
                  knownVertexCount: Option[Long] = None): DataFrame = {
-    val undirected = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (undirected, ownPin) = undirectedView(edges)
 
     val hintSmall = knownVertexCount.getOrElse(pages.count()) <=
       PageRank.BroadcastVertexLimit
@@ -90,7 +110,7 @@ object Components {
       labels = next
       round += 1
     }
-    undirected.unpersist()
+    if (ownPin) undirected.unpersist()
     labels.select(col("page"), col("lbl").as("comp"))
   }
 }

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Similarity search over the `embeddings` table (64-dim float
-  * vectors): brute-force cosine top-k as the exact baseline, and a
+  * vectors): brute-force cosine top-k as the exact baseline, a
   * random-hyperplane LSH (SimHash-for-vectors, Charikar'02) bucketed
-  * variant as the scale path.
+  * variant, and an IVF (inverted-file, coarse-quantizer) variant — the
+  * two standard sublinear scale paths.
   *
   * Scale design (100 TB):
   *   - brute force: the query set is small → broadcast it against the
@@ -19,8 +20,14 @@ import graft.Tables
   *   - LSH: a 6-hyperplane signature buckets the corpus into 64 cells;
   *     only same-cell pairs are scored — candidate generation is a
   *     bucket equi-join, never O(corpus²). The hyperplane "table" is 6
-  *     rows — broadcast. Recall is tunable by planes/probes; this is
-  *     the IVF-coarse-quantization shape.
+  *     rows — broadcast. Recall is tunable by planes/probes.
+  *   - IVF: a bounded centroid table (nlist ≤ 16 here; a real index
+  *     uses ~2¹⁶ — still broadcastable) assigns every corpus vector to
+  *     its nearest cell in ONE narrow pass + a partial-agg argmax;
+  *     queries probe their nprobe=2 nearest cells and score only those
+  *     cells' members via a cell equi-join. The corpus shuffles once
+  *     (the argmax agg), candidates are bucket-bounded, recall is
+  *     tunable by nprobe.
   *
   * Determinism: hyperplane components are md5-derived
   * (w[j][i] = hash32(j:i)/2³¹ − 1 ∈ [−1,1)), so Spark and DuckDB
@@ -105,6 +112,48 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // IVF top-k: deterministic coarse quantizer (centroids = a FIXED
+    // bounded id set, so the broadcast is constant-size at any corpus
+    // scale), argmax cell assignment, nprobe=2 probing.
+    "q_ann_ivf" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val cents = e
+        .filter(col("vec_id") % 100 === 50 && col("vec_id") < 1600)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      def ccos = call_function("cosine_sim", col("cv"), col("embedding"))
+      // assignment: corpus × (≤16 broadcast centroids) map-side, then a
+      // partial-agg argmax — max(struct(cos, cid)) picks the highest
+      // cosine, ties to the highest cid, matching the oracle's
+      // ORDER BY ccos DESC, cid DESC. One corpus shuffle total.
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), ccos.as("ccos"), col("cid"))
+        .groupBy("vec_id").agg(max(struct(col("ccos"), col("cid"))).as("b"))
+        .select(col("vec_id"), col("b.cid").as("cell"))
+      val ev = e.join(assigned, "vec_id")
+      // query probes: nprobe=2 nearest cells per query (tiny: queries ×
+      // ≤16 centroids, window over ≤16 rows)
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("pcos").desc, col("pcell").desc)
+      val probes = queryVecs(e)
+        .crossJoin(broadcast(cents))
+        .select(col("qid"), col("qv"), col("cid").as("pcell"),
+          call_function("cosine_sim", col("cv"), col("qv")).as("pcos"))
+        .withColumn("pr", row_number().over(wq))
+        .filter(col("pr") <= 2)
+        .select(col("qid"), col("qv"), col("pcell"))
+      // candidates: cell equi-join — each corpus vector lives in exactly
+      // one cell, so no duplicate (qid, vec_id) pairs
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      ev.join(broadcast(probes),
+          col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -158,6 +207,45 @@ object SimilarityQueries {
                                   for i in range(1, len(q.qv) + 1)]) /
                               (q.qn * ev.nrm) AS cos
                  FROM q JOIN ev ON ev.sig = q.qsig AND ev.vec_id <> q.qid),
+          r AS (SELECT qid, vec_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, vec_id) AS rank
+                FROM sc)
+          SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
+          ORDER BY qid, rank""",
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
+                     FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+                WHERE vec_id % 100 = 50 AND vec_id < 1600),
+          asg0 AS (SELECT e.vec_id, c.cid,
+                          list_sum([c.cv[i] * e.v[i]
+                                    for i in range(1, len(e.v) + 1)]) /
+                                (c.cn * e.nrm) AS ccos
+                   FROM e CROSS JOIN c),
+          asg AS (SELECT vec_id, cid AS cell FROM
+                  (SELECT vec_id, cid,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cid DESC) AS rn
+                   FROM asg0) WHERE rn = 1),
+          ev AS (SELECT e.vec_id, e.v, e.nrm, a.cell FROM e
+                 JOIN asg a ON e.vec_id = a.vec_id),
+          qp AS (SELECT qid, qv, qn, pcell FROM
+                 (SELECT e.vec_id AS qid, e.v AS qv, e.nrm AS qn,
+                         c.cid AS pcell,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum([c.cv[i] * e.v[i]
+                                     for i in range(1, len(e.v) + 1)]) /
+                                 (c.cn * e.nrm) DESC, c.cid DESC) AS rn
+                  FROM e CROSS JOIN c WHERE e.vec_id % 100 = 0)
+                 WHERE rn <= 2),
+          sc AS (SELECT qp.qid, ev.vec_id,
+                        list_sum([qp.qv[i] * ev.v[i]
+                                  for i in range(1, len(qp.qv) + 1)]) /
+                              (qp.qn * ev.nrm) AS cos
+                 FROM qp JOIN ev ON ev.cell = qp.pcell
+                                AND ev.vec_id <> qp.qid),
           r AS (SELECT qid, vec_id, cos,
                        ROW_NUMBER() OVER (PARTITION BY qid
                          ORDER BY cos DESC, vec_id) AS rank
