@@ -56,7 +56,7 @@ object Components {
 
     // callers that already hold |V| (GraphCatalog) skip the count job
     val hintSmall = knownVertexCount.getOrElse(pages.count()) <=
-      PageRank.BroadcastVertexLimit
+      PageRank.broadcastVertexLimit(pages.sparkSession)
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
 
     var labels = pages.select(col("page"), col("page").as("lbl"))
@@ -89,7 +89,7 @@ object Components {
     val (undirected, ownPin) = undirectedView(edges)
 
     val hintSmall = knownVertexCount.getOrElse(pages.count()) <=
-      PageRank.BroadcastVertexLimit
+      PageRank.broadcastVertexLimit(pages.sparkSession)
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
 
     var labels = pages.select(col("page"), col("page").as("lbl"))

@@ -53,6 +53,14 @@ object PageRank {
     * executor memory on any serious cluster; tune per deployment). */
   val BroadcastVertexLimit = 10_000_000L
 
+  /** Deployment override of [[BroadcastVertexLimit]]: set
+    * `spark.graft.broadcastVertexLimit` in the session conf (runtime
+    * settable — no restart) to match executor memory; 0 disables vertex
+    * broadcasts entirely. */
+  def broadcastVertexLimit(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.broadcastVertexLimit")
+      .map(_.toLong).getOrElse(BroadcastVertexLimit)
+
   /** @param pages DataFrame["page"]; @param edges DataFrame["src","dst"]
     * (already red-link-cleaned and deduped — use [[LinkGraph.removeRedLinks]]).
     * @param onIteration called after each iteration with (i, ranks-so-far);
@@ -70,7 +78,7 @@ object PageRank {
 
     val p = pages.persist(StorageLevel.MEMORY_AND_DISK)
     val n = p.count().toDouble // A2 — the reference's NVALUE counter
-    val hintSmall = n <= BroadcastVertexLimit
+    val hintSmall = n <= broadcastVertexLimit(spark)
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
 
     // out-degree per source; rank_contribution(edge) = rank(src)/deg(src).
