@@ -117,4 +117,45 @@ object EventStreams {
           UserUpdate(user, st.n, st.streak)
       }
   }
+
+  /** Session-close emission via `flatMapGroupsWithState` — the 0..n-rows
+    * -per-group form `mapGroupsWithState` can't express: a user's
+    * session stays OPEN in state until a later event arrives more than
+    * `gapMinutes` after it, at which point the completed session is
+    * emitted (possibly several per batch, possibly none). State is one
+    * open session per user — bounded by the user population, and each
+    * session is emitted exactly once (append semantics).
+    */
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start: java.sql.Timestamp,
+                                 end: java.sql.Timestamp, n: Long)
+
+  def sessionCloseStream(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+                         gapMinutes: Int): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val ts = rows.map(_._2.getTime).toSeq.sorted
+          val closed = Seq.newBuilder[ClosedSession]
+          var cur = state.getOption
+          ts.foreach { t =>
+            cur match {
+              case Some(s) if t - s.lastMs < gapMs =>
+                cur = Some(s.copy(lastMs = t, n = s.n + 1))
+              case Some(s) =>
+                closed += ClosedSession(user, new java.sql.Timestamp(s.startMs),
+                  new java.sql.Timestamp(s.lastMs), s.n)
+                cur = Some(OpenSession(t, t, 1))
+              case None =>
+                cur = Some(OpenSession(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 }

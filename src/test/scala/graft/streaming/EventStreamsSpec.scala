@@ -135,6 +135,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: sessions are emitted exactly once, when closed by a later event") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.sessionCloseStream(input.toDS(), gapMinutes = 60)
+      .writeStream.format("memory").queryName("close_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, ts(0)), (1L, ts(5)), (2L, ts(10))))
+      q.processAllAvailable()
+      // both sessions still open — nothing emitted yet
+      assert(s.table("close_test").count() == 0)
+      input.addData(Seq((1L, ts(300)))) // 295 min gap → closes session 1
+      q.processAllAvailable()
+      val got = s.table("close_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSeq
+      assert(got == Seq((1L, ts(0), ts(5), 2L))) // emitted once, user 2 open
+      // two sessions closed in ONE batch: events at 400 and 600 close
+      // the (300) session and the (400) session in the same trigger
+      input.addData(Seq((1L, ts(400)), (1L, ts(600))))
+      q.processAllAvailable()
+      val all = s.table("close_test").filter(col("user_id") === 1)
+        .orderBy("start").collect().map(r => r.getTimestamp(1)).toSeq
+      assert(all == Seq(ts(0), ts(300), ts(400)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: errors pick up same-user clicks within the horizon") {
     val s = spark
     import s.implicits._
