@@ -33,17 +33,71 @@ object ShingleHashUtil {
   private val mdLocal: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** First 8 md5 hex digits of the UTF-8 bytes, as an unsigned 32-bit
-    * value in a long — bit-identical to Spark
+  // ---- single-block MD5 (RFC 1321) for short inputs -------------------
+  // A shingle is a handful of bytes; MessageDigest pays per-call object
+  // machinery (reset, buffering, a fresh 16-byte digest array) that
+  // dominates the actual 64-round compression at that size. Inputs
+  // ≤ 55 bytes fit one padded 64-byte block, and hash32 needs only the
+  // first 4 digest bytes = the little-endian A word — so we run the 64
+  // rounds directly and skip everything else. Verified bit-identical to
+  // MessageDigest by ShingleHashesSpec's random-unicode property suite
+  // and every md5-derived oracle gate.
+  private val MdK: Array[Int] = Array.tabulate(64)(i =>
+    ((math.abs(math.sin(i + 1.0)) * 4294967296.0).toLong & 0xffffffffL).toInt)
+  private val MdS: Array[Int] = Array(
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21)
+  private val blockLocal: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](16))
+
+  /** First 8 md5 hex digits of bytes[off, off+len), as an unsigned
+    * 32-bit value in a long — bit-identical to Spark
     * `conv(substring(md5(s),1,8),16,10)` and DuckDB
     * `('0x'||substring(md5(s),1,8))::BIGINT`. */
-  def hash32(bytes: Array[Byte]): Long = {
-    val md = mdLocal.get()
-    md.reset()
-    val d = md.digest(bytes)
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  def hash32(bytes: Array[Byte], off: Int, len: Int): Long = {
+    if (len > 55) { // multi-block: delegate to MessageDigest
+      val md = mdLocal.get()
+      md.reset()
+      md.update(bytes, off, len)
+      val d = md.digest()
+      return ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val m = blockLocal.get()
+    java.util.Arrays.fill(m, 0)
+    var i = 0
+    while (i < len) {
+      m(i >> 2) |= (bytes(off + i) & 0xff) << ((i & 3) << 3)
+      i += 1
+    }
+    m(len >> 2) |= 0x80 << ((len & 3) << 3) // 1-bit pad
+    m(14) = len << 3 // bit length, low word (len ≤ 55 so high word = 0)
+    var a = 0x67452301
+    var b = 0xefcdab89
+    var c = 0x98badcfe
+    var d = 0x10325476
+    i = 0
+    while (i < 64) {
+      var f = 0
+      var g = 0
+      if (i < 16) { f = (b & c) | (~b & d); g = i }
+      else if (i < 32) { f = (d & b) | (~d & c); g = (5 * i + 1) & 15 }
+      else if (i < 48) { f = b ^ c ^ d; g = (3 * i + 5) & 15 }
+      else { f = c ^ (b | ~d); g = (7 * i) & 15 }
+      val x = a + f + MdK(i) + m(g)
+      a = d
+      d = c
+      c = b
+      b = b + Integer.rotateLeft(x, MdS(i))
+      i += 1
+    }
+    // digest bytes 0..3 are the little-endian sum word A0+a
+    Integer.reverseBytes(0x67452301 + a).toLong & 0xffffffffL
   }
+
+  def hash32(bytes: Array[Byte]): Long = hash32(bytes, 0, bytes.length)
 
   /** Sort + dedupe (adjacent) a hash buffer of length `n` → ArrayData.
     * Matches `array_sort(array_distinct(hashes))`: distinct-by-string
@@ -108,18 +162,36 @@ object ShingleHashUtil {
 
   /** Distinct sorted hash32 of character k-gram shingles (character
     * semantics, matching Spark/DuckDB `substring`). Texts shorter than
-    * k chars → empty array. */
+    * k chars → empty array. Zero-copy: one `getBytes` per document, a
+    * UTF-8 char-boundary walk, then every shingle is an (offset, len)
+    * window hashed in place — no per-shingle substring allocation (the
+    * dedup HashSet wraps the shared array via `UTF8String.fromBytes`).
+    */
   def charShingleHashes(text: UTF8String, k: Int): ArrayData = {
     val n = text.numChars()
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val bytes = text.getBytes
+    val starts = new Array[Int](n + 1) // byte offset of each char
+    var i = 0
+    var off = 0
+    while (i < n) {
+      starts(i) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      i += 1
+    }
+    starts(n) = bytes.length
     val nShingles = n - k + 1
     val seen = new java.util.HashSet[UTF8String](nShingles * 2)
     val hashes = new Array[Long](nShingles)
     var nh = 0
-    var i = 0
+    i = 0
     while (i < nShingles) {
-      val s = text.substringSQL(i + 1, k)
-      if (seen.add(s)) { hashes(nh) = hash32(s.getBytes); nh += 1 }
+      val o = starts(i)
+      val l = starts(i + k) - o
+      if (seen.add(UTF8String.fromBytes(bytes, o, l))) {
+        hashes(nh) = hash32(bytes, o, l)
+        nh += 1
+      }
       i += 1
     }
     sortedDistinct(hashes, nh)

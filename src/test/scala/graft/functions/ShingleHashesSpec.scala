@@ -19,6 +19,23 @@ class ShingleHashesSpec extends SparkSpec {
       .select("doc_id", "text")
   }
 
+  test("hash32 one-block MD5 == MessageDigest across the 55-byte fallback boundary") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rnd = new scala.util.Random(11)
+    for (len <- 0 to 60; trial <- 1 to 3) {
+      val padded = new Array[Byte](len + 7) // exercise a non-zero offset
+      rnd.nextBytes(padded)
+      val off = trial % 5
+      md.reset()
+      md.update(padded, off, len)
+      val d = md.digest()
+      val want = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      assert(ShingleHashUtil.hash32(padded, off, len) == want,
+        s"len=$len off=$off")
+    }
+  }
+
   test("word_shingle_hashes == array_sort∘distinct∘hash∘shingles (sf0.001 corpus)") {
     val df = docs
       .withColumn("toks", split(col("text"), "\\s+"))
