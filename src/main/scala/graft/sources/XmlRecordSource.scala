@@ -81,6 +81,7 @@ private class XmlRecordTable(options: CaseInsensitiveStringMap)
           throw new IllegalArgumentException("graft-xml requires a path"))
         val maxSplit = Option(options.get("maxSplitBytes"))
           .map(_.toLong).getOrElse(128L * 1024 * 1024)
+        require(maxSplit > 0, s"maxSplitBytes must be > 0, got $maxSplit")
         val conf = spark.sparkContext.hadoopConfiguration
         val fs = new Path(path).getFileSystem(conf)
         val files = {

@@ -56,6 +56,14 @@ object WikiPipeline {
     parsed.unpersist(blocking = false)
 
     val n = LinkGraph.countPages(pages) // job3 — the NVALUE counter
+    // job3's on-disk artifact: the reference's NReducer writes the line
+    // `N =\t<N>` (PageRank.java:235 — the driver reads the counter, but
+    // the file is part of the output contract a user sees)
+    locally {
+      import spark.implicits._
+      Seq(s"N =\t$n").toDF("value").coalesce(1)
+        .write.mode("overwrite").text(s"$output/n")
+    }
 
     val ranks = PageRank.run(pages, edges, iters,
       onIteration = (i, r) =>

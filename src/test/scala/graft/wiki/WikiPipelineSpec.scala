@@ -53,5 +53,11 @@ class WikiPipelineSpec extends SparkSpec {
     // iteration-1 parquet snapshot: one row per page under iter=1
     val snap = spark.read.parquet(s"$out/snapshots")
     assert(snap.filter(col("iter") === 1).count() == n)
+
+    // job3's `N =` artifact, byte-shaped like the reference's NReducer
+    val nLines = Files.list(Paths.get(s"$out/n")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(f => Files.readAllLines(f).asScala).toSeq
+    assert(nLines == Seq(s"N =\t$n"))
   }
 }
