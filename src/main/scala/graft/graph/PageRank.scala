@@ -78,6 +78,10 @@ object PageRank {
 
     val p = pages.persist(StorageLevel.MEMORY_AND_DISK)
     val n = p.count().toDouble // A2 — the reference's NVALUE counter
+    if (n == 0) { // empty graph: no pages → no ranks (1/N is undefined)
+      p.unpersist()
+      return pages.select(col("page"), lit(0.0).as("rank"))
+    }
     val hintSmall = n <= broadcastVertexLimit(spark)
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
 

@@ -36,6 +36,11 @@ class PageRankSpec extends SparkSpec {
   private val star = (Seq("hub", "s1", "s2"), Seq("hub" -> "s1", "hub" -> "s2"))
   private val chain = (Seq("a", "b", "c"), Seq("a" -> "b", "b" -> "c")) // c dangling
 
+  test("empty graph yields an empty rank vector, not Infinity") {
+    val got = dfRanks(Seq.empty, Seq.empty, 4)
+    assert(got.isEmpty)
+  }
+
   test("2-cycle is stationary at 1/2 each") {
     val got = dfRanks(cycle._1, cycle._2, 8)
     assert(math.abs(got("a") - 0.5) < 1e-12 && math.abs(got("b") - 0.5) < 1e-12)
