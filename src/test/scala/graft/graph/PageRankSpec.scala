@@ -41,6 +41,17 @@ class PageRankSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("checkpointInterval > 1 produces bit-identical ranks") {
+    val s = spark
+    import s.implicits._
+    val (pages, edges) = (star._1.toDF("page"), star._2.toDF("src", "dst"))
+    val every = PageRank.run(pages, edges, iters = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sparse = PageRank.run(pages, edges, iters = 6, checkpointInterval = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(every == sparse)
+  }
+
   test("2-cycle is stationary at 1/2 each") {
     val got = dfRanks(cycle._1, cycle._2, 8)
     assert(math.abs(got("a") - 0.5) < 1e-12 && math.abs(got("b") - 0.5) < 1e-12)

@@ -26,6 +26,28 @@ class RankSinkSpec extends SparkSpec {
     assert(lines == Seq("a\t0.5", "b\t0.25", "c\t0.125"))
   }
 
+  test("singleFile=false ships N sorted parts whose file order preserves the global sort") {
+    val s = spark
+    import s.implicits._
+    // AQE coalesces a tiny sort to one partition by size; disable the
+    // coalescing for this write so the range sort actually spreads over
+    // multiple files, as a 100 TB output would
+    val ranks = (1 to 400).map(i => (f"p$i%04d", 1.0 / i)).toDF("page", "rank")
+    val dir = tmp() + "/multi"
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(key, "false")
+    try RankSink.writeRankedText(ranks, dir, singleFile = false)
+    finally spark.conf.unset(key)
+    val parts = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+    assert(parts.size > 1, s"expected multiple part files, got ${parts.size}")
+    val all = parts.flatMap(f => Files.readAllLines(f).asScala)
+      .map(_.split("\t")(1).toDouble)
+    assert(all.size == 400)
+    assert(all == all.sorted.reverse) // concatenation in filename order IS the global order
+  }
+
   test("JSON-lines round trip preserves ranks bit-for-bit across write/read") {
     val s = spark
     import s.implicits._
