@@ -103,6 +103,27 @@ object GraphQueries {
         .orderBy(col("page"))
     }),
 
+    // Components to CONVERGENCE (the production form whose round count
+    // the data decides) via large-star/small-star contraction — gated
+    // against a DuckDB RECURSIVE transitive-closure oracle, which is
+    // round-count-independent. Runs on a sparse supplier co-occurrence
+    // graph (l_quantity > 49 cut: ~0.5k pair-edges at sf0.1) whose
+    // chain-shaped components are exactly the case where HashMin pays
+    // one eager round per hop and contraction pays O(log²).
+    "q_components_converged" -> ((s, d) => {
+      val li = graft.Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 49)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+        .distinct()
+      val pages = graft.Tables.supplier(s, d)
+        .select(col("s_suppkey").as("page"))
+      Components.componentsStarContraction(pages, e).orderBy(col("page"))
+    }),
+
     // Degree distribution — the graph-health histogram every pipeline
     // checks before running PageRank (hub detection, skew planning).
     // Two small aggregations; dangling pages appear as out_deg = 0.
@@ -229,6 +250,20 @@ object GraphQueries {
                 UNION ALL SELECT c FROM tri)
           SELECT supplier, COUNT(*) AS n_tri FROM x
           GROUP BY supplier ORDER BY supplier""",
+    "q_components_converged" ->
+      """WITH RECURSIVE
+          li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                 WHERE l_quantity > 49),
+          e AS (SELECT DISTINCT x.l_suppkey AS s1, y.l_suppkey AS s2
+                FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                                    AND x.l_suppkey < y.l_suppkey),
+          und AS (SELECT s1, s2 FROM e UNION ALL SELECT s2, s1 FROM e),
+          r AS (SELECT s_suppkey AS page, s_suppkey AS reach FROM supplier
+                UNION
+                SELECT u.s1 AS page, r.reach
+                FROM r JOIN und u ON u.s2 = r.page)
+          SELECT page, MIN(reach) AS comp FROM r
+          GROUP BY page ORDER BY page""",
     "q_graph_components" -> {
       val roundCtes = (1 to 3).map { k =>
         s"""l$k AS (SELECT page, MIN(lbl) AS lbl FROM (

@@ -54,6 +54,20 @@ class ComponentsProperties extends SparkSpec {
     }
   }
 
+  test("star contraction equals converged HashMin on random graphs") {
+    val s = spark
+    import s.implicits._
+    for ((vs, es) <- samples(6)) {
+      val pages = vs.toDF("page")
+      val edges = es.toDF("src", "dst")
+      val hashMin = Components.components(pages, edges)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val stars = Components.componentsStarContraction(pages, edges)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(stars == hashMin, s"n=${vs.size} m=${es.size}")
+    }
+  }
+
   test("converged components form a partition closed under edges") {
     val s = spark
     import s.implicits._
