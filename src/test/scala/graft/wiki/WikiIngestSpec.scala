@@ -48,6 +48,25 @@ class WikiIngestSpec extends SparkSpec {
     ))
   }
 
+  test("malformed records are silently dropped, like the reference's per-record try/catch") {
+    // the reference swallows XPath/DOM errors per record and moves on
+    // (PageRank.java:104-110); parsePageXml must do the same — bad blobs
+    // become null-title rows and are filtered, never exceptions
+    val s = spark
+    import s.implicits._
+    val mixed = Seq(
+      page("Good Page", "Body [[link]]."),
+      "<page><title>Unclosed", // truncated mid-record
+      "not xml at all",
+      "", // empty blob
+      "<page><revision><text>no title element</text></revision></page>",
+      page("Second Good", "More.")
+    ).toDF("xml")
+    val out = WikiIngest.parsePageXml(mixed, "xml")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(out == Seq("Good Page", "Second Good"))
+  }
+
   test("red-link semi-join drops links to non-pages, keeps dangling pages in vertex set") {
     val pages = WikiIngest.pageTitles(parsed)
     val edges = LinkGraph.removeRedLinks(
