@@ -130,6 +130,31 @@ object EventQueries {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // RANGE-frame window: per event, aggregates over the same user's
+    // trailing 1-hour window — the time-based frame mode (vs the ROWS
+    // frames of q_window_running/q_events_asof): the frame is defined by
+    // ORDER-value distance, so ts ties are peers and row count varies
+    // per row. One shuffle on user_id. Aggregates chosen
+    // order-independent (COUNT, integer SUM, MAX) so intra-frame
+    // evaluation order can never flip a bit between engines.
+    "q_events_window_range" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          // `div`, not `/`: integer division on longs (the `/` quotient
+          // is a double, whose rounding can disagree with the oracle's
+          // integer `//` at µs-exact second boundaries)
+          expr("unix_micros(ts) div 1000000").as("es"),
+          EventStreams.propsK(col("props")).as("k"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+        .rangeBetween(-3600, 0)
+      ev.select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("k")).over(w).as("sum_k_1h"),
+          max(col("k")).over(w).as("max_k_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // Semi-structured props: JSON field extraction + aggregate.
     "q_events_json" -> ((s, d) => {
       Tables.events(s, d)
@@ -231,6 +256,19 @@ object EventQueries {
          FROM j WHERE week_offset BETWEEN 0 AND 3
          GROUP BY cohort_week, week_offset
          ORDER BY cohort_week, week_offset""",
+    "q_events_window_range" ->
+      """WITH ev AS (SELECT user_id, event_id,
+                     CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                     FROM events)
+         SELECT user_id, event_id,
+                COUNT(*) OVER w AS n_1h,
+                CAST(SUM(k) OVER w AS BIGINT) AS sum_k_1h,
+                MAX(k) OVER w AS max_k_1h
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY es
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q_events_json" ->
       """SELECT event_type,
                 COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,

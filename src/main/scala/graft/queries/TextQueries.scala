@@ -184,6 +184,37 @@ object TextQueries {
           array_min(col("fps")).as("min_fp"),
           array_max(col("fps")).as("max_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Heavy hitters via a count-min sketch ([[graft.functions.CountMinAgg]]
+    // — d=4 rows × w=256 counters): the corpus-frequency question at a
+    // scale where an exact vocabulary count is the shuffle bottleneck.
+    // One token pass feeds the MERGEABLE sketch (partial+final agg, d·w
+    // longs per partition cross the wire); candidates probe the 1-row
+    // broadcast sketch; estimate = min over rows — never under-counts.
+    // The exact count rides along so over-estimation is visible. Every
+    // hash is md5/affine-derived — DuckDB rebuilds the identical counter
+    // matrix relationally.
+    "q_text_heavyhitters" -> ((s, d) => {
+      val D = 4
+      val W = 256
+      val cms = udaf(new graft.functions.CountMinAgg(D, W))
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("hv",
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      val sketch = toks.agg(cms(col("hv")).as("cms"))
+      val cand = toks.groupBy("tok", "hv").agg(count(lit(1)).as("exact"))
+      cand.crossJoin(broadcast(sketch))
+        .withColumn("est", expr(
+          s"""aggregate(sequence(0, ${D - 1}), 9223372036854775807L,
+             |  (acc, j) -> least(acc, element_at(cms,
+             |    j * $W + cast((((2*j+1) * hv + j * 2654435761)
+             |                   % 4294967296) % $W as int) + 1)))""".stripMargin))
+        .select(col("tok"), col("est"), col("exact"))
+        .orderBy(col("est").desc, col("tok"))
+        .limit(20)
     })
   )
 
@@ -304,7 +335,32 @@ object TextQueries {
            SELECT doc_id, len(fps) AS n_fp,
                   list_aggregate(fps, 'min') AS min_fp,
                   list_aggregate(fps, 'max') AS max_fp
-           FROM w ORDER BY doc_id"""
+           FROM w ORDER BY doc_id""",
+      "q_text_heavyhitters" ->
+        """WITH raw AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+                        FROM documents),
+           t AS (SELECT tok,
+                        CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                          AS hv
+                 FROM raw WHERE tok <> ''),
+           buckets AS (SELECT j.range AS j,
+                         (((2*j.range+1) * hv + j.range * 2654435761)
+                          % 4294967296) % 256 AS b,
+                         COUNT(*) AS c
+                       FROM t CROSS JOIN range(0, 4) j
+                       GROUP BY 1, 2),
+           cand AS (SELECT tok, hv, COUNT(*) AS exact FROM t
+                    GROUP BY tok, hv),
+           est AS (SELECT c.tok, MIN(bk.c) AS est, MIN(c.exact) AS exact
+                   FROM cand c
+                   CROSS JOIN range(0, 4) j
+                   JOIN buckets bk ON bk.j = j.range
+                     AND bk.b = (((2*j.range+1) * c.hv
+                                  + j.range * 2654435761)
+                                 % 4294967296) % 256
+                   GROUP BY c.tok)
+           SELECT tok, est, exact FROM est
+           ORDER BY est DESC, tok LIMIT 20"""
     )
   }
 }
