@@ -135,6 +135,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeable CMS sketch aggregates identically in batch and streaming") {
+    // the sketch Aggregators are the scale path BECAUSE they're
+    // mergeable; streaming incremental state maintenance is the same
+    // merge, so a stream must converge to the batch sketch exactly
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cms = udaf(new graft.functions.CountMinAgg(4, 64))
+    val data: Seq[java.lang.Long] =
+      (1L to 30L).flatMap(v => Seq.fill((v % 7 + 1).toInt)(java.lang.Long.valueOf(v)))
+
+    val input = MemoryStream[java.lang.Long]
+    val q = input.toDF().toDF("h")
+      .agg(cms(col("h")).as("cms"))
+      .writeStream.format("memory").queryName("cms_test")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = data.splitAt(data.size / 2)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b) // second micro-batch: state merged incrementally
+      q.processAllAvailable()
+      val streamed = s.table("cms_test").head().getSeq[Long](0)
+      val batch = data.toDF("h").agg(cms(col("h")).as("cms"))
+        .head().getSeq[Long](0)
+      assert(streamed == batch)
+      assert(streamed.sum == 4L * data.size) // every input counted d times
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: sessions are emitted exactly once, when closed by a later event") {
     val s = spark
     import s.implicits._
