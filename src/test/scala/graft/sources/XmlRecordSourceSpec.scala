@@ -74,6 +74,18 @@ class XmlRecordSourceSpec extends SparkSpec {
     assert(got == xml.length)
   }
 
+  test("rowTag option carves records of any tag, not just <page>") {
+    val dir = Files.createTempDirectory("graftxml6").toString
+    val recs = (1 to 25).map(i => s"<doc><id>$i</id><body>text $i</body></doc>")
+    Files.write(Paths.get(dir, "docs.xml"),
+      recs.mkString("\n").getBytes("UTF-8"))
+    val got = spark.read.format("graft-xml").option("path", dir)
+      .option("rowTag", "doc").option("maxSplitBytes", "256")
+      .load().collect().map(_.getString(0))
+    assert(got.length == recs.size)
+    assert(got.toSet == recs.toSet)
+  }
+
   test("recursive listing: nested partition dirs are read, hidden dirs skipped") {
     // a lake-shaped input: records nested two levels deep under partition
     // directories, plus a _temporary dir and a hidden file that must be
