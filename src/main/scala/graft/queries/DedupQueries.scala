@@ -152,6 +152,25 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Edit-distance near-dup on BOUNDED 40-char prefixes — the classic
+    // record-linkage measure, made scale-sane: the prefix cap makes the
+    // per-pair DP cost constant (40×40) regardless of document length,
+    // and length-bucket blocking bounds pair generation; a production
+    // pipeline uses this as the cheap verify pass behind an LSH
+    // candidate generator. levenshtein is the identical unit-cost DP on
+    // both engines, so the integer distances hash-match exactly.
+    "q_dedup_editdist" -> ((s, d) => {
+      val p = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
+          floor(col("n_chars") / 50).as("lb"))
+      p.as("x").join(p.as("y"),
+          col("x.lb") === col("y.lb") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          levenshtein(col("x.pre"), col("y.pre")).cast("long").as("dist"))
+        .filter(col("dist") <= 12)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Embedding cosine near-dup, blocked by the coarse cluster label
     // (IVF-style: only same-cell pairs are compared).
     "q_dedup_embedding" -> ((s, d) => {
@@ -251,6 +270,15 @@ object DedupQueries {
                                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
                                for b in range(0, 32)]) AS BIGINT) AS simhash
          FROM t ORDER BY doc_id""",
+    "q_dedup_editdist" ->
+      """WITH p AS (SELECT doc_id, substring(text, 1, 40) AS pre,
+                    CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb
+                    FROM documents)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+                CAST(levenshtein(x.pre, y.pre) AS BIGINT) AS dist
+         FROM p x JOIN p y ON x.lb = y.lb AND x.doc_id < y.doc_id
+         WHERE levenshtein(x.pre, y.pre) <= 12
+         ORDER BY a, b""",
     "q_dedup_ngram" ->
       """WITH s AS (SELECT doc_id, source, CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
                  list_distinct(list_transform(
