@@ -153,18 +153,25 @@ object DedupQueries {
     }),
 
     // Edit-distance near-dup on BOUNDED 40-char prefixes — the classic
-    // record-linkage measure, made scale-sane: the prefix cap makes the
-    // per-pair DP cost constant (40×40) regardless of document length,
-    // and length-bucket blocking bounds pair generation; a production
-    // pipeline uses this as the cheap verify pass behind an LSH
-    // candidate generator. levenshtein is the identical unit-cost DP on
-    // both engines, so the integer distances hash-match exactly.
+    // record-linkage measure, made scale-sane twice over: the prefix cap
+    // makes the per-pair DP cost constant (40×40) regardless of document
+    // length, and (length-bucket × 4-char-prefix-block) blocking bounds
+    // pair generation — Spark's levenshtein allocates its DP state per
+    // call, so candidate count IS the cost (length-bucket alone: 1.2M
+    // pairs / 36 s at sf0.1; with the prefix block: 40k pairs / ~1 s,
+    // same 23 result rows at sf0.01). The prefix block trades recall for
+    // candidates exactly like LSH banding: pairs differing inside the
+    // first 4 chars are missed — the standard blocking bargain,
+    // replayed identically by the oracle. levenshtein is the identical
+    // unit-cost DP on both engines → integer distances hash-match.
     "q_dedup_editdist" -> ((s, d) => {
       val p = Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
-          floor(col("n_chars") / 50).as("lb"))
+          floor(col("n_chars") / 50).as("lb"),
+          substring(col("text"), 1, 4).as("pb"))
       p.as("x").join(p.as("y"),
-          col("x.lb") === col("y.lb") && col("x.doc_id") < col("y.doc_id"))
+          col("x.lb") === col("y.lb") && col("x.pb") === col("y.pb") &&
+            col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
           levenshtein(col("x.pre"), col("y.pre")).cast("long").as("dist"))
         .filter(col("dist") <= 12)
@@ -272,11 +279,13 @@ object DedupQueries {
          FROM t ORDER BY doc_id""",
     "q_dedup_editdist" ->
       """WITH p AS (SELECT doc_id, substring(text, 1, 40) AS pre,
-                    CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb
+                    CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
+                    substring(text, 1, 4) AS pb
                     FROM documents)
          SELECT x.doc_id AS a, y.doc_id AS b,
                 CAST(levenshtein(x.pre, y.pre) AS BIGINT) AS dist
-         FROM p x JOIN p y ON x.lb = y.lb AND x.doc_id < y.doc_id
+         FROM p x JOIN p y ON x.lb = y.lb AND x.pb = y.pb
+                           AND x.doc_id < y.doc_id
          WHERE levenshtein(x.pre, y.pre) <= 12
          ORDER BY a, b""",
     "q_dedup_ngram" ->
