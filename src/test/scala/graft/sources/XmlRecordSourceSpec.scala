@@ -74,6 +74,25 @@ class XmlRecordSourceSpec extends SparkSpec {
     assert(got == xml.length)
   }
 
+  test("empty file yields zero rows, truncated final record is dropped at EOF") {
+    val dir = Files.createTempDirectory("graftxml7").toString
+    Files.write(Paths.get(dir, "empty.xml"), Array.emptyByteArray)
+    assert(spark.read.format("graft-xml")
+      .option("path", s"$dir/empty.xml").load().count() == 0)
+    // a record whose end tag never arrives: the reference's
+    // readUntilMatch returns false at EOF (:107-108) and the partial
+    // record is dropped — two complete records survive, the tail doesn't
+    val txt = "<page><title>a</title></page>\n" +
+      "<page><title>b</title></page>\n" +
+      "<page><title>c</title>  ...truncated mid-record"
+    Files.write(Paths.get(dir, "trunc.xml"), txt.getBytes("UTF-8"))
+    val got = spark.read.format("graft-xml")
+      .option("path", s"$dir/trunc.xml").load()
+      .collect().map(_.getString(0))
+    assert(got.length == 2)
+    assert(got.forall(_.endsWith("</page>")))
+  }
+
   test("rowTag option carves records of any tag, not just <page>") {
     val dir = Files.createTempDirectory("graftxml6").toString
     val recs = (1 to 25).map(i => s"<doc><id>$i</id><body>text $i</body></doc>")
