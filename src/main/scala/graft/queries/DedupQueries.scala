@@ -134,23 +134,20 @@ object DedupQueries {
     }),
 
     // Blocked exact n-gram Jaccard: compare only within (source,
-    // length-bucket) blocks — the deterministic-blocking baseline that
-    // keeps exact similarity O(block²) instead of O(corpus²).
-    "q_dedup_ngram" -> ((s, d) => {
-      graft.GraftFunctions.register(s)
-      val sh = Tables.documents(s, d)
-        .withColumn("sh", call_function("char_shingle_hashes", col("text"), lit(5)))
-        .select(col("doc_id"), col("source"),
-          floor(col("n_chars") / 50).as("lb"), col("sh"))
-        .localCheckpoint(eager = true) // hash pass once, not per join side
-      sh.as("x").join(sh.as("y"),
-          col("x.source") === col("y.source") && col("x.lb") === col("y.lb") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          Dedup.jaccardSorted(col("x.sh"), col("y.sh")).as("jaccard"))
-        .filter(col("jaccard") >= 0.2)
-        .orderBy(col("a"), col("b"))
-    }),
+    // length-bucket) blocks, with a per-block size cap routing oversized
+    // blocks through minhash banding (see [[ngramNearDup]]) so no block
+    // can go quadratic at scale. At the default cap the banded route is
+    // dormant on healthy data — output is identical to plain blocked
+    // all-pairs, which is what the oracle states.
+    "q_dedup_ngram" -> ((s, d) => ngramNearDup(s, d, blockCap = 1000)),
+
+    // The same query with the cap forced low (5) so the banded overflow
+    // route is EXERCISED at sf0.01 (blocks of 6-8 docs exist there) and
+    // hash-gated against an oracle that replays the identical routing.
+    // 287 vs 292 rows at sf0.01: the 5 missed borderline pairs are the
+    // documented banding recall trade (16 single-row bands retain
+    // P = 1-(1-J)^16 ≈ 97% at J = 0.2, ~100% at J ≥ 0.3).
+    "q_dedup_ngram_capped" -> ((s, d) => ngramNearDup(s, d, blockCap = 5)),
 
     // Edit-distance near-dup on BOUNDED 40-char prefixes — the classic
     // record-linkage measure, made scale-sane twice over: the prefix cap
@@ -193,6 +190,68 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     })
   )
+
+  /** Skew-hardened blocked n-gram near-dup join.
+    *
+    * Blocking is (source × length-bucket) as before, but no block is
+    * allowed to go quadratic: blocks with ≤ `blockCap` documents use
+    * exact within-block all-pairs; oversized blocks route through 16
+    * single-row minhash bands (candidate = same block AND sharing ≥ 1 of
+    * 16 minhash values), then exact-Jaccard verification of candidates
+    * only. Worst case per oversized block drops from O(n²) pairs to the
+    * banding collision count, which is governed by true similarity — a
+    * 10k-doc block of dissimilar documents generates ~0 candidates
+    * instead of 50M (DedupNgramCapSpec).
+    *
+    * Single-row bands (not the 4×4 of q_dedup_lsh) because this query's
+    * threshold is low: P(candidate | J) = 1-(1-J)^16 ≈ 0.97 at J = 0.2
+    * where 4-row bands would retain < 30%.
+    */
+  def ngramNearDup(s: SparkSession, d: String, blockCap: Int): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val sh0 = Tables.documents(s, d)
+      .withColumn("sh", call_function("char_shingle_hashes", col("text"), lit(5)))
+      .select(col("doc_id"), col("source"),
+        floor(col("n_chars") / 50).as("lb"), col("sh"))
+      .localCheckpoint(eager = true) // hash pass once, not per join side
+    ngramCandidates(sh0, blockCap)
+      // arrays join candidates once at the end, instead of being carried
+      // through the pair self-join
+      .join(sh0.select(col("doc_id").as("a"), col("sh").as("shx")), "a")
+      .join(sh0.select(col("doc_id").as("b"), col("sh").as("shy")), "b")
+      .select(col("a"), col("b"),
+        Dedup.jaccardSorted(col("shx"), col("shy")).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Candidate (a, b) pairs under the capped blocking scheme. `sh0`
+    * must have columns (doc_id, source, lb, sh). Exposed for
+    * DedupNgramCapSpec's bounded-candidates assertion. */
+  private[graft] def ngramCandidates(sh0: DataFrame, blockCap: Int): DataFrame = {
+    // block sizes: one row per (source, lb) — grouped-bounded (far fewer
+    // blocks than documents by construction), so broadcast, and only the
+    // narrow key columns shuffle for the count
+    val bc = sh0.groupBy("source", "lb").agg(count(lit(1)).as("bc"))
+    val sh = sh0.join(broadcast(bc), Seq("source", "lb"))
+    val small = sh.filter(col("bc") <= blockCap)
+      .select("doc_id", "source", "lb")
+    val smallCand = small.as("x").join(small.as("y"),
+        col("x.source") === col("y.source") && col("x.lb") === col("y.lb") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val bands = sh.filter(col("bc") > blockCap)
+      .withColumn("sig", call_function("minhash_sig", col("sh"), lit(16)))
+      .select(col("doc_id"), col("source"), col("lb"), posexplode(col("sig")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "v")
+    val bigCand = bands.as("x").join(bands.as("y"),
+        col("x.source") === col("y.source") && col("x.lb") === col("y.lb") &&
+          col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct() // a pair may collide in several bands
+    smallCand.unionByName(bigCand)
+  }
 
   // ---------------------------------------------------------------- oracles
 
@@ -303,6 +362,40 @@ object DedupQueries {
           SELECT a, b, CAST(inter AS DOUBLE) / (la + lb2 - inter) AS jaccard
           FROM p WHERE CAST(inter AS DOUBLE) / (la + lb2 - inter) >= 0.2
           ORDER BY a, b""",
+    // replays the cap-5 routing exactly: window count per block, exact
+    // all-pairs for small blocks, 16 single-row minhash bands for the
+    // oversized ones, exact-Jaccard verify of the union
+    "q_dedup_ngram_capped" ->
+      """WITH s0 AS (SELECT doc_id, source, CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
+                 list_distinct(list_transform(
+                   list_distinct([substring(text, i, 5)
+                                  for i in range(1, len(text) - 3)]),
+                   g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT))) AS sh
+                FROM documents),
+          s AS (SELECT *, count(*) OVER (PARTITION BY source, lb) AS bc FROM s0),
+          small_p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.sh AS shx, y.sh AS shy
+                FROM s x JOIN s y ON x.source = y.source AND x.lb = y.lb
+                                  AND x.doc_id < y.doc_id
+                WHERE x.bc <= 5),
+          big AS (SELECT doc_id, source, lb, sh,
+                    [list_aggregate(list_transform(sh,
+                       h -> ((2 * i + 1) * h + (i * 2654435761) % 4294967296) % 4294967296),
+                     'min') for i in range(0, 16)] AS sig
+                  FROM s WHERE bc > 5),
+          bands AS (SELECT doc_id, source, lb, b.range AS band, sig[1 + b.range] AS v
+                    FROM big CROSS JOIN range(0, 16) b),
+          big_cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                       FROM bands x JOIN bands y
+                       ON x.source = y.source AND x.lb = y.lb AND x.band = y.band
+                          AND x.v = y.v AND x.doc_id < y.doc_id),
+          big_p AS (SELECT c.a, c.b, sx.sh AS shx, sy.sh AS shy
+                    FROM big_cand c JOIN s0 sx ON c.a = sx.doc_id
+                                    JOIN s0 sy ON c.b = sy.doc_id),
+          allp AS (SELECT * FROM small_p UNION ALL SELECT * FROM big_p),
+          j AS (SELECT a, b, CAST(len(list_intersect(shx, shy)) AS DOUBLE) /
+                       (len(shx) + len(shy) - len(list_intersect(shx, shy))) AS jaccard
+                FROM allp)
+          SELECT a, b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY a, b""",
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
                            sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
