@@ -112,10 +112,28 @@ private class XmlRecordTable(options: CaseInsensitiveStringMap)
             out.sortBy(_.getPath.toString).toSeq // deterministic split order
           } else Seq(root)
         }
+        // Compressed dumps (the form real MediaWiki dumps ship in —
+        // enwiki-…-pages-articles.xml.bz2): bzip2 is splittable at its
+        // compressed-block markers, so it gets byte-range splits like
+        // raw XML; gzip & friends are stream-ciphers with no sync
+        // points, so they fall back to ONE whole-file split (correct,
+        // just not parallel within the file).
+        val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
         val splits = ArrayBuffer.empty[InputPartition]
-        for (f <- files; off <- 0L until math.max(f.getLen, 1L) by maxSplit)
-          splits += XmlSplit(f.getPath.toString, off,
-            math.min(maxSplit, f.getLen - off))
+        for (f <- files) {
+          val mode = codecs.getCodec(f.getPath) match {
+            case null => XmlSplit.Raw
+            case _: org.apache.hadoop.io.compress.SplittableCompressionCodec =>
+              XmlSplit.SplitCompressed
+            case _ => XmlSplit.WholeCompressed
+          }
+          if (mode == XmlSplit.WholeCompressed)
+            splits += XmlSplit(f.getPath.toString, 0L, math.max(f.getLen, 1L), mode)
+          else
+            for (off <- 0L until math.max(f.getLen, 1L) by maxSplit)
+              splits += XmlSplit(f.getPath.toString, off,
+                math.min(maxSplit, f.getLen - off), mode)
+        }
         splits.toArray
       }
 
@@ -128,8 +146,15 @@ private class XmlRecordTable(options: CaseInsensitiveStringMap)
     }
 }
 
-private case class XmlSplit(path: String, start: Long, length: Long)
+private case class XmlSplit(path: String, start: Long, length: Long,
+                            mode: Byte = XmlSplit.Raw)
     extends InputPartition
+
+private object XmlSplit {
+  val Raw: Byte = 0             // uncompressed: byte-range splits
+  val SplitCompressed: Byte = 1 // bzip2: compressed-block-range splits
+  val WholeCompressed: Byte = 2 // gzip etc.: one split per file
+}
 
 private case class XmlReaderFactory(rowTag: String,
                                     conf: SerializableConfiguration)
@@ -149,33 +174,123 @@ private class XmlRecordReader(split: XmlSplit, startTag: Array[Byte],
     extends PartitionReader[InternalRow] {
 
   private val end = split.start + split.length
+  private var decompressor: org.apache.hadoop.io.compress.Decompressor = _
   // The reference read one byte per unbuffered FSDataInputStream.read()
   // call — faithful but a hot-path syscall per byte at 100 TB. We wrap in
   // a BufferedInputStream and track the stream position ourselves (the
   // buffer makes the underlying getPos run ahead of the bytes consumed),
   // keeping the byte-for-byte boundary semantics identical.
-  private val in: java.io.InputStream = {
+  //
+  // Compressed modes: a bzip2 split stream (BYBLOCK) starts at the first
+  // compressed-block marker ≥ split.start and reports getPos as the
+  // marker offset of the block currently being read — so "scan for start
+  // tags while getPos < end, read records to completion past it" makes
+  // each block owned by exactly one split (start ≤ marker < end), the
+  // compressed analogue of the Mahout rule. No BufferedInputStream there:
+  // it would decouple the bytes we consume from getPos.
+  private val streamAndGuard: (java.io.PushbackInputStream, () => Boolean) = {
     val path = new Path(split.path)
     val stream: FSDataInputStream = path.getFileSystem(conf.value).open(path)
-    stream.seek(split.start)
-    new java.io.BufferedInputStream(stream, 64 * 1024)
+    import org.apache.hadoop.io.compress._
+    split.mode match {
+      case XmlSplit.Raw =>
+        stream.seek(split.start)
+        // 1-byte pushback: a rejected start-tag terminator (e.g. the `x`
+        // in `<pagex>`, or a `<` in `<page<page ...`) is returned to the
+        // stream so the scan can reconsider it
+        (new java.io.PushbackInputStream(
+          new java.io.BufferedInputStream(stream, 64 * 1024), 1),
+          () => pos >= end)
+      case XmlSplit.SplitCompressed =>
+        val codec = new CompressionCodecFactory(conf.value).getCodec(path)
+        decompressor = CodecPool.getDecompressor(codec)
+        val scis = codec.asInstanceOf[SplittableCompressionCodec]
+          .createInputStream(stream, decompressor, split.start, end,
+            SplittableCompressionCodec.READ_MODE.BYBLOCK)
+        (new java.io.PushbackInputStream(scis, 1), () => scis.getPos >= end)
+      case _ => // WholeCompressed: decompress the file end to end
+        val codec = new CompressionCodecFactory(conf.value).getCodec(path)
+        decompressor = CodecPool.getDecompressor(codec)
+        (new java.io.PushbackInputStream(new java.io.BufferedInputStream(
+          codec.createInputStream(stream, decompressor), 64 * 1024), 1),
+          () => false)
+    }
   }
+  private val in: java.io.PushbackInputStream = streamAndGuard._1
+  private val pastEnd: () => Boolean = streamAndGuard._2
   private var pos: Long = split.start
   private var current: UTF8String = _
 
   override def next(): Boolean = {
-    // find a start tag beginning before the split end (:63, :119)
-    if (!readUntilMatch(startTag, withinBlock = false, null)) return false
-    val buf = new ByteArrayOutputStream(4096)
-    buf.write(startTag)
-    // read the record to completion, past `end` if needed (:66-69, :111)
-    if (!readUntilMatch(endTag, withinBlock = true, buf)) return false
-    current = UTF8String.fromBytes(buf.toByteArray)
-    true
+    // only begin a NEW record while still inside the split
+    // (XmlInputFormat.java:59-63)
+    if (pastEnd()) return false
+    while (true) {
+      // find a start-tag PREFIX beginning before the split end (:63, :119)
+      if (!readUntilMatch(startTag, withinBlock = false, null)) return false
+      // The reference matched the full configured string `<page>`
+      // (XmlInputFormat.java:63, PageRank.java:430-431); matching the
+      // bare prefix would also fire on sibling elements like <pagex> /
+      // <pagelinks>, mis-carving a bogus record to the next </page>.
+      // We admit attributes but demand the spark-xml terminator
+      // convention: the prefix must be followed by '>', whitespace,
+      // or '/' to count as a record start.
+      val t = in.read()
+      if (t != -1) pos += 1
+      t match {
+        case '>' =>
+          val buf = new ByteArrayOutputStream(4096)
+          buf.write(startTag); buf.write(t)
+          // read the record to completion, past `end` if needed (:66-69, :111)
+          if (readUntilMatch(endTag, withinBlock = true, buf)) {
+            current = UTF8String.fromBytes(buf.toByteArray)
+            return true
+          } else return false
+        case ' ' | '\t' | '\n' | '\r' =>
+          // attribute section: scan to the closing '>' of the opening
+          // tag; `.../>` is a complete self-closed record, `...>` reads
+          // on to the end tag
+          val buf = new ByteArrayOutputStream(4096)
+          buf.write(startTag); buf.write(t)
+          var prev = t
+          var b = in.read()
+          while (b != -1 && b != '>') { pos += 1; buf.write(b); prev = b; b = in.read() }
+          if (b == -1) return false
+          pos += 1; buf.write(b)
+          if (prev == '/') { // self-closing, e.g. <page id="3"/>
+            current = UTF8String.fromBytes(buf.toByteArray)
+            return true
+          }
+          if (readUntilMatch(endTag, withinBlock = true, buf)) {
+            current = UTF8String.fromBytes(buf.toByteArray)
+            return true
+          } else return false
+        case '/' =>
+          val u = in.read()
+          if (u == '>') { // bare self-closing <page/>
+            pos += 1
+            val buf = new ByteArrayOutputStream(16)
+            buf.write(startTag); buf.write('/'); buf.write('>')
+            current = UTF8String.fromBytes(buf.toByteArray)
+            return true
+          }
+          if (u != -1) in.unread(u) // not a tag end — keep scanning
+        case -1 => return false
+        case other =>
+          // <pagex>, <pagelinks>, ... — not our tag; the byte may open
+          // the next candidate (`<`), so reconsider it
+          in.unread(other); pos -= 1
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = InternalRow(current)
-  override def close(): Unit = in.close()
+  override def close(): Unit = {
+    in.close()
+    if (decompressor != null)
+      org.apache.hadoop.io.compress.CodecPool.returnDecompressor(decompressor)
+  }
 
   /** XmlInputFormat.readUntilMatch (:104-121), byte for byte: scan for
     * `tag`; outside a block, give up once past the split end with no
@@ -193,7 +308,7 @@ private class XmlRecordReader(split: XmlSplit, startTag: Array[Byte],
         if (i >= tag.length) return true
       } else i = 0
       // see if we've passed the stop point (:118-120)
-      if (!withinBlock && i == 0 && pos >= end) return false
+      if (!withinBlock && i == 0 && pastEnd()) return false
     }
     false
   }

@@ -60,4 +60,29 @@ class WikiPipelineSpec extends SparkSpec {
       .flatMap(f => Files.readAllLines(f).asScala).toSeq
     assert(nLines == Seq(s"N =\t$n"))
   }
+
+  test("pipeline reads a .bz2-compressed dump identically (missing #1)") {
+    // the first thing a real user does: point the pipeline at
+    // enwiki-…-pages-articles.xml.bz2
+    val plainDir = WikiDump.materializedDump(spark, sf)
+    val bzDir = Files.createTempDirectory("graft-pipeline-bz").toString
+    val plain = Files.list(Paths.get(plainDir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.toString)
+      .flatMap(f => Files.readAllLines(f).asScala)
+      .mkString("\n").getBytes("UTF-8")
+    val bz = new java.io.ByteArrayOutputStream()
+    val c = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(bz, 1)
+    c.write(plain); c.close()
+    Files.write(Paths.get(bzDir, "dump.xml.bz2"), bz.toByteArray)
+
+    val outPlain = Files.createTempDirectory("graft-pipe-plain").toString
+    val outBz = Files.createTempDirectory("graft-pipe-bz").toString
+    val nPlain = WikiPipeline.run(spark, plainDir, outPlain)
+    val nBz = WikiPipeline.run(spark, bzDir, outBz)
+    assert(nBz == nPlain)
+    assert(readRankLines(s"$outBz/iter8").toSet ==
+      readRankLines(s"$outPlain/iter8").toSet)
+  }
 }
