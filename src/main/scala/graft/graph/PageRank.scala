@@ -68,12 +68,21 @@ object PageRank {
     * PageRank.java:480-487) plugs in here — consuming the DataFrame
     * inside the hook materializes that iteration's checkpoint, exactly
     * like the reference's extra blocking MR job at that point.
+    * @param redistributeDangling the reference LOSES the rank mass of
+    * pages with no out-links each iteration (PageRank.java:305-316) —
+    * the default replicates that for parity. The standard remedy is
+    * opt-in: each iteration adds damping·(dangling mass)/N to every
+    * page, so total rank stays exactly 1 (PageRankProperties). The
+    * dangling mass is a 1-row aggregate broadcast-cross-joined into the
+    * update — no extra driver action, no extra shuffle of the rank
+    * vector.
     * @return DataFrame["page", "rank"] — one row per page.
     */
   def run(pages: DataFrame, edges: DataFrame, iters: Int = DefaultIters,
           damping: Double = Damping, resetProb: Double = ResetProb,
           checkpointInterval: Int = 1,
-          onIteration: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+          onIteration: (Int, DataFrame) => Unit = (_, _) => (),
+          redistributeDangling: Boolean = false): DataFrame = {
     val spark = pages.sparkSession
 
     val p = pages.persist(StorageLevel.MEMORY_AND_DISK)
@@ -101,19 +110,34 @@ object PageRank {
     // join per iteration. Adding 0.0 to a double sum is exact, so the
     // rank values are unchanged.
     val zero = p.select(col("page").as("dst"), lit(0.0).as("contrib"))
+    // dangling pages (no out-links) — static across iterations; only
+    // consulted under redistributeDangling
+    lazy val dangling = p.join(deg, p("page") === deg("src"), "left_anti")
+      .select("page").persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = p.select(col("page"), (lit(1.0) / lit(n)).as("rank"))
     for (i <- 1 to iters) {
       val contribs = edgesWithDeg
         .join(vhint(ranks), edgesWithDeg("src") === ranks("page"))
         .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
-      val next = contribs.unionAll(zero)
+      val mass = contribs.unionAll(zero)
         .groupBy("dst").agg(sum("contrib").as("mass"))
-        .select(col("dst").as("page"),
+      val next = if (!redistributeDangling)
+        mass.select(col("dst").as("page"),
           // teleport from the exact resetProb constant, NOT 1 - damping:
           // (1 - 0.85) is 0.15000000000000002 in double fp, while the
           // reference, the DuckDB oracle, and GraphX all use exact 0.15
           // (ADVICE r2 item 1 — keeps parity without relying on rounding).
           (lit(resetProb / n) + lit(damping) * col("mass")).as("rank"))
+      else {
+        // Σ rank over dangling pages, as a 1-row broadcast — keeps the
+        // update one lazy plan (no per-iteration collect to the driver)
+        val dm = ranks.join(dangling, Seq("page"), "left_semi")
+          .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+        mass.crossJoin(broadcast(dm))
+          .select(col("dst").as("page"),
+            (lit(resetProb / n) +
+              lit(damping) * (col("mass") + col("dmass") / lit(n))).as("rank"))
+      }
       // Truncate lineage EVERY interval but materialize only ONCE, at the
       // final iteration: checkpoint(eager = false) already replaces the
       // logical plan with a LogicalRDD (so Catalyst never sees an 8-deep
@@ -135,6 +159,7 @@ object PageRank {
       onIteration(i, ranks)
     }
     edgesWithDeg.unpersist()
+    if (redistributeDangling) dangling.unpersist()
     p.unpersist()
     ranks
   }

@@ -11,11 +11,23 @@ package graft.queries
   */
 object PageRankOracle {
 
-  def sql(graphCtes: String, iters: Int, select: String): String = {
+  /** @param redistribute adds the standard dangling-mass term: each
+    * iteration also receives 0.85 · (Σ rank of zero-out-degree pages)/N,
+    * so total rank stays 1 — replays
+    * [[graft.graph.PageRank.run]]'s `redistributeDangling = true`. */
+  def sql(graphCtes: String, iters: Int, select: String,
+          redistribute: Boolean = false): String = {
     val iterCtes = (1 to iters).map { k =>
+      // bit-parity with the Spark update: the redistribute form groups as
+      // 0.85 * (mass + dm/n), NOT 0.85*mass + 0.85*dm/n (fp association)
+      val update =
+        if (!redistribute) "0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.mass, 0)"
+        else s"""0.15 / (SELECT n FROM nn) + 0.85 * (COALESCE(m.mass, 0) +
+                   (SELECT COALESCE(SUM(pr), 0) FROM r${k - 1}
+                    WHERE page NOT IN (SELECT src FROM good)) / (SELECT n FROM nn))"""
       s"""r$k AS (
             SELECT p.page,
-                   0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.mass, 0) AS pr
+                   $update AS pr
             FROM pages p LEFT JOIN (
               SELECT g.dst, SUM(r.pr / d.deg) AS mass
               FROM good g

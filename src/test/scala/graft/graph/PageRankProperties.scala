@@ -43,6 +43,35 @@ class PageRankProperties extends SparkSpec {
     }
   }
 
+  test("redistributeDangling conserves total mass ≡ 1 on every graph") {
+    val s = spark
+    import s.implicits._
+    for ((pages, edges) <- samples(5)) {
+      val r = PageRank.run(pages.toDF("page"), edges.toDF("src", "dst"),
+          iters = 4, redistributeDangling = true)
+        .collect().map(_.getDouble(1))
+      val total = r.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"total=$total edges=$edges")
+    }
+    // and with NO edges at all (every page dangling) it still holds
+    val allDangling = PageRank.run(Seq("a", "b", "c").toDF("page"),
+        Seq.empty[(String, String)].toDF("src", "dst"),
+        iters = 4, redistributeDangling = true)
+      .collect().map(_.getDouble(1))
+    assert(math.abs(allDangling.sum - 1.0) < 1e-12)
+  }
+
+  test("GraphX normalized=true restores total mass ≡ 1") {
+    val s = spark
+    import s.implicits._
+    for ((pages, edges) <- samples(3)) {
+      val r = PageRankGraphX.run(pages.toDF("page"), edges.toDF("src", "dst"),
+          iters = 4, normalized = true)
+        .collect().map(_.getDouble(1))
+      assert(math.abs(r.sum - 1.0) < 1e-9, s"total=${r.sum} edges=$edges")
+    }
+  }
+
   test("rank is invariant under vertex relabeling") {
     for ((pages, edges) <- samples(3)) {
       val perm = new scala.util.Random(7).shuffle(pages.toList)
