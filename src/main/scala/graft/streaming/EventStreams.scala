@@ -125,6 +125,16 @@ object EventStreams {
     * emitted (possibly several per batch, possibly none). State is one
     * open session per user — bounded by the user population, and each
     * session is emitted exactly once (append semantics).
+    *
+    * Cross-batch disorder (ADVICE r4 item 4): within a batch events are
+    * sorted, but a batch may deliver an event OLDER than the open
+    * session's last timestamp. Such an event is absorbed into the open
+    * session when it falls inside the session's reach (≥ start − gap) —
+    * extending the start downward if needed — and emitted as its own
+    * already-closed singleton when older than that (its true session was
+    * closed long ago; with NoTimeout there is no watermark to have
+    * bounded it). Sessions can therefore never merge or extend through
+    * a negative gap, and already-emitted sessions are never mutated.
     */
   final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
   final case class ClosedSession(user_id: Long, start: java.sql.Timestamp,
@@ -144,6 +154,13 @@ object EventStreams {
           var cur = state.getOption
           ts.foreach { t =>
             cur match {
+              case Some(s) if t < s.startMs - gapMs =>
+                // stale straggler from before the open session's reach
+                closed += ClosedSession(user, new java.sql.Timestamp(t),
+                  new java.sql.Timestamp(t), 1)
+              case Some(s) if t <= s.lastMs =>
+                // late arrival inside the open session: absorb it
+                cur = Some(s.copy(startMs = math.min(s.startMs, t), n = s.n + 1))
               case Some(s) if t - s.lastMs < gapMs =>
                 cur = Some(s.copy(lastMs = t, n = s.n + 1))
               case Some(s) =>

@@ -195,6 +195,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session close: cross-batch stragglers can't merge or corrupt sessions") {
+    // ADVICE r4 item 4: an event OLDER than the open session's lastMs
+    // used to yield a negative delta that always extended the session
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.sessionCloseStream(input.toDS(), gapMinutes = 60)
+      .writeStream.format("memory").queryName("straggler_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, ts(1000)), (1L, ts(1010))))
+      q.processAllAvailable()
+      // batch 2: a late event INSIDE the open session (absorbed, start
+      // extended down) and a stale one far older (emitted as singleton)
+      input.addData(Seq((1L, ts(990)), (1L, ts(100))))
+      q.processAllAvailable()
+      val singles = s.table("straggler_test").collect()
+        .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSeq
+      assert(singles == Seq((ts(100), ts(100), 1L)))
+      // close the open session: it must span 990..1010 with n=3 — the
+      // straggler neither extended it through a negative gap nor merged
+      // the stale event into it
+      input.addData(Seq((1L, ts(2000))))
+      q.processAllAvailable()
+      val all = s.table("straggler_test").orderBy("start").collect()
+        .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSeq
+      assert(all == Seq((ts(100), ts(100), 1L), (ts(990), ts(1010), 3L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: errors pick up same-user clicks within the horizon") {
     val s = spark
     import s.implicits._
