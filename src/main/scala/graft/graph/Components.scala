@@ -198,10 +198,18 @@ object Components {
       eCount = nextCount
       round += 1
     }
-    // stars: (member → root); roots and isolated vertices map to self
+    // stars: (member → root); roots and isolated vertices map to self.
+    // min() per page: if maxRounds is exhausted BEFORE convergence a
+    // vertex can still hold edges to several candidate roots, and a
+    // bare left join would emit duplicate `page` rows — the aggregate
+    // keeps the one-row-per-page contract under any exit (labels then
+    // degrade to deterministic-but-unconverged, like components();
+    // ADVICE r4 item 2). At convergence each page has one root and the
+    // partial agg is free.
+    val mapping = e.select(col("a").as("page"), col("b").as("root"))
+      .groupBy("page").agg(min("root").as("root"))
     val out = pages
-      .join(e.select(col("a").as("page"), col("b").as("root")), Seq("page"),
-        "left")
+      .join(mapping, Seq("page"), "left")
       .select(col("page"), coalesce(col("root"), col("page")).as("comp"))
     out
   }

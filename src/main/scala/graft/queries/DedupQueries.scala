@@ -160,12 +160,18 @@ object DedupQueries {
     // candidates exactly like LSH banding: pairs differing inside the
     // first 4 chars are missed — the standard blocking bargain,
     // replayed identically by the oracle. levenshtein is the identical
-    // unit-cost DP on both engines → integer distances hash-match.
+    // unit-cost DP on both engines → integer distances hash-match — but
+    // ONLY on ASCII: DuckDB's levenshtein counts bytes while Spark's
+    // counts characters ('café'→'cafe' is 2 vs 1), so both engines
+    // restrict to pure-ASCII prefixes (length == octet_length, the same
+    // predicate on both) — a non-ASCII corpus shrinks the compared set
+    // identically instead of silently hash-mismatching (ADVICE r4).
     "q_dedup_editdist" -> ((s, d) => {
       val p = Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
           floor(col("n_chars") / 50).as("lb"),
           substring(col("text"), 1, 4).as("pb"))
+        .filter(length(col("pre")) === octet_length(col("pre")))
       p.as("x").join(p.as("y"),
           col("x.lb") === col("y.lb") && col("x.pb") === col("y.pb") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -340,7 +346,9 @@ object DedupQueries {
       """WITH p AS (SELECT doc_id, substring(text, 1, 40) AS pre,
                     CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
                     substring(text, 1, 4) AS pb
-                    FROM documents)
+                    FROM documents
+                    WHERE length(substring(text, 1, 40)) =
+                          strlen(substring(text, 1, 40)))
          SELECT x.doc_id AS a, y.doc_id AS b,
                 CAST(levenshtein(x.pre, y.pre) AS BIGINT) AS dist
          FROM p x JOIN p y ON x.lb = y.lb AND x.pb = y.pb

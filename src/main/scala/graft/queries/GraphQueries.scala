@@ -197,20 +197,29 @@ object GraphQueries {
         .join(deg.as("db"), col("s2") === col("db.v"))
         .select(when(flip, col("s2")).otherwise(col("s1")).as("lo"),
           when(flip, col("s1")).otherwise(col("s2")).as("hi"))
-        // Not explicitly unpersisted: the checkpoint must outlive this
-        // builder (the result is returned lazily and materialized by the
-        // caller), so cleanup is left to the ContextCleaner once the plan
-        // is GC'd; the blocks are |E|-sized (two int columns) — cheap.
-        .localCheckpoint(eager = true)
+        // cache, not localCheckpoint: all three self-join copies read the
+        // same InMemoryRelation (one computation), and — unlike a local
+        // checkpoint's RDD-level blocks, which Dataset.unpersist cannot
+        // reach — the cache CAN be dropped deterministically below
+        .persist()
       val tri = oriented.as("e1")
         .join(oriented.as("e2"), col("e1.hi") === col("e2.lo"))
         .join(oriented.as("e3"),
           col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
         .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
           col("e2.hi").as("c"))
-      tri.select(explode(array(col("a"), col("b"), col("c"))).as("supplier"))
+      val counts = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("supplier"))
         .groupBy("supplier").agg(count(lit(1)).as("n_tri"))
         .orderBy("supplier")
+        // Materialize the (vertex-sized) result NOW so the |E|-sized
+        // oriented-edge checkpoint can be dropped deterministically
+        // (carried since r3: it used to wait for the ContextCleaner,
+        // accumulating across datasets in a long session). The caller
+        // re-reads the tiny result blocks, not the join.
+        .localCheckpoint(eager = true)
+      oriented.unpersist(blocking = true)
+      counts
     }),
 
     // F1+O1+M2: threshold cut + global descending sort.

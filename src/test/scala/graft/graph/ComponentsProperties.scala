@@ -68,6 +68,22 @@ class ComponentsProperties extends SparkSpec {
     }
   }
 
+  test("star contraction keeps one row per page even when rounds run out") {
+    // ADVICE r4 item 2: with maxRounds exhausted before convergence a
+    // vertex can hold edges to several candidate roots — the final
+    // mapping must still be one deterministic row per page
+    val s = spark
+    import s.implicits._
+    for ((vs, es) <- samples(4); rounds <- Seq(0, 1)) {
+      val out = Components.componentsStarContraction(
+          vs.toDF("page"), es.toDF("src", "dst"), maxRounds = rounds)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(out.map(_._1).distinct.length == vs.size,
+        s"rounds=$rounds n=${vs.size} m=${es.size}: duplicate page rows")
+      assert(out.length == vs.size)
+    }
+  }
+
   test("converged components form a partition closed under edges") {
     val s = spark
     import s.implicits._
