@@ -166,20 +166,12 @@ object DedupQueries {
     // restrict to pure-ASCII prefixes (length == octet_length, the same
     // predicate on both) — a non-ASCII corpus shrinks the compared set
     // identically instead of silently hash-mismatching (ADVICE r4).
-    "q_dedup_editdist" -> ((s, d) => {
-      val p = Tables.documents(s, d)
-        .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
-          floor(col("n_chars") / 50).as("lb"),
-          substring(col("text"), 1, 4).as("pb"))
-        .filter(length(col("pre")) === octet_length(col("pre")))
-      p.as("x").join(p.as("y"),
-          col("x.lb") === col("y.lb") && col("x.pb") === col("y.pb") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          levenshtein(col("x.pre"), col("y.pre")).cast("long").as("dist"))
-        .filter(col("dist") <= 12)
-        .orderBy(col("a"), col("b"))
-    }),
+    "q_dedup_editdist" -> ((s, d) => editdistPairs(s, d, blockCap = 1000)),
+
+    // cap forced low (4) so the prefix-extension overflow route is
+    // EXERCISED at sf0.01 (pb4 blocks of 5-6 exist there) and hash-gated
+    // against an oracle replaying the identical routing.
+    "q_dedup_editdist_capped" -> ((s, d) => editdistPairs(s, d, blockCap = 4)),
 
     // Embedding cosine near-dup, blocked by the coarse cluster label
     // (IVF-style: only same-cell pairs are compared).
@@ -196,6 +188,54 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     })
   )
+
+  /** Skew-hardened edit-distance near-dup join: (length-bucket ×
+    * 4-char-prefix) blocking with a per-block size cap — rows in blocks
+    * over the cap compare only within the EXTENDED 8-char-prefix block
+    * (pb8 equal ⇒ pb4 equal, so the overflow route is a strict
+    * refinement; no pair can appear in both branches). The standard
+    * PassJoin-style hierarchical-prefix bargain: pairs in an oversized
+    * block that differ within chars 5-8 are missed; a corpus whose
+    * 8-char prefixes STILL concentrate keeps its quadratic block —
+    * inherent to prefix blocking, and the reason the similarity-side
+    * dedup (ngram/LSH) is the primary scale path. Block counts join
+    * back by (lb, pb) without a broadcast hint: distinct prefixes scale
+    * with the corpus, so AQE decides (unlike ngram's bounded
+    * source × bucket key).
+    */
+  def editdistPairs(s: SparkSession, d: String, blockCap: Int): DataFrame = {
+    val p = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
+        floor(col("n_chars") / 50).as("lb"),
+        substring(col("text"), 1, 4).as("pb"),
+        substring(col("text"), 1, 8).as("pb8"))
+      .filter(length(col("pre")) === octet_length(col("pre")))
+    editdistCandidates(p, blockCap)
+      .select(col("a"), col("b"),
+        levenshtein(col("px"), col("py")).cast("long").as("dist"))
+      .filter(col("dist") <= 12)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Candidate (a, b, px, py) pairs under the capped prefix blocking.
+    * `p` must have (doc_id, pre, lb, pb, pb8). Exposed for
+    * DedupNgramCapSpec's bounded-candidates assertion. */
+  private[graft] def editdistCandidates(p: DataFrame, blockCap: Int): DataFrame = {
+    val bc = p.groupBy("lb", "pb").agg(count(lit(1)).as("bc"))
+    val pc = p.join(bc, Seq("lb", "pb")).localCheckpoint(eager = true)
+    val small = pc.filter(col("bc") <= blockCap)
+    val big = pc.filter(col("bc") > blockCap)
+    small.as("x").join(small.as("y"),
+        col("x.lb") === col("y.lb") && col("x.pb") === col("y.pb") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.pre").as("px"), col("y.pre").as("py"))
+      .unionByName(big.as("x").join(big.as("y"),
+          col("x.lb") === col("y.lb") && col("x.pb8") === col("y.pb8") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.pre").as("px"), col("y.pre").as("py")))
+  }
 
   /** Skew-hardened blocked n-gram near-dup join.
     *
@@ -354,6 +394,30 @@ object DedupQueries {
          FROM p x JOIN p y ON x.lb = y.lb AND x.pb = y.pb
                            AND x.doc_id < y.doc_id
          WHERE levenshtein(x.pre, y.pre) <= 12
+         ORDER BY a, b""",
+    // replays the cap-4 routing: blocks over the cap compare within the
+    // extended 8-char prefix instead (pb8 equal ⇒ pb4 equal)
+    "q_dedup_editdist_capped" ->
+      """WITH p AS (SELECT doc_id, substring(text, 1, 40) AS pre,
+                    CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
+                    substring(text, 1, 4) AS pb,
+                    substring(text, 1, 8) AS pb8
+                    FROM documents
+                    WHERE length(substring(text, 1, 40)) =
+                          strlen(substring(text, 1, 40))),
+          pc AS (SELECT *, count(*) OVER (PARTITION BY lb, pb) AS bc FROM p),
+          cand AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, x.pre AS px, y.pre AS py
+            FROM pc x JOIN pc y ON x.lb = y.lb AND x.pb = y.pb
+                               AND x.doc_id < y.doc_id
+            WHERE x.bc <= 4
+            UNION ALL
+            SELECT x.doc_id, y.doc_id, x.pre, y.pre
+            FROM pc x JOIN pc y ON x.lb = y.lb AND x.pb8 = y.pb8
+                               AND x.doc_id < y.doc_id
+            WHERE x.bc > 4)
+         SELECT a, b, CAST(levenshtein(px, py) AS BIGINT) AS dist
+         FROM cand WHERE levenshtein(px, py) <= 12
          ORDER BY a, b""",
     "q_dedup_ngram" ->
       """WITH s AS (SELECT doc_id, source, CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,

@@ -62,4 +62,28 @@ class DedupNgramCapSpec extends SparkSpec {
     val sh = oneBlock(randomTexts(30, 60, seed = 3)).localCheckpoint(true)
     assert(DedupQueries.ngramCandidates(sh, blockCap = 1000).count() == 30L * 29 / 2)
   }
+
+  test("editdist: an oversized shared-prefix block refines to 8-char blocks") {
+    // 2000 docs, all sharing the same 4-char boilerplate opening ("The ")
+    // but diverse after it: one (lb × pb4) block of 2000 → ~2M pairs
+    // under plain blocking; the cap routes it through pb8, whose blocks
+    // are tiny for diverse continuations
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val p = Seq.fill(2000)(
+        "The " + Array.fill(56)(('a' + rnd.nextInt(26)).toChar).mkString)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
+        lit(1L).as("lb"), substring(col("text"), 1, 4).as("pb"),
+        substring(col("text"), 1, 8).as("pb8"))
+    val n = 2000L
+    val capped = DedupQueries.editdistCandidates(p, blockCap = 64).count()
+    // the DP runs on candidates only; plain pb4 blocking would generate
+    // ~2M pairs, pb8 refinement collapses it (26^4 continuations ⇒
+    // expected block size ~1)
+    assert(capped < n * (n - 1) / 2 / 100,
+      s"expected pb8 refinement to debulk the shared-prefix block, got $capped")
+  }
 }
