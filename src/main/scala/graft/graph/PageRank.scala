@@ -35,12 +35,16 @@ import org.apache.spark.storage.StorageLevel
   * by itself mid-loop because the rank vector is a fresh checkpoint each
   * iteration (no stats), so we hint it explicitly from the known n.
   *
-  * Fault tolerance at scale: `localCheckpoint` stores blocks only on
-  * executors — fine on local[*], unrecoverable if an executor dies on a
-  * real cluster. When the session has a reliable checkpoint dir
-  * configured (`spark.sparkContext.setCheckpointDir`), we use reliable
-  * `checkpoint()` every `checkpointInterval` iterations instead (ADVICE
-  * r1 item 3); production runs should always set one.
+  * Fault tolerance at scale: intermediate iterations truncate lineage
+  * with lazy `persist()` (recoverable through the cached chain — and,
+  * unlike a lazily-MARKED checkpoint, free of the doCheckpoint lock
+  * inversion a broadcast-exchange thread can deadlock on; see the loop
+  * comment). The FINAL vector — and, under `redistributeDangling`,
+  * each intermediate — is checkpointed eagerly: reliable `checkpoint()`
+  * when the session has a checkpoint dir configured
+  * (`spark.sparkContext.setCheckpointDir`, ADVICE r1 item 3),
+  * executor-local blocks otherwise; production runs should always set
+  * a dir.
   */
 object PageRank {
 
@@ -114,6 +118,7 @@ object PageRank {
     // consulted under redistributeDangling
     lazy val dangling = p.join(deg, p("page") === deg("src"), "left_anti")
       .select("page").persist(StorageLevel.MEMORY_AND_DISK)
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var ranks = p.select(col("page"), (lit(1.0) / lit(n)).as("rank"))
     for (i <- 1 to iters) {
       val contribs = edgesWithDeg
@@ -139,23 +144,53 @@ object PageRank {
               lit(damping) * (col("mass") + col("dmass") / lit(n))).as("rank"))
       }
       // Truncate lineage EVERY interval but materialize only ONCE, at the
-      // final iteration: checkpoint(eager = false) already replaces the
-      // logical plan with a LogicalRDD (so Catalyst never sees an 8-deep
-      // accumulated plan), while deferring execution. Eager-per-iteration
-      // was 8 separate actions — each paying AQE re-planning, broadcast
-      // build, and a full scheduler sync barrier (~4× slower end-to-end,
-      // measured at sf0.1: 17 s eager vs 4.5 s lazy). The intermediate
-      // iterations' persisted blocks are |V| rows each — negligible next
-      // to the edge set. Reliable checkpoint (HDFS/alluxio) when a dir is
-      // configured, executor-local blocks otherwise (local runs only).
+      // final iteration. Intermediates use LAZY persist(): the cached
+      // Dataset substitutes as an InMemoryRelation LEAF in the next
+      // iteration's plan (CacheManager.useCachedData), so Catalyst never
+      // sees an 8-deep accumulated plan, yet nothing executes until the
+      // final action fills the whole chain in one pass.
+      // Eager-per-iteration was 8 separate actions — each paying AQE
+      // re-planning, broadcast build, and a full scheduler sync barrier
+      // (~4× slower end-to-end, measured at sf0.1: 17 s eager vs 4.5 s
+      // lazy). NOT checkpoint(eager = false): an RDD left in the
+      // checkpoint-MARKED state deadlocks when a broadcast-exchange
+      // thread (the rank-vector or dangling-mass broadcast) collects
+      // through the marked lineage concurrently with the main action's
+      // doCheckpoint — observed in the wild as markCheckpointed (held by
+      // dag-scheduler-event-loop) vs RDDCheckpointData (held by
+      // broadcast-exchange) lock inversion, hanging the driver. persist
+      // involves no checkpoint monitors; only the FINAL iteration is
+      // checkpointed, eagerly, on the main thread. Reliable checkpoint
+      // (HDFS/alluxio) when a dir is configured, executor-local blocks
+      // otherwise (local runs only). The intermediate caches are |V|
+      // rows each and dropped once the result is materialized.
       ranks =
         if (i == iters) {
+          val fin =
+            if (reliable) next.checkpoint(eager = true)
+            else next.localCheckpoint(eager = true)
+          intermediates.foreach(_.unpersist(blocking = false))
+          fin
+        }
+        else if (i % checkpointInterval != 0) next
+        else if (redistributeDangling) {
+          // the dangling-mass branch references `ranks` a SECOND time
+          // each iteration, so without construction-time truncation the
+          // logical tree doubles per iteration (2^8 nodes — exponential
+          // canonicalization/rendering, observed as an explainString
+          // OOM). Eager checkpoint truncates at construction AND is
+          // deadlock-safe: it completes synchronously on this thread,
+          // and the marked RDD is the action's own root — never
+          // reachable from a broadcast subplan. The per-iteration
+          // action is the documented cost of the opt-in variant.
           if (reliable) next.checkpoint(eager = true)
           else next.localCheckpoint(eager = true)
         }
-        else if (i % checkpointInterval != 0) next
-        else if (reliable) next.checkpoint(eager = false)
-        else next.localCheckpoint(eager = false)
+        else {
+          val c = next.persist(StorageLevel.MEMORY_AND_DISK)
+          intermediates += c
+          c
+        }
       onIteration(i, ranks)
     }
     edgesWithDeg.unpersist()
