@@ -19,6 +19,8 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # keep spill files out of the repo tree (they got committed once)
+    con.execute("SET temp_directory='/tmp/duckdb_tmp'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
