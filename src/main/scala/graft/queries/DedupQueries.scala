@@ -168,9 +168,9 @@ object DedupQueries {
     // identically instead of silently hash-mismatching (ADVICE r4).
     "q_dedup_editdist" -> ((s, d) => editdistPairs(s, d, blockCap = 1000)),
 
-    // cap forced low (4) so the prefix-extension overflow route is
-    // EXERCISED at sf0.01 (pb4 blocks of 5-6 exist there) and hash-gated
-    // against an oracle replaying the identical routing.
+    // cap forced low (4) so the banded overflow route is EXERCISED at
+    // sf0.01 (pb4 blocks of 5-6 exist there) and hash-gated against an
+    // oracle replaying the identical banding.
     "q_dedup_editdist_capped" -> ((s, d) => editdistPairs(s, d, blockCap = 4)),
 
     // Embedding cosine near-dup, blocked by the coarse cluster label
@@ -191,24 +191,41 @@ object DedupQueries {
 
   /** Skew-hardened edit-distance near-dup join: (length-bucket ×
     * 4-char-prefix) blocking with a per-block size cap — rows in blocks
-    * over the cap compare only within the EXTENDED 8-char-prefix block
-    * (pb8 equal ⇒ pb4 equal, so the overflow route is a strict
-    * refinement; no pair can appear in both branches). The standard
-    * PassJoin-style hierarchical-prefix bargain: pairs in an oversized
-    * block that differ within chars 5-8 are missed; a corpus whose
-    * 8-char prefixes STILL concentrate keeps its quadratic block —
-    * inherent to prefix blocking, and the reason the similarity-side
-    * dedup (ngram/LSH) is the primary scale path. Block counts join
-    * back by (lb, pb) without a broadcast hint: distinct prefixes scale
-    * with the corpus, so AQE decides (unlike ngram's bounded
+    * over the cap compare only where minhash-LSH banding over the
+    * prefix's char-5-gram shingles collides (4 bands × 4 rows, the
+    * q_dedup_lsh scheme), so the overflow cost is governed by TRUE
+    * prefix similarity, not by block size: a corpus where every
+    * document opens with the same boilerplate (`<!DOCTYPE `, `The `)
+    * but diverges after it has near-zero prefix-shingle Jaccard and
+    * generates ~0 overflow candidates where a deeper-prefix refinement
+    * would have kept the whole corpus-sized block quadratic
+    * (DedupNgramCapSpec). 4×4 bands, not ngram's 16 single-row bands:
+    * a shared 8-char opening alone gives J ≈ 0.06, where single-row
+    * bands would collide 1-(1-J)¹⁶ ≈ 60% of all pairs but 4-row bands
+    * 1-(1-J⁴)⁴ ≈ 5e-5 — only prefixes similar well beyond the shared
+    * opening (the plausible dist ≤ 12 pairs) collide. The banding
+    * recall trade is the same bargain q_dedup_ngram_capped documents,
+    * replayed identically by the oracle; prefixes shorter than the
+    * 5-char shingle width stay on the exact route (within a (lb, pb)
+    * block such prefixes are byte-identical, so that route emits only
+    * true dist-0 pairs and cannot go quadratic adversarially without
+    * the output itself being quadratic). Block counts join back by
+    * (lb, pb) without a broadcast hint: distinct prefixes scale with
+    * the corpus, so AQE decides (unlike ngram's bounded
     * source × bucket key).
+    *
+    * `preLen` bounds the compared prefix (DP cost = preLen² per pair,
+    * constant by construction). The 40-char default is the documented
+    * scale bargain; raise it when true edit distance on short strings
+    * matters (EditDistPreLenSpec records the recall difference).
     */
-  def editdistPairs(s: SparkSession, d: String, blockCap: Int): DataFrame = {
+  def editdistPairs(s: SparkSession, d: String, blockCap: Int,
+      preLen: Int = 40): DataFrame = {
+    graft.GraftFunctions.register(s)
     val p = Tables.documents(s, d)
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
+      .select(col("doc_id"), substring(col("text"), 1, preLen).as("pre"),
         floor(col("n_chars") / 50).as("lb"),
-        substring(col("text"), 1, 4).as("pb"),
-        substring(col("text"), 1, 8).as("pb8"))
+        substring(col("text"), 1, 4).as("pb"))
       .filter(length(col("pre")) === octet_length(col("pre")))
     editdistCandidates(p, blockCap)
       .select(col("a"), col("b"),
@@ -218,23 +235,35 @@ object DedupQueries {
   }
 
   /** Candidate (a, b, px, py) pairs under the capped prefix blocking.
-    * `p` must have (doc_id, pre, lb, pb, pb8). Exposed for
+    * `p` must have (doc_id, pre, lb, pb); the session must have
+    * [[graft.GraftFunctions]] registered. Exposed for
     * DedupNgramCapSpec's bounded-candidates assertion. */
   private[graft] def editdistCandidates(p: DataFrame, blockCap: Int): DataFrame = {
     val bc = p.groupBy("lb", "pb").agg(count(lit(1)).as("bc"))
     val pc = p.join(bc, Seq("lb", "pb")).localCheckpoint(eager = true)
-    val small = pc.filter(col("bc") <= blockCap)
-    val big = pc.filter(col("bc") > blockCap)
-    small.as("x").join(small.as("y"),
+    // shingle-less prefixes (< 5 chars) cannot band — keep them exact
+    val exactSide = col("bc") <= blockCap || length(col("pre")) < 5
+    val small = pc.filter(exactSide)
+    val big = pc.filter(!exactSide)
+    val smallCand = small.as("x").join(small.as("y"),
         col("x.lb") === col("y.lb") && col("x.pb") === col("y.pb") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.pre").as("px"), col("y.pre").as("py"))
-      .unionByName(big.as("x").join(big.as("y"),
-          col("x.lb") === col("y.lb") && col("x.pb8") === col("y.pb8") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.pre").as("px"), col("y.pre").as("py")))
+    val bands = big
+      .withColumn("sig", call_function("minhash_sig",
+        call_function("char_shingle_hashes", col("pre"), lit(5)), lit(16)))
+      .select(col("doc_id"), col("lb"), col("pb"), col("pre"),
+        posexplode(expr(Dedup.bandKeysExpr("sig", 4, 4))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val bigCand = bands.as("x").join(bands.as("y"),
+        col("x.lb") === col("y.lb") && col("x.pb") === col("y.pb") &&
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.pre").as("px"), col("y.pre").as("py"))
+      .distinct() // a pair may collide in several bands
+    smallCand.unionByName(bigCand)
   }
 
   /** Skew-hardened blocked n-gram near-dup join.
@@ -395,27 +424,43 @@ object DedupQueries {
                            AND x.doc_id < y.doc_id
          WHERE levenshtein(x.pre, y.pre) <= 12
          ORDER BY a, b""",
-    // replays the cap-4 routing: blocks over the cap compare within the
-    // extended 8-char prefix instead (pb8 equal ⇒ pb4 equal)
+    // replays the cap-4 routing: blocks over the cap compare only where
+    // 4×4 minhash banding over the prefix's char-5-gram shingles
+    // collides (shingle-less prefixes < 5 chars stay exact)
     "q_dedup_editdist_capped" ->
-      """WITH p AS (SELECT doc_id, substring(text, 1, 40) AS pre,
+      s"""WITH p AS (SELECT doc_id, substring(text, 1, 40) AS pre,
                     CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
-                    substring(text, 1, 4) AS pb,
-                    substring(text, 1, 8) AS pb8
+                    substring(text, 1, 4) AS pb
                     FROM documents
                     WHERE length(substring(text, 1, 40)) =
                           strlen(substring(text, 1, 40))),
           pc AS (SELECT *, count(*) OVER (PARTITION BY lb, pb) AS bc FROM p),
-          cand AS (
+          small AS (SELECT * FROM pc WHERE bc <= 4 OR length(pre) < 5),
+          big AS (SELECT * FROM pc WHERE bc > 4 AND length(pre) >= 5),
+          small_cand AS (
             SELECT x.doc_id AS a, y.doc_id AS b, x.pre AS px, y.pre AS py
-            FROM pc x JOIN pc y ON x.lb = y.lb AND x.pb = y.pb
-                               AND x.doc_id < y.doc_id
-            WHERE x.bc <= 4
-            UNION ALL
-            SELECT x.doc_id, y.doc_id, x.pre, y.pre
-            FROM pc x JOIN pc y ON x.lb = y.lb AND x.pb8 = y.pb8
-                               AND x.doc_id < y.doc_id
-            WHERE x.bc > 4)
+            FROM small x JOIN small y ON x.lb = y.lb AND x.pb = y.pb
+                                      AND x.doc_id < y.doc_id),
+          sh AS (SELECT doc_id, lb, pb, pre,
+                   list_distinct(list_transform(
+                     list_distinct([substring(pre, i, 5)
+                                    for i in range(1, length(pre) - 3)]),
+                     g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)))
+                     AS hs
+                 FROM big),
+          g AS (SELECT doc_id, lb, pb, pre, $minhash16 AS sig FROM sh),
+          bands AS (SELECT doc_id, lb, pb, pre, b.range AS band,
+                      md5(array_to_string(sig[1 + b.range * 4 : 4 + b.range * 4],
+                                          ',')) AS bkey
+                    FROM g CROSS JOIN range(0, 4) b),
+          big_cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   x.pre AS px, y.pre AS py
+            FROM bands x JOIN bands y
+              ON x.lb = y.lb AND x.pb = y.pb AND x.band = y.band
+                 AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+          cand AS (SELECT * FROM small_cand
+                   UNION ALL SELECT * FROM big_cand)
          SELECT a, b, CAST(levenshtein(px, py) AS BIGINT) AS dist
          FROM cand WHERE levenshtein(px, py) <= 12
          ORDER BY a, b""",

@@ -63,27 +63,73 @@ class DedupNgramCapSpec extends SparkSpec {
     assert(DedupQueries.ngramCandidates(sh, blockCap = 1000).count() == 30L * 29 / 2)
   }
 
-  test("editdist: an oversized shared-prefix block refines to 8-char blocks") {
-    // 2000 docs, all sharing the same 4-char boilerplate opening ("The ")
-    // but diverse after it: one (lb × pb4) block of 2000 → ~2M pairs
-    // under plain blocking; the cap routes it through pb8, whose blocks
-    // are tiny for diverse continuations
+  /** (doc_id, pre, lb, pb) — the [[DedupQueries.editdistCandidates]]
+    * input shape, single length bucket. */
+  private def editdistBlock(texts: Seq[String]) = {
     val s = spark
     import s.implicits._
-    val rnd = new scala.util.Random(13)
-    val p = Seq.fill(2000)(
-        "The " + Array.fill(56)(('a' + rnd.nextInt(26)).toChar).mkString)
-      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    graft.GraftFunctions.register(s)
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
       .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
-        lit(1L).as("lb"), substring(col("text"), 1, 4).as("pb"),
-        substring(col("text"), 1, 8).as("pb8"))
+        lit(1L).as("lb"), substring(col("text"), 1, 4).as("pb"))
+  }
+
+  test("editdist: an oversized shared-8-char-opening block yields bounded candidates") {
+    // 2000 docs all sharing an 8-char boilerplate opening ("The quic")
+    // but diverse after it: one (lb × pb4) block of 2000 → ~2M pairs
+    // under plain blocking, and a deeper-PREFIX refinement (the old pb8
+    // route) would keep the SAME ~2M because the openings agree through
+    // char 8. Banding over the prefix's char-5-gram shingles collapses
+    // it: dissimilar continuations share only the ~4 opening shingles
+    // (J ≈ 4/68), and 4-row bands collide with P = 1-(1-J⁴)⁴ ≈ 5e-5.
+    val rnd = new scala.util.Random(13)
+    val p = editdistBlock(Seq.fill(2000)(
+      "The quic" + Array.fill(32)(('a' + rnd.nextInt(26)).toChar).mkString))
     val n = 2000L
     val capped = DedupQueries.editdistCandidates(p, blockCap = 64).count()
-    // the DP runs on candidates only; plain pb4 blocking would generate
-    // ~2M pairs, pb8 refinement collapses it (26^4 continuations ⇒
-    // expected block size ~1)
     assert(capped < n * (n - 1) / 2 / 100,
-      s"expected pb8 refinement to debulk the shared-prefix block, got $capped")
+      s"expected prefix-shingle banding to debulk the shared-opening block, got $capped")
+  }
+
+  test("editdist banding still surfaces true near-dup prefixes in an oversized block") {
+    val rnd = new scala.util.Random(17)
+    val base = Seq.fill(50)(
+      "The quic" + Array.fill(32)(('a' + rnd.nextInt(26)).toChar).mkString)
+    // 50 dissimilar docs + 10 copies of doc 0 with the same 1-char edit:
+    // copy-copy prefixes are identical (J = 1, bands MUST collide) and
+    // base-copy prefixes share ~31/41 shingles (J ≈ 0.76, P ≈ 0.8)
+    val texts = base ++ Seq.fill(10)(base.head.updated(12, 'z'))
+    val cand = DedupQueries.editdistCandidates(editdistBlock(texts), blockCap = 8)
+    val dupIds = (50L until 60L).toSet
+    val copyPairs = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .count { case (a, b) => dupIds(a) && dupIds(b) }
+    assert(copyPairs == 45, s"expected all 45 identical-prefix pairs, got $copyPairs")
+  }
+
+  test("editdist: shingle-less short prefixes in an oversized block stay on the exact route") {
+    val s = spark
+    import s.implicits._
+    graft.GraftFunctions.register(s)
+    val rnd = new scala.util.Random(19)
+    // one (lb, pb) block of 80 (> cap 64): 70 banded long rows + 10
+    // short rows whose pre ("abcd") is under the 5-char shingle width —
+    // the shorts must pair with each other exactly (identical pre) and
+    // must not be silently dropped by the null-sig banding route
+    val longs = Seq.fill(70)(
+      "abcd" + Array.fill(36)(('a' + rnd.nextInt(26)).toChar).mkString)
+    val p = (longs.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+        (70L until 80L).map(i => (i, "abcd")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"),
+        lit(0L).as("lb"), substring(col("text"), 1, 4).as("pb"))
+    val cand = DedupQueries.editdistCandidates(p, blockCap = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shortPairs = (for {
+      a <- 70L until 80L; b <- (a + 1) until 80L
+    } yield (a, b)).toSet
+    assert(shortPairs.subsetOf(cand),
+      s"missing short-prefix exact pairs: ${(shortPairs -- cand).take(5)}")
   }
 }
