@@ -18,8 +18,15 @@ object EventQueries {
 
   /** Bounded-replay harness shared by the q_stream_* gates: feed `rows`
     * (pre-sorted chronologically by the caller) through a MemoryStream
-    * in 8 chunks into `build`'s streaming transform, run to completion
-    * against an append-mode memory sink, return the emitted table.
+    * in `chunkSize` chunks into `build`'s streaming transform, run to
+    * completion against an append-mode memory sink, return the emitted
+    * table.
+    *
+    * `rows` is an ITERATOR, not an array: the gates feed it from
+    * `toLocalIterator` over the globally ts-sorted dataset, so the
+    * driver holds at most one sorted partition plus one chunk at a time
+    * — the stream must be fed from the driver by construction, but
+    * nothing sf-proportional is materialized there (ADVICE r5).
     *
     * The stream query runs on 4 state partitions (the windowed/custom
     * state store inherits spark.sql.shuffle.partitions at query START —
@@ -30,7 +37,8 @@ object EventQueries {
     * chunk; with a chronological feed nothing is ever late, so the
     * emitted set is invariant to the chunking.
     */
-  private def replayToTable[A](s: SparkSession, rows: Array[A])(
+  private def replayToTable[A](s: SparkSession, rows: Iterator[A],
+      chunkSize: Int)(
       build: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
         => DataFrame)(
       implicit enc: org.apache.spark.sql.Encoder[A]): DataFrame = {
@@ -46,9 +54,9 @@ object EventQueries {
         .outputMode("append").start()
       finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     try {
-      rows.grouped(math.max(1, rows.length / 8)).zipWithIndex.foreach {
+      rows.grouped(math.max(1, chunkSize)).zipWithIndex.foreach {
         case (chunk, i) =>
-          stream.addData(chunk.toSeq)
+          stream.addData(chunk)
           if (i % 3 == 2) q.processAllAvailable()
       }
       q.processAllAvailable()
@@ -56,6 +64,18 @@ object EventQueries {
     val out = s.table(name)
     s.catalog.dropTempView(name)
     out
+  }
+
+  /** Globally ts-sorted feed for the replay gates: (chunk size for ~8
+    * chunks, partition-at-a-time iterator). The count is one cheap
+    * metadata-ish job; the iterator never materializes the table on the
+    * driver. */
+  private def sortedFeed[A](ds: org.apache.spark.sql.Dataset[A],
+      tsCol: String): (Int, Iterator[A]) = {
+    import scala.jdk.CollectionConverters._
+    val sorted = ds.orderBy(tsCol)
+    val n = sorted.count()
+    (math.max(1, (n / 8).toInt), sorted.toLocalIterator().asScala)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -69,16 +89,13 @@ object EventQueries {
     // + per-chunk processAllAvailable make watermark progression (and
     // therefore the emitted set) deterministic: nothing is ever late,
     // and the tail windows still open at shutdown are exactly the
-    // oracle's cutoff complement. The collect here is the bounded
-    // replay harness itself (the stream must be fed from the driver),
-    // not a distributed-compute shortcut.
+    // oracle's cutoff complement.
     "q_stream_tumbling" -> ((s, d) => {
       import s.implicits._
-      val rows = Tables.events(s, d)
+      val (chunk, rows) = sortedFeed(Tables.events(s, d)
         .select(col("ts"), col("event_type"), col("value"))
-        .as[(java.sql.Timestamp, String, Double)]
-        .collect().sortBy(_._1.getTime)
-      replayToTable(s, rows)(stream =>
+        .as[(java.sql.Timestamp, String, Double)], "ts")
+      replayToTable(s, rows, chunk)(stream =>
         EventStreams.tumblingStream(
           stream.toDF.toDF("ts", "event_type", "value"), "6 hours", "1 hour"))
         .select(date_format(col("w.start"), Fmt).as("wstart"),
@@ -96,16 +113,68 @@ object EventQueries {
     // the per-user event sequence, not the chunking.
     "q_stream_sessions" -> ((s, d) => {
       import s.implicits._
-      val rows = Tables.events(s, d)
+      val (chunk, rows) = sortedFeed(Tables.events(s, d)
         .select(col("user_id"), col("ts"))
-        .as[(Long, java.sql.Timestamp)]
-        .collect().sortBy(_._2.getTime)
-      replayToTable(s, rows)(stream =>
+        .as[(Long, java.sql.Timestamp)], "ts")
+      replayToTable(s, rows, chunk)(stream =>
         EventStreams.sessionCloseStream(stream.toDS(), gapMinutes = 240).toDF())
         .select(col("user_id"),
           date_format(col("start"), Fmt).as("wstart"),
           date_format(col("end"), Fmt).as("wend"), col("n"))
         .orderBy(col("user_id"), col("wstart"))
+    }),
+
+    // Stream-stream interval join under the gate: one chronological
+    // tagged feed split into a clicks branch and an errors branch (each
+    // with its own watermark), inner-joined on user_id with the
+    // event-time bound. An inner stream-stream join emits a pair in the
+    // micro-batch where both sides are present — the watermark governs
+    // only state EVICTION, and eviction is watermark-correct (a row is
+    // dropped only once no future match is possible under the 1h
+    // lateness) — so with a chronological feed the emitted set is
+    // exactly the batch join, invariant to the chunking, which is what
+    // the oracle states.
+    "q_stream_join" -> ((s, d) => {
+      import s.implicits._
+      val (chunk, rows) = sortedFeed(Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("event_type"), col("user_id"), col("event_id"), col("ts"))
+        .as[(String, Long, Long, java.sql.Timestamp)], "ts")
+      replayToTable(s, rows, chunk) { stream =>
+        val df = stream.toDF.toDF("event_type", "user_id", "event_id", "ts")
+        EventStreams.clickErrorJoinStream(
+          df.filter(col("event_type") === "click").drop("event_type"),
+          df.filter(col("event_type") === "error").drop("event_type"),
+          "3 DAYS", "1 hour")
+      }
+        .select(col("user_id"), col("err_id"), col("click_id"),
+          date_format(col("cts"), Fmt).as("cts_s"),
+          date_format(col("ets"), Fmt).as("ets_s"))
+        .orderBy(col("err_id"), col("click_id"))
+    }),
+
+    // dropDuplicatesWithinWatermark under the gate: every event is fed
+    // TWICE (a simulated at-least-once redelivery — identical payload,
+    // identical ts), and the stream must collapse the feed back to one
+    // row per event_id. Dedup emits the first-seen row immediately
+    // (the watermark only bounds key-state retention), and a redelivery
+    // at the same ts can never arrive after its key's state expired, so
+    // the emitted set is exactly the distinct source rows. Identical
+    // payloads make "first seen" order-free: the gate is deterministic
+    // under any chunking.
+    "q_stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val (chunk, rows) = sortedFeed(Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, Long, java.sql.Timestamp, String)], "ts")
+      val doubled = rows.flatMap(r => Iterator(r, r))
+      replayToTable(s, doubled, chunk * 2)(stream =>
+        EventStreams.dedupStream(
+          stream.toDF.toDF("event_id", "user_id", "ts", "event_type"),
+          "event_id", "1 hour"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), Fmt).as("ts_s"), col("event_type"))
+        .orderBy(col("event_id"))
     }),
 
     // Tumbling 6h windows per event type.
@@ -278,6 +347,26 @@ object EventQueries {
          WHERE ws + INTERVAL '6 hours' <=
                (SELECT max(ts) - INTERVAL '1 hour' FROM events)
          ORDER BY wstart, event_type""",
+    // the inner interval join emits exactly the batch join pairs; note
+    // the stream condition is cts <= ets (inclusive), unlike
+    // q_events_range's strict cts < ets
+    "q_stream_join" ->
+      """SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS cts_s,
+                strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ets_s
+         FROM (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'error') e
+         JOIN (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND c.ts <= e.ts
+              AND c.ts >= e.ts - INTERVAL 3 DAY
+         ORDER BY err_id, click_id""",
+    // the doubled feed collapses back to one first-seen row per
+    // event_id = exactly the source rows (event_id is unique there)
+    "q_stream_dedup" ->
+      """SELECT event_id, user_id,
+                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+         FROM events ORDER BY event_id""",
     "q_events_sliding" ->
       """SELECT strftime(time_bucket(INTERVAL '6 hours', ts)
                            - o.range * INTERVAL '6 hours',

@@ -129,9 +129,11 @@ object EventStreams {
     * Cross-batch disorder (ADVICE r4 item 4): within a batch events are
     * sorted, but a batch may deliver an event OLDER than the open
     * session's last timestamp. Such an event is absorbed into the open
-    * session when it falls inside the session's reach (≥ start − gap) —
-    * extending the start downward if needed — and emitted as its own
-    * already-closed singleton when older than that (its true session was
+    * session when it falls strictly inside the session's reach
+    * (> start − gap, matching the batch gaps-and-islands break rule
+    * that a delta ≥ gap separates sessions) — extending the start
+    * downward if needed — and emitted as its own already-closed
+    * singleton when at or beyond that boundary (its true session was
     * closed long ago; with NoTimeout there is no watermark to have
     * bounded it). Sessions can therefore never merge or extend through
     * a negative gap, and already-emitted sessions are never mutated.
@@ -154,8 +156,9 @@ object EventStreams {
           var cur = state.getOption
           ts.foreach { t =>
             cur match {
-              case Some(s) if t < s.startMs - gapMs =>
-                // stale straggler from before the open session's reach
+              case Some(s) if t <= s.startMs - gapMs =>
+                // stale straggler at or beyond the open session's reach
+                // (delta ≥ gap breaks, exactly like the batch islands)
                 closed += ClosedSession(user, new java.sql.Timestamp(t),
                   new java.sql.Timestamp(t), 1)
               case Some(s) if t <= s.lastMs =>

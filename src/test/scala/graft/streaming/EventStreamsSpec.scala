@@ -217,14 +217,19 @@ class EventStreamsSpec extends SparkSpec {
       val singles = s.table("straggler_test").collect()
         .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSeq
       assert(singles == Seq((ts(100), ts(100), 1L)))
+      // boundary: an event EXACTLY gap older than the open session's
+      // start (990 − 60 = 930) must break, not absorb — batch islands
+      // split at delta ≥ gap (ADVICE r5)
+      input.addData(Seq((1L, ts(930))))
+      q.processAllAvailable()
       // close the open session: it must span 990..1010 with n=3 — the
-      // straggler neither extended it through a negative gap nor merged
-      // the stale event into it
+      // stragglers neither extended it through a negative gap nor merged
       input.addData(Seq((1L, ts(2000))))
       q.processAllAvailable()
       val all = s.table("straggler_test").orderBy("start").collect()
         .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSeq
-      assert(all == Seq((ts(100), ts(100), 1L), (ts(990), ts(1010), 3L)))
+      assert(all == Seq((ts(100), ts(100), 1L), (ts(930), ts(930), 1L),
+        (ts(990), ts(1010), 3L)))
     } finally q.stop()
   }
 
