@@ -7,10 +7,14 @@ import graft.Tables
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, and per-partition batch feature extraction — the shape a
-  * 100 TB image/audio/video pipeline needs, with the actual media
-  * decode stubbed (no codec libraries in this container; the
-  * deterministic byte-level featurizer below is the stand-in and is
-  * itself a real, testable computation).
+  * 100 TB image/audio/video pipeline needs. Image decode is REAL
+  * (`javax.imageio`, built into the JDK — PNG/BMP/GIF need no external
+  * codec): [[decodeMedia]] turns a payload into its grayscale raster,
+  * and [[decodeStats]] runs the full encode→decode→featurize path
+  * under the DuckDB gate. Audio/video codecs remain absent in this
+  * container; their pipelines use the deterministic byte-level
+  * featurizers below, which are themselves real, testable
+  * computations.
   *
   * Design notes for the real thing at scale:
   *   - payloads stay `binary` columns in parquet — Spark never
@@ -31,12 +35,89 @@ object Multimodal {
   final case class AssetFeatures(
       doc_id: Long, n_bytes: Long, digest: String, hist: Array[Long])
 
-  /** The plug point for a real decoder (image/audio/video → tensors).
-    * Deliberately unimplemented: codec libraries are absent here; the
-    * pipeline uses [[byteHistogram]] as the deterministic stand-in. */
-  def decodeMedia(bytes: Array[Byte]): Nothing =
-    throw new NotImplementedError(
-      "media codecs unavailable in this environment — see byteHistogram stub")
+  /** A decoded image: dimensions plus the 8-bit grayscale raster in
+    * row-major order. */
+  final case class DecodedMedia(width: Int, height: Int, pixels: Array[Byte])
+
+  /** Real image decode via the JDK's built-in `javax.imageio` codecs
+    * (PNG/BMP/GIF/JPEG readers ship with the JDK — no external
+    * libraries). Returns the 8-bit grayscale raster; an image that is
+    * already single-band grayscale (our PNG gate payloads) is read back
+    * bit-exactly with no color conversion, which is what makes
+    * [[decodeStats]] oracle-replayable. Non-gray inputs are converted
+    * through the AWT gray colorspace (deterministic for a fixed JDK,
+    * but not oracle-stated — the gate feeds grayscale only). */
+  def decodeMedia(bytes: Array[Byte]): DecodedMedia = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+      else {
+        val g = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val gg = g.createGraphics()
+        gg.drawImage(img, 0, 0, null)
+        gg.dispose()
+        g
+      }
+    val px = new Array[Byte](w * h)
+    gray.getRaster.getDataElements(0, 0, w, h, px)
+    DecodedMedia(w, h, px)
+  }
+
+  /** Encode a byte payload as a real grayscale PNG: a `width`-wide
+    * row-major grid of 8-bit pixels (partial last row trimmed). PNG
+    * grayscale is lossless, so decode ∘ encode = the truncated byte
+    * grid — the property the q_mm_decode oracle states. */
+  def encodePng(bytes: Array[Byte], width: Int): Array[Byte] = {
+    val h = bytes.length / width
+    require(h >= 1, s"payload shorter than one $width-byte row")
+    val img = new java.awt.image.BufferedImage(
+      width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, h,
+      java.util.Arrays.copyOf(bytes, width * h))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The full image-decode pipeline under the gate: payloads become
+    * real grayscale PNGs ([[encodePng]]), are decoded back through the
+    * JDK codec ([[decodeMedia]]), and reduce to per-image pixel stats.
+    * One encoder/decoder pass per partition via `mapPartitions`
+    * (payloads shorter than one pixel row are filtered out — nothing to
+    * decode). The stats are stated exactly by the oracle because the
+    * gray PNG round-trip is lossless: pixels = the first
+    * width·(len/width) payload bytes.
+    */
+  def decodeStats(assets: DataFrame, width: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .filter(_._2.length >= width)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val dec = decodeMedia(encodePng(bytes, width))
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          dec.pixels.foreach { b =>
+            val v = b & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+          md.reset()
+          (id, dec.width.toLong, dec.height.toLong, sum, mn.toLong, mx.toLong,
+            md.digest(dec.pixels).map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("doc_id", "width", "height", "px_sum", "px_min", "px_max", "px_md5")
+  }
 
   /** Deterministic stand-in featurizer: 16-bucket histogram of the
     * payload's byte values (bucket = byte >> 4). */

@@ -7,10 +7,11 @@ import graft.multimodal.Multimodal
 
 /** Multimodal plumbing as a catalog query: binary payloads + typed
   * metadata through the [[Multimodal.extractFeatures]] mapPartitions
-  * pipeline. The payloads are utf-8 document bytes standing in for
-  * media (codecs absent — [[Multimodal.decodeMedia]] is the stub), so
-  * the DuckDB oracle can recompute every feature exactly from the text
-  * (documents are pure ASCII: byte == codepoint).
+  * pipeline, plus a REAL image decode gate (q_mm_decode: javax.imageio
+  * grayscale PNG round-trip). The payloads are utf-8 document bytes
+  * standing in for media, so the DuckDB oracle can recompute every
+  * feature exactly from the text (documents are pure ASCII: byte ==
+  * codepoint, and the gray PNG round-trip is lossless).
   */
 object MultimodalQueries {
 
@@ -27,6 +28,16 @@ object MultimodalQueries {
     // the oracle replays the pooling on the text's character codes.
     "q_mm_resize" -> ((s, d) => {
       Multimodal.resizePooled(Multimodal.assets(s, d), 32)
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL image decode (javax.imageio): each payload becomes a genuine
+    // 32-wide grayscale PNG, is decoded back through the JDK codec, and
+    // reduces to pixel stats. Lossless gray round-trip ⇒ pixels are the
+    // first 32·(len/32) payload bytes, which is exactly what the oracle
+    // states from the ASCII text.
+    "q_mm_decode" -> ((s, d) => {
+      Multimodal.decodeStats(Multimodal.assets(s, d), 32)
         .orderBy(col("doc_id"))
     }),
 
@@ -75,6 +86,22 @@ object MultimodalQueries {
                          AS pooled_sum
                 FROM b)
          SELECT doc_id, out_h, out_w, pooled_sum FROM p ORDER BY doc_id""",
+    "q_mm_decode" ->
+      """WITH b AS (SELECT doc_id,
+                    substring(text, 1, (len(text) // 32) * 32) AS px,
+                    len(text) // 32 AS h
+                    FROM documents WHERE len(text) >= 32),
+          c AS (SELECT doc_id, h, px,
+                       [unicode(substring(px, k, 1))
+                        for k in range(1, len(px) + 1)] AS cs
+                FROM b)
+         SELECT doc_id, CAST(32 AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(list_aggregate(cs, 'sum') AS BIGINT) AS px_sum,
+                CAST(list_aggregate(cs, 'min') AS BIGINT) AS px_min,
+                CAST(list_aggregate(cs, 'max') AS BIGINT) AS px_max,
+                md5(px) AS px_md5
+         FROM c ORDER BY doc_id""",
     "q_mm_frames" ->
       """WITH f AS (SELECT doc_id, text,
                     unnest([i for i in range(0,
