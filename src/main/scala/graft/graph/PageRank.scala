@@ -172,7 +172,6 @@ object PageRank {
           intermediates.foreach(_.unpersist(blocking = false))
           fin
         }
-        else if (i % checkpointInterval != 0) next
         else if (redistributeDangling) {
           // the dangling-mass branch references `ranks` a SECOND time
           // each iteration, so without construction-time truncation the
@@ -183,9 +182,14 @@ object PageRank {
           // and the marked RDD is the action's own root — never
           // reachable from a broadcast subplan. The per-iteration
           // action is the documented cost of the opt-in variant.
+          // Checked BEFORE the interval skip (ADVICE r5): with
+          // interval > 1 an untruncated redistribute iteration would
+          // still double the tree, so this mode truncates every
+          // iteration regardless of checkpointInterval.
           if (reliable) next.checkpoint(eager = true)
           else next.localCheckpoint(eager = true)
         }
+        else if (i % checkpointInterval != 0) next
         else {
           val c = next.persist(StorageLevel.MEMORY_AND_DISK)
           intermediates += c

@@ -39,4 +39,30 @@ class ReliableCheckpointSpec extends SparkSpec {
       .filter(Files.isRegularFile(_)).count()
     assert(written > 0, s"no checkpoint files under $dir")
   }
+
+  test("GraphX reliable run deletes its ids checkpoint, keeps the result's") {
+    val s = spark
+    import s.implicits._
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        Files.createTempDirectory("graft-chk-gx").toString)
+    val ckDir = new org.apache.hadoop.fs.Path(
+      s.sparkContext.getCheckpointDir.get)
+    val fs = ckDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def rddDirs(): Set[String] =
+      if (!fs.exists(ckDir)) Set.empty
+      else fs.listStatus(ckDir).map(_.getPath.getName)
+        .filter(_.startsWith("rdd-")).toSet
+    val before = rddDirs()
+    val pages = Seq("a", "b", "c", "d").toDF("page")
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "d")
+      .toDF("src", "dst")
+    val out = PageRankGraphX.run(pages, edges, iters = 4)
+    assert(out.count() == 4)
+    // only the RESULT's checkpoint remains; the internal ids checkpoint
+    // was cleaned up after materialization (ADVICE r5)
+    val added = rddDirs() -- before
+    assert(added.size == 1,
+      s"expected exactly the result checkpoint to remain, got $added")
+  }
 }
