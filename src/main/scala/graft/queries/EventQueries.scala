@@ -38,7 +38,7 @@ object EventQueries {
     * emitted set is invariant to the chunking.
     */
   private def replayToTable[A](s: SparkSession, rows: Iterator[A],
-      chunkSize: Int)(
+      chunkSize: Int, outputMode: String = "append")(
       build: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
         => DataFrame)(
       implicit enc: org.apache.spark.sql.Encoder[A]): DataFrame = {
@@ -51,7 +51,7 @@ object EventQueries {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try build(stream).writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+        .outputMode(outputMode).start()
       finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     try {
       rows.grouped(math.max(1, chunkSize)).zipWithIndex.foreach {
@@ -175,6 +175,32 @@ object EventQueries {
         .select(col("event_id"), col("user_id"),
           date_format(col("ts"), Fmt).as("ts_s"), col("event_type"))
         .orderBy(col("event_id"))
+    }),
+
+    // mapGroupsWithState under the gate — the last stateful streaming
+    // operator without a CORRECTNESS row. userRunningState emits, per
+    // micro-batch, each active user's running (lifetime count, streak);
+    // WHICH intermediate rows appear depends on the chunking, but each
+    // user's LAST update is the fold of their full chronological event
+    // sequence — chunking-invariant — so the gate keeps exactly that row
+    // (update-mode sink appends every batch's updates; `n` strictly
+    // increases across a user's batches, so max_by(streak, n) + max(n)
+    // selects the final state deterministically). Oracle: n = the
+    // user's event count; streak = the size of the user's LAST
+    // gaps-and-islands island (delta >= 4h breaks — same rule as the
+    // session gates; the operator's `< gapMs` continue matches its
+    // `>= gap` break exactly).
+    "q_stream_running" -> ((s, d) => {
+      import s.implicits._
+      val (chunk, rows) = sortedFeed(Tables.events(s, d)
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)], "ts")
+      replayToTable(s, rows, chunk, outputMode = "update")(stream =>
+        EventStreams.userRunningState(stream.toDS(), gapMinutes = 240).toDF())
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"),
+          max_by(col("streak"), col("n")).as("streak"))
+        .orderBy(col("user_id"))
     }),
 
     // Tumbling 6h windows per event type.
@@ -367,6 +393,28 @@ object EventQueries {
       """SELECT event_id, user_id,
                 strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
          FROM events ORDER BY event_id""",
+    // each user's final mapGroupsWithState fold: lifetime count + the
+    // size of the last <4h-delta run (islands break at delta >= 4h)
+    "q_stream_running" ->
+      """WITH m AS (SELECT user_id, ts,
+                  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL '4 hours'
+                       THEN 1 ELSE 0 END AS brk
+                  FROM events),
+          i AS (SELECT user_id,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m),
+          s AS (SELECT user_id, sid, COUNT(*) AS island_n
+                FROM i GROUP BY user_id, sid),
+          l AS (SELECT user_id, MAX(sid) AS ls, CAST(SUM(island_n) AS BIGINT)
+                         AS n
+                FROM s GROUP BY user_id)
+         SELECT l.user_id, l.n, CAST(s.island_n AS BIGINT) AS streak
+         FROM l JOIN s ON s.user_id = l.user_id AND s.sid = l.ls
+         ORDER BY l.user_id""",
     "q_events_sliding" ->
       """SELECT strftime(time_bucket(INTERVAL '6 hours', ts)
                            - o.range * INTERVAL '6 hours',

@@ -135,6 +135,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: final per-user state is chunking-invariant") {
+    // the q_stream_running gate keeps each user's LAST update (max n);
+    // that row must be the fold of the full chronological sequence no
+    // matter how the feed is micro-batched
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = (0 until 40).map { i =>
+      ((i % 3).toLong, ts(i * 13 + (if (i % 7 == 0) 600 else 0)))
+    }.sortBy(_._2.getTime)
+    def finalRows(chunks: Seq[Seq[(Long, Timestamp)]]): Map[Long, (Long, Long)] = {
+      val input = MemoryStream[(Long, Timestamp)]
+      val name = s"chunk_inv_${chunks.size}"
+      val q = EventStreams.userRunningState(input.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      val out = s.table(name)
+        .groupBy("user_id")
+        .agg(max("n").as("n"), max_by(col("streak"), col("n")).as("streak"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      s.catalog.dropTempView(name)
+      out
+    }
+    val oneBatch = finalRows(Seq(events))
+    val fiveBatches = finalRows(events.grouped(8).toSeq)
+    assert(oneBatch == fiveBatches, s"$oneBatch vs $fiveBatches")
+    assert(oneBatch.values.map(_._1).sum == 40L)
+  }
+
   test("mergeable CMS sketch aggregates identically in batch and streaming") {
     // the sketch Aggregators are the scale path BECAUSE they're
     // mergeable; streaming incremental state maintenance is the same
