@@ -14,7 +14,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // sorted order: Map iteration order is arbitrary, which made
     // per-query times incomparable across rounds
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.contains(n)) }
     // Warm-up pass over the whole catalog: materializes the shared
     // GraphCatalog / WikiDump session state and fills JIT/codegen caches,
     // so the timed samples measure the query, not one-time bootstrap.

@@ -64,10 +64,14 @@ object PageRankGraphX {
     var idsCkpt: Option[String] = None
     val ids =
       if (reliable) {
-        val r = ids0.rdd
+        // persist BEFORE checkpoint (ADVICE r6): the checkpoint write is
+        // its own job, so an unpersisted RDD would be computed twice —
+        // once by the count, once by the write
+        val r = ids0.rdd.persist(StorageLevel.MEMORY_AND_DISK)
         r.checkpoint()
         r.count() // materialize: every later read sees the same ids
         idsCkpt = r.getCheckpointFile
+        r.unpersist(blocking = false) // consumers read the checkpoint files
         spark.createDataFrame(r, ids0.schema)
       } else ids0.persist(StorageLevel.MEMORY_AND_DISK)
     val nIds = ids.count()

@@ -343,6 +343,81 @@ object DedupQueries {
           h -> ((2 * i + 1) * h + (i * 2654435761) % 4294967296) % 4294967296),
         'min') for i in range(0, 16)]"""
 
+  /** DuckDB replay of [[editdistPairs]] at the given block cap — the
+    * SAME routing for every cap, so the default gate stays honest on a
+    * corpus whose blocks overflow (ADVICE r6). */
+  private def editdistOracle(cap: Int): String =
+    s"""WITH p AS (SELECT doc_id, substring(text, 1, 40) AS pre,
+                    CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
+                    substring(text, 1, 4) AS pb
+                    FROM documents
+                    WHERE length(substring(text, 1, 40)) =
+                          strlen(substring(text, 1, 40))),
+          pc AS (SELECT *, count(*) OVER (PARTITION BY lb, pb) AS bc FROM p),
+          small AS (SELECT * FROM pc WHERE bc <= $cap OR length(pre) < 5),
+          big AS (SELECT * FROM pc WHERE bc > $cap AND length(pre) >= 5),
+          small_cand AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, x.pre AS px, y.pre AS py
+            FROM small x JOIN small y ON x.lb = y.lb AND x.pb = y.pb
+                                      AND x.doc_id < y.doc_id),
+          sh AS (SELECT doc_id, lb, pb, pre,
+                   list_distinct(list_transform(
+                     list_distinct([substring(pre, i, 5)
+                                    for i in range(1, length(pre) - 3)]),
+                     g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)))
+                     AS hs
+                 FROM big),
+          g AS (SELECT doc_id, lb, pb, pre, $minhash16 AS sig FROM sh),
+          bands AS (SELECT doc_id, lb, pb, pre, b.range AS band,
+                      md5(array_to_string(sig[1 + b.range * 4 : 4 + b.range * 4],
+                                          ',')) AS bkey
+                    FROM g CROSS JOIN range(0, 4) b),
+          big_cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   x.pre AS px, y.pre AS py
+            FROM bands x JOIN bands y
+              ON x.lb = y.lb AND x.pb = y.pb AND x.band = y.band
+                 AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+          cand AS (SELECT * FROM small_cand
+                   UNION ALL SELECT * FROM big_cand)
+         SELECT a, b, CAST(levenshtein(px, py) AS BIGINT) AS dist
+         FROM cand WHERE levenshtein(px, py) <= 12
+         ORDER BY a, b"""
+
+  /** DuckDB replay of [[ngramNearDup]] at the given block cap — same
+    * rationale as [[editdistOracle]]. */
+  private def ngramOracle(cap: Int): String =
+    s"""WITH s0 AS (SELECT doc_id, source, CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
+                 list_distinct(list_transform(
+                   list_distinct([substring(text, i, 5)
+                                  for i in range(1, len(text) - 3)]),
+                   g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT))) AS sh
+                FROM documents),
+          s AS (SELECT *, count(*) OVER (PARTITION BY source, lb) AS bc FROM s0),
+          small_p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.sh AS shx, y.sh AS shy
+                FROM s x JOIN s y ON x.source = y.source AND x.lb = y.lb
+                                  AND x.doc_id < y.doc_id
+                WHERE x.bc <= $cap),
+          big AS (SELECT doc_id, source, lb, sh,
+                    [list_aggregate(list_transform(sh,
+                       h -> ((2 * i + 1) * h + (i * 2654435761) % 4294967296) % 4294967296),
+                     'min') for i in range(0, 16)] AS sig
+                  FROM s WHERE bc > $cap),
+          bands AS (SELECT doc_id, source, lb, b.range AS band, sig[1 + b.range] AS v
+                    FROM big CROSS JOIN range(0, 16) b),
+          big_cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                       FROM bands x JOIN bands y
+                       ON x.source = y.source AND x.lb = y.lb AND x.band = y.band
+                          AND x.v = y.v AND x.doc_id < y.doc_id),
+          big_p AS (SELECT c.a, c.b, sx.sh AS shx, sy.sh AS shy
+                    FROM big_cand c JOIN s0 sx ON c.a = sx.doc_id
+                                    JOIN s0 sy ON c.b = sy.doc_id),
+          allp AS (SELECT * FROM small_p UNION ALL SELECT * FROM big_p),
+          j AS (SELECT a, b, CAST(len(list_intersect(shx, shy)) AS DOUBLE) /
+                       (len(shx) + len(shy) - len(list_intersect(shx, shy))) AS jaccard
+                FROM allp)
+          SELECT a, b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY a, b"""
+
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH u AS (SELECT doc_id, text FROM documents
@@ -411,108 +486,24 @@ object DedupQueries {
                                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
                                for b in range(0, 32)]) AS BIGINT) AS simhash
          FROM t ORDER BY doc_id""",
-    "q_dedup_editdist" ->
-      """WITH p AS (SELECT doc_id, substring(text, 1, 40) AS pre,
-                    CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
-                    substring(text, 1, 4) AS pb
-                    FROM documents
-                    WHERE length(substring(text, 1, 40)) =
-                          strlen(substring(text, 1, 40)))
-         SELECT x.doc_id AS a, y.doc_id AS b,
-                CAST(levenshtein(x.pre, y.pre) AS BIGINT) AS dist
-         FROM p x JOIN p y ON x.lb = y.lb AND x.pb = y.pb
-                           AND x.doc_id < y.doc_id
-         WHERE levenshtein(x.pre, y.pre) <= 12
-         ORDER BY a, b""",
+    // the oracle replays the SAME cap-1000 routing as the query (ADVICE
+    // r6): with a plain-blocking oracle the gate would only stay honest
+    // while no block at the gated scale exceeded the cap — a future
+    // corpus change would hash-mismatch instead of exercising the
+    // banding on both engines
+    "q_dedup_editdist" -> editdistOracle(1000),
     // replays the cap-4 routing: blocks over the cap compare only where
     // 4×4 minhash banding over the prefix's char-5-gram shingles
     // collides (shingle-less prefixes < 5 chars stay exact)
-    "q_dedup_editdist_capped" ->
-      s"""WITH p AS (SELECT doc_id, substring(text, 1, 40) AS pre,
-                    CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
-                    substring(text, 1, 4) AS pb
-                    FROM documents
-                    WHERE length(substring(text, 1, 40)) =
-                          strlen(substring(text, 1, 40))),
-          pc AS (SELECT *, count(*) OVER (PARTITION BY lb, pb) AS bc FROM p),
-          small AS (SELECT * FROM pc WHERE bc <= 4 OR length(pre) < 5),
-          big AS (SELECT * FROM pc WHERE bc > 4 AND length(pre) >= 5),
-          small_cand AS (
-            SELECT x.doc_id AS a, y.doc_id AS b, x.pre AS px, y.pre AS py
-            FROM small x JOIN small y ON x.lb = y.lb AND x.pb = y.pb
-                                      AND x.doc_id < y.doc_id),
-          sh AS (SELECT doc_id, lb, pb, pre,
-                   list_distinct(list_transform(
-                     list_distinct([substring(pre, i, 5)
-                                    for i in range(1, length(pre) - 3)]),
-                     g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)))
-                     AS hs
-                 FROM big),
-          g AS (SELECT doc_id, lb, pb, pre, $minhash16 AS sig FROM sh),
-          bands AS (SELECT doc_id, lb, pb, pre, b.range AS band,
-                      md5(array_to_string(sig[1 + b.range * 4 : 4 + b.range * 4],
-                                          ',')) AS bkey
-                    FROM g CROSS JOIN range(0, 4) b),
-          big_cand AS (
-            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                   x.pre AS px, y.pre AS py
-            FROM bands x JOIN bands y
-              ON x.lb = y.lb AND x.pb = y.pb AND x.band = y.band
-                 AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-          cand AS (SELECT * FROM small_cand
-                   UNION ALL SELECT * FROM big_cand)
-         SELECT a, b, CAST(levenshtein(px, py) AS BIGINT) AS dist
-         FROM cand WHERE levenshtein(px, py) <= 12
-         ORDER BY a, b""",
-    "q_dedup_ngram" ->
-      """WITH s AS (SELECT doc_id, source, CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
-                 list_distinct(list_transform(
-                   list_distinct([substring(text, i, 5)
-                                  for i in range(1, len(text) - 3)]),
-                   g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT))) AS sh
-                FROM documents),
-          p AS (SELECT x.doc_id AS a, y.doc_id AS b,
-                       len(list_intersect(x.sh, y.sh)) AS inter,
-                       len(x.sh) AS la, len(y.sh) AS lb2
-                FROM s x JOIN s y ON x.source = y.source AND x.lb = y.lb
-                                  AND x.doc_id < y.doc_id)
-          SELECT a, b, CAST(inter AS DOUBLE) / (la + lb2 - inter) AS jaccard
-          FROM p WHERE CAST(inter AS DOUBLE) / (la + lb2 - inter) >= 0.2
-          ORDER BY a, b""",
+    "q_dedup_editdist_capped" -> editdistOracle(4),
+    // like editdist, the oracle replays the cap-1000 routing itself
+    // (ADVICE r6) so a corpus change that overflows a block exercises
+    // the banding on both engines instead of hash-mismatching
+    "q_dedup_ngram" -> ngramOracle(1000),
     // replays the cap-5 routing exactly: window count per block, exact
     // all-pairs for small blocks, 16 single-row minhash bands for the
     // oversized ones, exact-Jaccard verify of the union
-    "q_dedup_ngram_capped" ->
-      """WITH s0 AS (SELECT doc_id, source, CAST(FLOOR(n_chars / 50) AS BIGINT) AS lb,
-                 list_distinct(list_transform(
-                   list_distinct([substring(text, i, 5)
-                                  for i in range(1, len(text) - 3)]),
-                   g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT))) AS sh
-                FROM documents),
-          s AS (SELECT *, count(*) OVER (PARTITION BY source, lb) AS bc FROM s0),
-          small_p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.sh AS shx, y.sh AS shy
-                FROM s x JOIN s y ON x.source = y.source AND x.lb = y.lb
-                                  AND x.doc_id < y.doc_id
-                WHERE x.bc <= 5),
-          big AS (SELECT doc_id, source, lb, sh,
-                    [list_aggregate(list_transform(sh,
-                       h -> ((2 * i + 1) * h + (i * 2654435761) % 4294967296) % 4294967296),
-                     'min') for i in range(0, 16)] AS sig
-                  FROM s WHERE bc > 5),
-          bands AS (SELECT doc_id, source, lb, b.range AS band, sig[1 + b.range] AS v
-                    FROM big CROSS JOIN range(0, 16) b),
-          big_cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                       FROM bands x JOIN bands y
-                       ON x.source = y.source AND x.lb = y.lb AND x.band = y.band
-                          AND x.v = y.v AND x.doc_id < y.doc_id),
-          big_p AS (SELECT c.a, c.b, sx.sh AS shx, sy.sh AS shy
-                    FROM big_cand c JOIN s0 sx ON c.a = sx.doc_id
-                                    JOIN s0 sy ON c.b = sy.doc_id),
-          allp AS (SELECT * FROM small_p UNION ALL SELECT * FROM big_p),
-          j AS (SELECT a, b, CAST(len(list_intersect(shx, shy)) AS DOUBLE) /
-                       (len(shx) + len(shy) - len(list_intersect(shx, shy))) AS jaccard
-                FROM allp)
-          SELECT a, b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY a, b""",
+    "q_dedup_ngram_capped" -> ngramOracle(5),
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
                            sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm

@@ -67,15 +67,19 @@ object EventQueries {
   }
 
   /** Globally ts-sorted feed for the replay gates: (chunk size for ~8
-    * chunks, partition-at-a-time iterator). The count is one cheap
-    * metadata-ish job; the iterator never materializes the table on the
+    * chunks, partition-at-a-time iterator). The count runs BEFORE the
+    * sort (scan-only job, no shuffle step to pay); AQE coalesces the
+    * sort's range shuffle to data-sized partitions, so the
+    * partition-at-a-time `toLocalIterator` is a handful of jobs, not
+    * 32 (measured: an explicit repartitionByRange(4) is ~20% SLOWER
+    * than letting AQE pick — the extra sampling pass costs more than
+    * it saves). The iterator never materializes the table on the
     * driver. */
   private def sortedFeed[A](ds: org.apache.spark.sql.Dataset[A],
       tsCol: String): (Int, Iterator[A]) = {
     import scala.jdk.CollectionConverters._
-    val sorted = ds.orderBy(tsCol)
-    val n = sorted.count()
-    (math.max(1, (n / 8).toInt), sorted.toLocalIterator().asScala)
+    val n = ds.count()
+    (math.max(1, (n / 8).toInt), ds.orderBy(tsCol).toLocalIterator().asScala)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

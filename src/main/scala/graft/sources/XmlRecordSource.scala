@@ -185,9 +185,13 @@ private final class ScanBuffer(in: java.io.InputStream, bufSize: Int) {
   def read(): Int = {
     if (pb >= 0) { val b = pb; pb = -1; return b }
     if (lo >= hi) {
-      hi = in.read(buf, 0, bufSize)
+      // retry on a legal-but-unusual 0-length refill (ADVICE r6):
+      // InputStream.read may return 0 without meaning EOF; treating it
+      // as EOF would silently truncate record carving mid-split
+      hi = 0
+      while (hi == 0) hi = in.read(buf, 0, bufSize)
       lo = 0
-      if (hi <= 0) return -1
+      if (hi < 0) return -1
     }
     val b = buf(lo) & 0xff
     lo += 1
