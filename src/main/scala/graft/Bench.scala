@@ -45,11 +45,17 @@ object Bench {
         samples = (samples ++ Seq.fill(2)(sample())).sorted
       name -> samples(samples.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms resolution): the driver's stdout capture
+    // keeps only the last ~2.3 KB, and at full double precision the
+    // 78-query line overflowed it every round (BENCH_r* `parsed: null`,
+    // head of the line truncated). Locale.ROOT: no comma decimal marks.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture has truncated the head of this line in
     // every round so far (r5 lost 9 of 74 timings) — persist the full

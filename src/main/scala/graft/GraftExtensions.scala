@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharShingleHashes, CosineSimilarity, DotProduct,
-  MinHashSig, SimHash32, SortedIntersectCount, WordShingleHashes}
+import graft.functions.{CharEntropy, CharShingleHashes, CosineSimilarity,
+  DotProduct, MinHashSig, SimHash32, SortedIntersectCount, WordShingleHashes}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -83,7 +83,8 @@ object GraftFunctions {
     withIntParam("char_shingle_hashes", classOf[CharShingleHashes],
       CharShingleHashes.apply),
     withIntParam("minhash_sig", classOf[MinHashSig], MinHashSig.apply),
-    unary("simhash32", classOf[SimHash32], SimHash32.apply)
+    unary("simhash32", classOf[SimHash32], SimHash32.apply),
+    unary("char_entropy", classOf[CharEntropy], CharEntropy.apply)
   )
 
   /** Idempotent registration on a live session. */

@@ -58,6 +58,24 @@ object GraphCatalog {
       r
     })
 
+  private val pranks = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Personalized rank vector seeded at the deterministic MIN(src) page
+    * — computed once per (session, dir), persisted. The seed collect is
+    * a 1-row scalar aggregate (the same driver-side role as the N
+    * counter), not a data collect. */
+  def tpchPersonalizedRanks(spark: SparkSession, dir: String): DataFrame =
+    pranks.getOrElseUpdate((spark, dir), {
+      val g = tpch(spark, dir)
+      val src = g.edges
+        .agg(org.apache.spark.sql.functions.min("src").as("s"))
+        .first().getString(0)
+      val r = PageRank.run(g.pages, g.edges, teleportTo = Some(src))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    })
+
   private val wikiGraphs = TrieMap.empty[(SparkSession, String), LinkGraphData]
   private val wikiRankCache = TrieMap.empty[(SparkSession, String), DataFrame]
 

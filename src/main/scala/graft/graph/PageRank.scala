@@ -80,13 +80,25 @@ object PageRank {
     * dangling mass is a 1-row aggregate broadcast-cross-joined into the
     * update — no extra driver action, no extra shuffle of the rank
     * vector.
+    * @param teleportTo personalized PageRank: when set, ALL teleport
+    * mass lands on this page (r0 = the source's indicator vector, the
+    * per-iteration teleport term is resetProb·[page == src] instead of
+    * resetProb/N) — ranks become proximity-to-src scores, the standard
+    * seeded-relevance variant. Same loop, same shuffles; the teleport
+    * is a per-row CASE, not an extra join. Mutually exclusive with
+    * `redistributeDangling` (personalized dangling mass conventionally
+    * returns to the source — not implemented; keep reference-parity
+    * mass loss instead).
     * @return DataFrame["page", "rank"] — one row per page.
     */
   def run(pages: DataFrame, edges: DataFrame, iters: Int = DefaultIters,
           damping: Double = Damping, resetProb: Double = ResetProb,
           checkpointInterval: Int = 1,
           onIteration: (Int, DataFrame) => Unit = (_, _) => (),
-          redistributeDangling: Boolean = false): DataFrame = {
+          redistributeDangling: Boolean = false,
+          teleportTo: Option[String] = None): DataFrame = {
+    require(teleportTo.isEmpty || !redistributeDangling,
+      "personalized PageRank with dangling-mass redistribution is not supported")
     val spark = pages.sparkSession
 
     val p = pages.persist(StorageLevel.MEMORY_AND_DISK)
@@ -119,20 +131,30 @@ object PageRank {
     lazy val dangling = p.join(deg, p("page") === deg("src"), "left_anti")
       .select("page").persist(StorageLevel.MEMORY_AND_DISK)
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var ranks = p.select(col("page"), (lit(1.0) / lit(n)).as("rank"))
+    var ranks = teleportTo match {
+      case Some(src) => p.select(col("page"),
+        when(col("page") === lit(src), lit(1.0)).otherwise(lit(0.0)).as("rank"))
+      case None => p.select(col("page"), (lit(1.0) / lit(n)).as("rank"))
+    }
     for (i <- 1 to iters) {
       val contribs = edgesWithDeg
         .join(vhint(ranks), edgesWithDeg("src") === ranks("page"))
         .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
       val mass = contribs.unionAll(zero)
         .groupBy("dst").agg(sum("contrib").as("mass"))
-      val next = if (!redistributeDangling)
+      val next = if (!redistributeDangling) {
+        // teleport from the exact resetProb constant, NOT 1 - damping:
+        // (1 - 0.85) is 0.15000000000000002 in double fp, while the
+        // reference, the DuckDB oracle, and GraphX all use exact 0.15
+        // (ADVICE r2 item 1 — keeps parity without relying on rounding).
+        val teleport = teleportTo match {
+          case Some(src) =>
+            when(col("dst") === lit(src), lit(resetProb)).otherwise(lit(0.0))
+          case None => lit(resetProb / n)
+        }
         mass.select(col("dst").as("page"),
-          // teleport from the exact resetProb constant, NOT 1 - damping:
-          // (1 - 0.85) is 0.15000000000000002 in double fp, while the
-          // reference, the DuckDB oracle, and GraphX all use exact 0.15
-          // (ADVICE r2 item 1 — keeps parity without relying on rounding).
-          (lit(resetProb / n) + lit(damping) * col("mass")).as("rank"))
+          (teleport + lit(damping) * col("mass")).as("rank"))
+      }
       else {
         // Σ rank over dangling pages, as a 1-row broadcast — keeps the
         // update one lazy plan (no per-iteration collect to the driver)

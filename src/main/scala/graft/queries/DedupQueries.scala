@@ -80,30 +80,23 @@ object DedupQueries {
     // band_key) — bucket sizes stay tiny, so candidate generation is
     // near-linear at any corpus size; exact Jaccard runs on candidates
     // only. Output: verified near-dup pairs (J ≥ 0.5).
-    "q_dedup_lsh" -> ((s, d) => {
-      graft.GraftFunctions.register(s)
-      val base = Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), "\\s+"))
-        .withColumn("hs", call_function("word_shingle_hashes", col("toks"), lit(3)))
-      // materialize the banded signature table once (localCheckpoint)
-      // before self-joining: Catalyst plans a self-join as two copies of
-      // the subplan, which would run the shingle+md5 pass twice
-      val banded = base
-        .withColumn("sig", call_function("minhash_sig", col("hs"), lit(16)))
-        .select(col("doc_id"), col("hs"),
-          posexplode(expr(Dedup.bandKeysExpr("sig", 4, 4))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-        .localCheckpoint(eager = true)
-      banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          // unrounded: exact-int arithmetic, bit-equal to the oracle
-          Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
-        .groupBy("a", "b").agg(max("j").as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("a"), col("b"))
-    }),
+    "q_dedup_lsh" -> ((s, d) => lshPairs(s, d).orderBy(col("a"), col("b"))),
+
+    // Near-dup CLUSTERING — the step an LLM pipeline actually ships:
+    // pair lists don't deduplicate a corpus, canonical assignments do.
+    // The verified LSH pairs ([[lshPairs]]) form an undirected graph;
+    // connected components to convergence (HashMin + pointer jumping,
+    // [[graft.graph.Components.components]]) give every document a
+    // cluster representative canonical_id = min doc_id in its cluster
+    // (singletons map to themselves: keep doc_id == canonical_id,
+    // drop the rest). cluster_n rides along so downstream can weight
+    // by duplication count (the CCNet/RefinedWeb convention). Scale
+    // shape: the pair graph is near-linear in corpus size (LSH
+    // collision-bounded), components is O(log diameter) rounds, and
+    // near-dup clusters have tiny diameters — 2-3 rounds in practice.
+    "q_dedup_cluster" -> ((s, d) =>
+      clusterAssign(Tables.documents(s, d), lshPairs(s, d))
+        .orderBy(col("doc_id"))),
 
     // SimHash 32-bit signatures (term-frequency-weighted bit votes).
     "q_dedup_simhash" -> ((s, d) => {
@@ -188,6 +181,52 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     })
   )
+
+  /** Canonical cluster assignment from a dup-pair list: connected
+    * components over the undirected pair graph (every document a
+    * vertex, singletons included), canonical_id = min doc_id in the
+    * component, cluster_n = component size. `docs` needs a doc_id
+    * column; `pairs` needs (a, b). Exposed for DedupClusterSpec. */
+  private[graft] def clusterAssign(docs: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val comps = graft.graph.Components.components(
+      docs.select(col("doc_id").as("page")),
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    val sz = comps.groupBy("comp").agg(count(lit(1)).as("cluster_n"))
+    comps.join(sz, "comp")
+      .select(col("page").as("doc_id"), col("comp").as("canonical_id"),
+        col("cluster_n"))
+  }
+
+  /** Verified MinHash-LSH near-dup pairs (a < b, exact Jaccard ≥ 0.5):
+    * 4 bands × 4 rows over 16-perm signatures of word-3-gram shingles;
+    * exact Jaccard re-verification on band-collision candidates only.
+    * Shared by q_dedup_lsh (the pair gate) and q_dedup_cluster (the
+    * canonicalization step). Unordered — callers add their
+    * presentation sort. */
+  private[graft] def lshPairs(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val base = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("hs", call_function("word_shingle_hashes", col("toks"), lit(3)))
+    // materialize the banded signature table once (localCheckpoint)
+    // before self-joining: Catalyst plans a self-join as two copies of
+    // the subplan, which would run the shingle+md5 pass twice
+    val banded = base
+      .withColumn("sig", call_function("minhash_sig", col("hs"), lit(16)))
+      .select(col("doc_id"), col("hs"),
+        posexplode(expr(Dedup.bandKeysExpr("sig", 4, 4))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      .localCheckpoint(eager = true)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        // unrounded: exact-int arithmetic, bit-equal to the oracle
+        Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
+      .groupBy("a", "b").agg(max("j").as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
 
   /** Skew-hardened edit-distance near-dup join: (length-bucket ×
     * 4-char-prefix) blocking with a per-block size cap — rows in blocks
@@ -465,6 +504,43 @@ object DedupQueries {
                         AS jaccard
                     FROM cand GROUP BY a, b)
           SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY a, b""",
+    // same pair CTEs as q_dedup_lsh, then a recursive min-label closure
+    // (the q_components_converged trick) for canonical assignment
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+          s AS (SELECT doc_id, $shingle3 AS sh FROM t),
+          hh AS (SELECT doc_id, $shingleHash AS hs FROM s),
+          g AS (SELECT doc_id, hs, $minhash16 AS sig FROM hh),
+          bands AS (SELECT doc_id, hs, b.range AS band,
+                           md5(array_to_string(sig[1 + b.range * 4 : 4 + b.range * 4], ','))
+                             AS bkey
+                    FROM g CROSS JOIN range(0, 4) b),
+          cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                          len(list_intersect(x.hs, y.hs)) AS inter,
+                          len(x.hs) AS la, len(y.hs) AS lb
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                        AND x.doc_id < y.doc_id),
+          pairs AS (SELECT a, b FROM (
+                      SELECT a, b,
+                             MAX(CAST(inter AS DOUBLE) / (la + lb - inter))
+                               AS jaccard
+                      FROM cand GROUP BY a, b)
+                    WHERE jaccard >= 0.5),
+          und AS (SELECT a AS x, b AS y FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+          r AS (SELECT doc_id AS page, doc_id AS reach FROM documents
+                UNION
+                SELECT u.x AS page, r.reach
+                FROM r JOIN und u ON u.y = r.page),
+          comp AS (SELECT page, MIN(reach) AS canonical_id FROM r
+                   GROUP BY page),
+          sz AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_n
+                 FROM comp GROUP BY canonical_id)
+         SELECT c.page AS doc_id, c.canonical_id, z.cluster_n
+         FROM comp c JOIN sz z ON c.canonical_id = z.canonical_id
+         ORDER BY doc_id""",
     "q_dedup_source_sketch" ->
       s"""WITH t AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks
                      FROM documents),

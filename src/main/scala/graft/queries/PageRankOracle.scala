@@ -14,14 +14,26 @@ object PageRankOracle {
   /** @param redistribute adds the standard dangling-mass term: each
     * iteration also receives 0.85 · (Σ rank of zero-out-degree pages)/N,
     * so total rank stays 1 — replays
-    * [[graft.graph.PageRank.run]]'s `redistributeDangling = true`. */
+    * [[graft.graph.PageRank.run]]'s `redistributeDangling = true`.
+    * @param personalized replays `teleportTo = Some(min src)`: r0 is
+    * the source page's indicator vector and the teleport term is
+    * 0.15·[page = src] instead of 0.15/N (the psrc CTE picks MIN(src)
+    * FROM good — the same deterministic choice the catalog query
+    * collects). Mutually exclusive with `redistribute`, like the
+    * engine parameter. */
   def sql(graphCtes: String, iters: Int, select: String,
-          redistribute: Boolean = false): String = {
+          redistribute: Boolean = false,
+          personalized: Boolean = false): String = {
+    require(!(redistribute && personalized),
+      "personalized + redistribute is not supported (mirrors PageRank.run)")
     val iterCtes = (1 to iters).map { k =>
       // bit-parity with the Spark update: the redistribute form groups as
       // 0.85 * (mass + dm/n), NOT 0.85*mass + 0.85*dm/n (fp association)
       val update =
-        if (!redistribute) "0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.mass, 0)"
+        if (personalized)
+          """CASE WHEN p.page = (SELECT s FROM psrc) THEN 0.15 ELSE 0.0 END
+               + 0.85 * COALESCE(m.mass, 0)"""
+        else if (!redistribute) "0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.mass, 0)"
         else s"""0.15 / (SELECT n FROM nn) + 0.85 * (COALESCE(m.mass, 0) +
                    (SELECT COALESCE(SUM(pr), 0) FROM r${k - 1}
                     WHERE page NOT IN (SELECT src FROM good)) / (SELECT n FROM nn))"""
@@ -35,11 +47,19 @@ object PageRankOracle {
               JOIN deg d ON g.src = d.src
               GROUP BY g.dst) m ON p.page = m.dst)"""
     }.mkString(",\n")
+    val r0 =
+      if (personalized)
+        """r0 AS (SELECT page,
+                    CASE WHEN page = (SELECT s FROM psrc)
+                         THEN 1.0 ELSE 0.0 END AS pr FROM pages)"""
+      else "r0 AS (SELECT page, 1.0 / (SELECT n FROM nn) AS pr FROM pages)"
+    val psrc =
+      if (personalized) "psrc AS (SELECT MIN(src) AS s FROM good),\n" else ""
     s"""WITH $graphCtes,
         deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
                 FROM good GROUP BY src),
         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pages),
-        r0 AS (SELECT page, 1.0 / (SELECT n FROM nn) AS pr FROM pages),
+        $psrc$r0,
         $iterCtes
         $select"""
   }

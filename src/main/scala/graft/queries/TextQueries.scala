@@ -215,6 +215,47 @@ object TextQueries {
         .select(col("tok"), col("est"), col("exact"))
         .orderBy(col("est").desc, col("tok"))
         .limit(20)
+    }),
+
+    // Intra-document repetition (Gopher-style quality rule): the
+    // fraction of word 2-grams / 3-grams that are repeats of an earlier
+    // occurrence — high values flag boilerplate/template spam that
+    // inter-document dedup can't see. Narrow single pass, built-in
+    // higher-order functions only (per-row cost is linear in tokens; no
+    // shuffle except the presentation sort). The division is one
+    // exact-int-to-double op, identical on both engines — unrounded.
+    "q_text_repetition" -> ((s, d) => {
+      def dupFrac(w: Int): Column = {
+        // slice/concat_ws the w-gram at each start; sequence() is only
+        // evaluated when size ≥ w (CaseWhen is lazy per row — Spark's
+        // sequence(1, k) with k < 1 would count DOWN, not stay empty)
+        val ng = expr(
+          s"transform(sequence(1, size(toks) - ${w - 1})," +
+            s" i -> concat_ws(' ', slice(toks, i, $w)))")
+        when(size(col("toks")) < w, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(ng)).cast("double") / size(ng).cast("double"))
+      }
+      Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .select(col("doc_id"),
+          dupFrac(2).as("dup2_frac"), dupFrac(3).as("dup3_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Character-distribution Shannon entropy — the "natural text vs
+    // noise" signal (random junk ≈ log2(alphabet), template filler low).
+    // Native codegen'd expression ([[graft.functions.CharEntropy]]):
+    // one compiled pass per document inside WholeStageCodegen, vs an
+    // interpreted higher-order-function chain. Rounded to 6 dp: the
+    // in-order Σ c·log2(c) fold is order-identical on both engines, so
+    // the only wiggle is libm ln() ulp differences.
+    "q_text_entropy" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(call_function("char_entropy", col("text")), 6).as("entropy"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -360,7 +401,48 @@ object TextQueries {
                                  % 4294967296) % 256
                    GROUP BY c.tok)
            SELECT tok, est, exact FROM est
-           ORDER BY est DESC, tok LIMIT 20"""
+           ORDER BY est DESC, tok LIMIT 20""",
+      // w-grams via 1-based list slicing; DuckDB's range(1, k) is empty
+      // for k <= 1 (no descending surprise), so only the < w guard needs
+      // stating to mirror the Spark CASE
+      "q_text_repetition" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                      FROM documents),
+           g AS (SELECT doc_id,
+                   [array_to_string(toks[i:i+1], ' ')
+                    for i in range(1, len(toks))] AS ng2,
+                   [array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)] AS ng3,
+                   len(toks) AS n
+                 FROM t)
+           SELECT doc_id,
+                  CASE WHEN n < 2 THEN 0.0
+                       ELSE 1.0 - CAST(len(list_distinct(ng2)) AS DOUBLE)
+                                  / CAST(len(ng2) AS DOUBLE) END AS dup2_frac,
+                  CASE WHEN n < 3 THEN 0.0
+                       ELSE 1.0 - CAST(len(list_distinct(ng3)) AS DOUBLE)
+                                  / CAST(len(ng3) AS DOUBLE) END AS dup3_frac
+           FROM g ORDER BY doc_id""",
+      // ascending-char fold order and ln(x)/ln(2) mirror the native
+      // expression exactly (CharEntropyUtil); LEFT JOIN keeps empty
+      // documents at entropy 0.0
+      "q_text_entropy" ->
+        """WITH c AS (SELECT doc_id,
+                        unnest([substring(text, i, 1)
+                                for i in range(1, length(text) + 1)]) AS ch
+                      FROM documents),
+           g AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+                 FROM c GROUP BY doc_id, ch),
+           l AS (SELECT doc_id, list(c ORDER BY ch) AS cs, sum(c) AS n
+                 FROM g GROUP BY doc_id),
+           e AS (SELECT doc_id,
+                   ln(n) / ln(2) -
+                     list_sum(list_transform(cs, x -> x * (ln(x) / ln(2)))) / n
+                     AS entropy
+                 FROM l)
+           SELECT d.doc_id, round(COALESCE(e.entropy, 0.0), 6) AS entropy
+           FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+           ORDER BY d.doc_id"""
     )
   }
 }

@@ -99,6 +99,59 @@ class PageRankSpec extends SparkSpec {
     for (p <- pages) assert(math.abs(df(p) - gx(p)) < 1e-10, s"page=$p")
   }
 
+  /** Personalized reference recurrence: r0 = e_src, teleport
+    * 0.15·[p = src], dangling mass lost — mirrors run(teleportTo). */
+  private def refPersonalized(pages: Seq[String],
+      edges: Seq[(String, String)], src: String,
+      iters: Int): Map[String, Double] = {
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toDouble }
+    var r = pages.map(p => p -> (if (p == src) 1.0 else 0.0)).toMap
+    for (_ <- 1 to iters) {
+      val mass = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = pages.map(p =>
+        p -> ((if (p == src) 0.15 else 0.0) + 0.85 * mass.getOrElse(p, 0.0))).toMap
+    }
+    r
+  }
+
+  test("personalized ranks match the seeded reference recurrence") {
+    val s = spark
+    import s.implicits._
+    for ((pages, edges) <- Seq(star, chain, cycle)) {
+      val src = edges.map(_._1).min
+      val want = refPersonalized(pages, edges, src, 8)
+      val got = PageRank.run(pages.toDF("page"), edges.toDF("src", "dst"),
+          iters = 8, teleportTo = Some(src))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for (p <- pages)
+        assert(math.abs(got(p) - want(p)) < 1e-12, s"page=$p got=$got want=$want")
+    }
+  }
+
+  test("personalized teleport concentrates rank near the source") {
+    val s = spark
+    import s.implicits._
+    // two disjoint 2-cycles; seeding in one leaves the other at 0
+    val pages = Seq("a", "b", "x", "y").toDF("page")
+    val edges = Seq("a" -> "b", "b" -> "a", "x" -> "y", "y" -> "x")
+      .toDF("src", "dst")
+    val got = PageRank.run(pages, edges, iters = 8, teleportTo = Some("a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("x") == 0.0 && got("y") == 0.0)
+    assert(got("a") > 0.0 && got("b") > 0.0)
+  }
+
+  test("personalized + redistributeDangling is rejected") {
+    val s = spark
+    import s.implicits._
+    assertThrows[IllegalArgumentException] {
+      PageRank.run(star._1.toDF("page"), star._2.toDF("src", "dst"),
+        redistributeDangling = true, teleportTo = Some("hub"))
+    }
+  }
+
   test("topRanks keeps the reference 5/N default and descending order") {
     val s = spark
     import s.implicits._
