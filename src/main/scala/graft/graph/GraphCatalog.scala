@@ -76,6 +76,20 @@ object GraphCatalog {
       r
     })
 
+  private val hitsCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** HITS hub/authority vectors — computed once per (session, dir),
+    * persisted. [[Hits.run]] ends with an eager localCheckpoint, so the
+    * extra persist here only pins the small result blocks. */
+  def tpchHits(spark: SparkSession, dir: String): DataFrame =
+    hitsCache.getOrElseUpdate((spark, dir), {
+      val g = tpch(spark, dir)
+      val r = Hits.run(g.pages, g.edges)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    })
+
   private val wikiGraphs = TrieMap.empty[(SparkSession, String), LinkGraphData]
   private val wikiRankCache = TrieMap.empty[(SparkSession, String), DataFrame]
 

@@ -142,6 +142,24 @@ object DedupQueries {
     // P = 1-(1-J)^16 ≈ 97% at J = 0.2, ~100% at J ≥ 0.3).
     "q_dedup_ngram_capped" -> ((s, d) => ngramNearDup(s, d, blockCap = 5)),
 
+    // Exact SUBSTRING dedup (the ExactSubstr pass of Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"):
+    // a window is duplicated when its word-8-gram occurs anywhere else
+    // in the corpus — another document or a second position in the same
+    // one. The paper's tool is a single-node suffix array; the scale-out
+    // equivalent is this windowed-hash shuffle: explode windows, hash
+    // each to an 8-byte digest (15 md5 hex digits — the only thing that
+    // crosses the wire), pre-aggregate per (window, doc) for map-side
+    // combine, take corpus totals as a window-function over the digest
+    // partition (one shuffle, no self-join), roll back up per document.
+    // Output is the per-document duplicated-window count + fraction —
+    // the signal pipelines use to drop or trim documents. 60-bit digest
+    // collisions mark false dups at ~(n_windows)²/2⁶¹ — negligible and,
+    // because the oracle computes the identical digests, replicated
+    // exactly on both engines.
+    "q_dedup_substring" -> ((s, d) =>
+      substringDupStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
     // Edit-distance near-dup on BOUNDED 40-char prefixes — the classic
     // record-linkage measure, made scale-sane twice over: the prefix cap
     // makes the per-pair DP cost constant (40×40) regardless of document
@@ -181,6 +199,41 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     })
   )
+
+  /** Per-document duplicated-window statistics for q_dedup_substring:
+    * a word-`w`-gram window is duplicated when its digest occurs ≥ 2
+    * times corpus-wide (another document or a second position in the
+    * same one). Only the 8-byte digest (15 md5 hex digits) crosses the
+    * wire: pre-aggregate per (digest, doc) for map-side combine, take
+    * corpus totals as a window function over the digest partition (one
+    * shuffle, no self-join — the two aggregations land on the same
+    * hash partitioning), roll up per document. `docs` needs (doc_id,
+    * text). Exposed for DedupSubstringSpec. */
+  private[graft] def substringDupStats(docs: DataFrame,
+      w: Int = 8): DataFrame = {
+    val t = docs.withColumn("toks", split(col("text"), "\\s+"))
+    val wins = t.select(col("doc_id"),
+      explode(expr(
+        s"IF(size(toks) >= $w, transform(sequence(1, size(toks) - ${w - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $w))), array())")).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+    val perDoc = wins.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+    val withTot = perDoc.withColumn("tot",
+      sum("c").over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+    val dup = withTot.groupBy("doc_id")
+      .agg(sum("c").as("n_windows"),
+        sum(when(col("tot") >= 2, col("c")).otherwise(lit(0L)))
+          .as("dup_windows"))
+    docs.select("doc_id").join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        // exact-int-to-double division, bit-equal on both engines
+        when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("dup_windows").cast("double") /
+            col("n_windows").cast("double")).as("dup_frac"))
+  }
 
   /** Canonical cluster assignment from a dup-pair list: connected
     * components over the undirected pair graph (every document a
@@ -567,6 +620,30 @@ object DedupQueries {
     // while no block at the gated scale exceeded the cap — a future
     // corpus change would hash-mismatch instead of exercising the
     // banding on both engines
+    "q_dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                    FROM documents),
+          w AS (SELECT doc_id,
+                  CAST(('0x' || substring(md5(array_to_string(toks[i:i+7], ' ')),
+                                          1, 15)) AS BIGINT) AS h
+                FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)
+                WHERE len(toks) >= 8),
+          pd AS (SELECT h, doc_id, count(*) AS c FROM w GROUP BY 1, 2),
+          tt AS (SELECT h, doc_id, c, SUM(c) OVER (PARTITION BY h) AS tot
+                 FROM pd),
+          agg AS (SELECT doc_id,
+                    CAST(SUM(c) AS BIGINT) AS n_windows,
+                    CAST(SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END) AS BIGINT)
+                      AS dup_windows
+                  FROM tt GROUP BY 1)
+          SELECT d.doc_id,
+                 COALESCE(a.n_windows, 0) AS n_windows,
+                 COALESCE(a.dup_windows, 0) AS dup_windows,
+                 CASE WHEN COALESCE(a.n_windows, 0) = 0 THEN 0.0
+                      ELSE CAST(a.dup_windows AS DOUBLE) / a.n_windows
+                 END AS dup_frac
+          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          ORDER BY d.doc_id""",
     "q_dedup_editdist" -> editdistOracle(1000),
     // replays the cap-4 routing: blocks over the cap compare only where
     // 4×4 minhash banding over the prefix's char-5-gram shingles

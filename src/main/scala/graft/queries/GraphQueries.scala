@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{Components, GraphCatalog, LinkGraph, PageRank, PageRankGraphX}
+import graft.graph.{Components, GraphCatalog, Hits, LinkGraph, PageRank, PageRankGraphX}
 
 /** The reference's core surface — link graph + PageRank — as driver
   * queries over the TPC-H-ish tables (graph: customers cite suppliers
@@ -234,6 +234,20 @@ object GraphQueries {
       counts
     }),
 
+    // HITS hubs & authorities (Kleinberg) — the companion link-analysis
+    // score the reference's users would expect next to PageRank: on the
+    // customer→supplier citation graph authorities are the suppliers
+    // many well-connected customers buy from, hubs the customers
+    // spanning many authoritative suppliers. Same per-iteration cost
+    // profile as a PageRank step ([[graft.graph.Hits]] scaladoc);
+    // gated against the unrolled-CTE oracle with end L2 normalization.
+    "q_graph_hits" -> ((s, d) => {
+      GraphCatalog.tpchHits(s, d)
+        .select(col("page"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"))
+        .orderBy(col("page"))
+    }),
+
     // F1+O1+M2: threshold cut + global descending sort.
     "q_pagerank_top" -> ((s, d) => {
       val g = GraphCatalog.tpch(s, d)
@@ -279,6 +293,9 @@ object GraphQueries {
       PageRank.DefaultIters,
       "SELECT page, ROUND(pr, 6) AS pr FROM r8 ORDER BY page",
       personalized = true),
+    "q_graph_hits" -> Hits.oracleSql(graphCtes, Hits.DefaultIters,
+      """SELECT page, ROUND(auth, 6) AS auth, ROUND(hub, 6) AS hub
+         FROM hits ORDER BY page"""),
     "q_pagerank_top" -> pagerankSql(PageRank.DefaultIters,
       s"""SELECT page, ROUND(pr, 6) AS pr FROM r8
          WHERE ROUND(pr, 6) > $TopMultiplier / (SELECT n FROM nn)
