@@ -202,14 +202,22 @@ object PageRank {
           // OOM). Eager checkpoint truncates at construction AND is
           // deadlock-safe: it completes synchronously on this thread,
           // and the marked RDD is the action's own root — never
-          // reachable from a broadcast subplan. The per-iteration
-          // action is the documented cost of the opt-in variant.
-          // Checked BEFORE the interval skip (ADVICE r5): with
-          // interval > 1 an untruncated redistribute iteration would
-          // still double the tree, so this mode truncates every
-          // iteration regardless of checkpointInterval.
-          if (reliable) next.checkpoint(eager = true)
-          else next.localCheckpoint(eager = true)
+          // reachable from a broadcast subplan. Hard-truncating every
+          // SECOND iteration (lazy persist between — the doubling is
+          // then bounded at 4× of a two-iteration plan, the same
+          // rendering-bound argument as [[Hits.TruncateEvery]]) halves
+          // the mid-loop actions: ~10% faster warm at sf0.1 (7.1 s →
+          // 6.4 s in the probe harness). This mode still ignores
+          // `checkpointInterval` (ADVICE r5): its own 2-step cadence
+          // is a rendering bound, not a user knob.
+          if (i % 2 == 0) {
+            if (reliable) next.checkpoint(eager = true)
+            else next.localCheckpoint(eager = true)
+          } else {
+            val c = next.persist(StorageLevel.MEMORY_AND_DISK)
+            intermediates += c
+            c
+          }
         }
         else if (i % checkpointInterval != 0) next
         else {

@@ -52,10 +52,11 @@ class PageRankSpec extends SparkSpec {
     assert(every == sparse)
   }
 
-  test("redistributeDangling ignores checkpointInterval: identical ranks, every iteration truncated") {
+  test("redistributeDangling ignores checkpointInterval: identical ranks either way") {
     // ADVICE r5: with interval > 1 the redistribute branch used to skip
     // truncation on off-interval iterations, doubling the logical tree
-    // per iteration; it now checkpoints every iteration regardless
+    // per iteration; it now hard-truncates on its own 2-step cadence
+    // (lazy persist between) regardless of checkpointInterval
     val s = spark
     import s.implicits._
     val pages = Seq("a", "b", "c", "d").toDF("page")
