@@ -41,6 +41,31 @@ object SimilarityQueries {
   private val K = 5
   private val Planes = 6
 
+  // Product quantization: 64 dims = M subspaces × S dims; ≤ 16
+  // centroids per subspace (the IVF centroid set is data-bounded — 5 at
+  // sf0.01, 16 from sf0.1 up; a real index trains KC = 256)
+  private val M = 8
+  private val S = 8
+
+  /** M × |cs| subspace-distance table: dtab[j][c] = ‖x[j·S+1 … (j+1)·S]
+    * − cs[c][same slice]‖² — index-order fold, every element cast to
+    * DOUBLE before arithmetic so Spark and DuckDB compute bit-equal
+    * values from the float inputs. `x` is a 64-dim array column name,
+    * `cs` an array<array<float>> (|cs| × 64) column name; the centroid
+    * range is size(cs)-driven, NOT a constant — ANSI element_at throws
+    * on out-of-bounds where DuckDB list indexing yields silent NULLs,
+    * so a hardcoded count would error on one engine and quietly skip
+    * centroids on the other. */
+  private def dtabExpr(x: String, cs: String): String = {
+    def el(arr: String, idx: String) =
+      s"cast(element_at($arr, $idx) as double)"
+    val diff = s"(${el(x, s"j * $S + i")} - " +
+      s"${el(s"element_at($cs, c + 1)", s"j * $S + i")})"
+    s"transform(sequence(0, ${M - 1}), j -> " +
+      s"transform(sequence(0, size($cs) - 1), c -> " +
+      s"aggregate(sequence(1, $S), 0D, (acc, i) -> acc + $diff * $diff)))"
+  }
+
   /** Query-vector set: every 100th vector. */
   private def queryVecs(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 100 === 0)
@@ -154,8 +179,60 @@ object SimilarityQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .orderBy(col("qid"), col("rank"))
-    })
+    }),
+
+    // PQ-ADC top-k (product quantization, Jégou'11 — the storage/
+    // bandwidth scale path the other ANN variants don't cover): every
+    // corpus vector is ENCODED once into M=8 4-bit codes (nearest of
+    // ≤16 deterministic centroids per 8-dim subspace — a pure narrow
+    // pass against a broadcast ≤16×64 centroid table, no shuffle), and
+    // queries score the whole corpus via asymmetric distance — an
+    // 8×≤16 per-query lookup table (broadcast) + 8 table lookups per
+    // corpus row, instead of 64 multiplies against raw floats. At 100 TB the
+    // codes table is 8 B/vector vs 256 B raw — the scan the exact path
+    // cannot afford. Ranking is approximate by construction; the gate
+    // checks the computation (codes, tables, ADC sums are bit-equal to
+    // the oracle — every element cast to double, index-order folds,
+    // first-minimum argmin via array_position on bit-equal distance
+    // arrays), not recall.
+    "q_ann_pq" -> ((s, d) => pqTopK(Tables.embeddings(s, d)))
   )
+
+  /** PQ encode + ADC top-k over an embeddings frame (vec_id,
+    * embedding) — centroids are the vec_id %100==50 (<1600) rows,
+    * queries the %100==0 rows, like the IVF variant. Exposed for
+    * PqSpec's closed-form graph. */
+  private[graft] def pqTopK(e: DataFrame, k: Int = K): DataFrame = {
+    // ≤16 deterministic centroid vectors (the IVF set), cid-sorted,
+    // as ONE broadcast row of array<array<float>>
+    val cs = e.filter(col("vec_id") % 100 === 50 && col("vec_id") < 1600)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .agg(expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cv)")
+        .as("cs"))
+    // encode: codes[j] = index of the first-minimal subspace distance
+    val enc = e.crossJoin(broadcast(cs))
+      .withColumn("dtab", expr(dtabExpr("embedding", "cs")))
+      .select(col("vec_id"),
+        expr("transform(dtab, dl -> cast(array_position(dl, array_min(dl)) - 1 as int))")
+          .as("codes"))
+    // per-query ADC lookup tables (M × ≤16 doubles, broadcast)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cs))
+      .select(col("qid"), expr(dtabExpr("qv", "cs")).as("qtab"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("vec_id"))
+    enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        // unrounded: 8 lookups + adds over bit-equal tables
+        expr(s"aggregate(sequence(0, ${M - 1}), 0D, (acc, j) -> " +
+          "acc + element_at(element_at(qtab, j + 1), " +
+          "cast(element_at(codes, j + 1) + 1 as int)))").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q_ann_bruteforce" ->
@@ -251,6 +328,38 @@ object SimilarityQueries {
                          ORDER BY cos DESC, vec_id) AS rank
                 FROM sc)
           SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
+          ORDER BY qid, rank""",
+    // replays the PQ pipeline exactly: same centroid set (cid-sorted),
+    // same 8×16 subspace-distance tables (double casts, index-order
+    // folds), first-minimum argmin via list_indexof(list_min), same
+    // ADC lookup-sum
+    "q_ann_pq" -> {
+      val dtab = (x: String) =>
+        s"""[[list_sum([($x[j * $S + i] - cs[c + 1][j * $S + i]) *
+                        ($x[j * $S + i] - cs[c + 1][j * $S + i])
+                        for i in range(1, ${S + 1})])
+              for c in range(0, len(cs))]
+             for j in range(0, $M)]"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM e
+                WHERE vec_id % 100 = 50 AND vec_id < 1600),
+          cst AS (SELECT list(cv ORDER BY cid) AS cs FROM c),
+          enc AS (SELECT e.vec_id,
+                    [list_indexof(dl, list_min(dl)) - 1
+                     for dl in ${dtab("e.v")}] AS codes
+                  FROM e CROSS JOIN cst),
+          q AS (SELECT e.vec_id AS qid, ${dtab("e.v")} AS qtab
+                FROM e CROSS JOIN cst WHERE e.vec_id % 100 = 0),
+          sc AS (SELECT q.qid, enc.vec_id,
+                        list_sum([q.qtab[j + 1][enc.codes[j + 1] + 1]
+                                  for j in range(0, $M)]) AS adc
+                 FROM q CROSS JOIN enc WHERE enc.vec_id <> q.qid),
+          r AS (SELECT qid, vec_id, adc,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY adc, vec_id) AS rank
+                FROM sc)
+          SELECT qid, vec_id, adc, rank FROM r WHERE rank <= $K
           ORDER BY qid, rank"""
+    }
   )
 }
