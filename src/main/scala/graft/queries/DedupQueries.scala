@@ -150,8 +150,8 @@ object DedupQueries {
     // equivalent is this windowed-hash shuffle: explode windows, hash
     // each to an 8-byte digest (15 md5 hex digits — the only thing that
     // crosses the wire), pre-aggregate per (window, doc) for map-side
-    // combine, take corpus totals as a window-function over the digest
-    // partition (one shuffle, no self-join), roll back up per document.
+    // combine, join per-digest totals back (skew-safe — see
+    // [[substringDupStats]]), roll back up per document.
     // Output is the per-document duplicated-window count + fraction —
     // the signal pipelines use to drop or trim documents. 60-bit digest
     // collisions mark false dups at ~(n_windows)²/2⁶¹ — negligible and,
@@ -204,13 +204,23 @@ object DedupQueries {
     * a word-`w`-gram window is duplicated when its digest occurs ≥ 2
     * times corpus-wide (another document or a second position in the
     * same one). Only the 8-byte digest (15 md5 hex digits) crosses the
-    * wire: pre-aggregate per (digest, doc) for map-side combine, take
-    * corpus totals as a window function over the digest partition (one
-    * shuffle, no self-join — the two aggregations land on the same
-    * hash partitioning), roll up per document. `docs` needs (doc_id,
-    * text). Exposed for DedupSubstringSpec. */
-  private[graft] def substringDupStats(docs: DataFrame,
-      w: Int = 8): DataFrame = {
+    * wire: pre-aggregate per (digest, doc) for map-side combine, then
+    * corpus totals per digest as a partial+final agg JOINED back on the
+    * digest — NOT a window function over the digest partition: a
+    * boilerplate window repeated across millions of documents makes
+    * its digest a hot key, and a window partition must land on ONE
+    * task while the agg form takes partial sums (hot digest → ≤ P
+    * partial rows at the final agg) and AQE splits the skewed join
+    * partition. Roll up per document last. `docs` needs (doc_id,
+    * text).
+    *
+    * `materialize = false` returns the lazy plan (no caching — the
+    * explode pass is planned twice) for plan inspection
+    * (tools/plans.scala); the default runs the explode once through a
+    * cache, materializes the small per-doc result, and drops the cache
+    * deterministically (the q_graph_triangles pattern). */
+  def substringDupStats(docs: DataFrame, w: Int = 8,
+      materialize: Boolean = true): DataFrame = {
     val t = docs.withColumn("toks", split(col("text"), "\\s+"))
     val wins = t.select(col("doc_id"),
       explode(expr(
@@ -218,14 +228,22 @@ object DedupQueries {
           s"i -> concat_ws(' ', slice(toks, i, $w))), array())")).as("g"))
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
-    val perDoc = wins.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
-    val withTot = perDoc.withColumn("tot",
-      sum("c").over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
-    val dup = withTot.groupBy("doc_id")
+    // perDoc feeds BOTH the totals agg and the join probe — Catalyst
+    // plans the two references as independent subtree copies (the
+    // SURVEY self-join rule), which would run the explode + md5 pass
+    // twice. Cache it, materialize the small per-doc result, drop the
+    // cache deterministically (the q_graph_triangles pattern). At
+    // 100 TB the cached (digest, doc, count) rows are ~what the next
+    // shuffle spills anyway; the double narrow pass is pure waste.
+    val perDoc0 = wins.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+    val perDoc = if (materialize) perDoc0.persist() else perDoc0
+    val totals = perDoc.groupBy("h").agg(sum("c").as("tot"))
+    val dup = perDoc.join(totals, "h")
+      .groupBy("doc_id")
       .agg(sum("c").as("n_windows"),
         sum(when(col("tot") >= 2, col("c")).otherwise(lit(0L)))
           .as("dup_windows"))
-    docs.select("doc_id").join(dup, Seq("doc_id"), "left")
+    val out = docs.select("doc_id").join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
@@ -233,6 +251,12 @@ object DedupQueries {
         when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
           .otherwise(col("dup_windows").cast("double") /
             col("n_windows").cast("double")).as("dup_frac"))
+    if (!materialize) out
+    else {
+      val fin = out.localCheckpoint(eager = true)
+      perDoc.unpersist(blocking = true)
+      fin
+    }
   }
 
   /** Canonical cluster assignment from a dup-pair list: connected
