@@ -65,12 +65,19 @@ object Hits {
   def run(pages: DataFrame, edges: DataFrame,
           iters: Int = DefaultIters): DataFrame = {
     val spark = pages.sparkSession
-    val p = pages.persist(StorageLevel.MEMORY_AND_DISK)
+    // Cache OWNERSHIP: persist only frames not already cached, and
+    // unpersist only what we persisted — calling unpersist() on a
+    // caller-cached frame (GraphCatalog's shared pages/edges) drops the
+    // cache for every later query, which showed up as 3-15× slowdowns
+    // across the whole graph bench suite after q_graph_hits warmed up.
+    val pOwn = pages.storageLevel == StorageLevel.NONE
+    val p = if (pOwn) pages.persist(StorageLevel.MEMORY_AND_DISK) else pages
     val n = p.count()
     val hintSmall = n <= PageRank.broadcastVertexLimit(spark)
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
 
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val eOwn = edges.storageLevel == StorageLevel.NONE
+    val e = if (eOwn) edges.persist(StorageLevel.MEMORY_AND_DISK) else edges
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val zero = p.select(col("page"), lit(0.0).as("v"))
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -119,7 +126,8 @@ object Hits {
           .as("hub"))
       .localCheckpoint(eager = true)
     intermediates.foreach(_.unpersist(blocking = false))
-    e.unpersist(); p.unpersist()
+    if (eOwn) e.unpersist()
+    if (pOwn) p.unpersist()
     out
   }
 

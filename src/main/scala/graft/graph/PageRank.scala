@@ -101,10 +101,16 @@ object PageRank {
       "personalized PageRank with dangling-mass redistribution is not supported")
     val spark = pages.sparkSession
 
-    val p = pages.persist(StorageLevel.MEMORY_AND_DISK)
+    // cache ownership (see Hits.run): persist only if the caller hasn't,
+    // and never unpersist a caller-owned cache — q_pagerank_cold re-runs
+    // this loop on GraphCatalog's shared pages every bench rep, and an
+    // unconditional unpersist() here dropped that cache for every
+    // subsequent graph query
+    val pOwn = pages.storageLevel == StorageLevel.NONE
+    val p = if (pOwn) pages.persist(StorageLevel.MEMORY_AND_DISK) else pages
     val n = p.count().toDouble // A2 — the reference's NVALUE counter
     if (n == 0) { // empty graph: no pages → no ranks (1/N is undefined)
-      p.unpersist()
+      if (pOwn) p.unpersist()
       return pages.select(col("page"), lit(0.0).as("rank"))
     }
     val hintSmall = n <= broadcastVertexLimit(spark)
@@ -229,7 +235,7 @@ object PageRank {
     }
     edgesWithDeg.unpersist()
     if (redistributeDangling) dangling.unpersist()
-    p.unpersist()
+    if (pOwn) p.unpersist()
     ranks
   }
 
