@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CharEntropy, CharShingleHashes, CosineSimilarity,
-  DotProduct, MinHashSig, SimHash32, SortedIntersectCount, WordShingleHashes}
+  DotProduct, MinHashSig, PqAdc, SimHash32, SortedIntersectCount,
+  WordShingleHashes}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -84,7 +85,8 @@ object GraftFunctions {
       CharShingleHashes.apply),
     withIntParam("minhash_sig", classOf[MinHashSig], MinHashSig.apply),
     unary("simhash32", classOf[SimHash32], SimHash32.apply),
-    unary("char_entropy", classOf[CharEntropy], CharEntropy.apply)
+    unary("char_entropy", classOf[CharEntropy], CharEntropy.apply),
+    binary("pq_adc", classOf[PqAdc], PqAdc.apply)
   )
 
   /** Idempotent registration on a live session. */

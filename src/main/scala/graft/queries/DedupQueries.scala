@@ -221,7 +221,13 @@ object DedupQueries {
     * deterministically (the q_graph_triangles pattern). */
   def substringDupStats(docs: DataFrame, w: Int = 8,
       materialize: Boolean = true): DataFrame = {
-    val t = docs.withColumn("toks", split(col("text"), "\\s+"))
+    // parallelize the explode + md5 pass when the scan is narrower than
+    // the cluster (a small corpus file is ONE partition → one core);
+    // no-op at real scale where the scan already fans out
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val src =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val t = src.withColumn("toks", split(col("text"), "\\s+"))
     val wins = t.select(col("doc_id"),
       explode(expr(
         s"IF(size(toks) >= $w, transform(sequence(1, size(toks) - ${w - 1}), " +

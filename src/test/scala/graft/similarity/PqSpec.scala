@@ -46,6 +46,27 @@ class PqSpec extends SparkSpec {
     assert(q1.map(_._2).toSeq == Seq(150L, 202L, 0L, 50L, 201L))
   }
 
+  test("native pq_adc is bit-identical to the interpreted aggregate form") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{call_function, expr}
+    graft.GraftFunctions.register(s)
+    // deterministic pseudo-random tables/codes from row ids
+    val df = s.range(50).selectExpr(
+      "transform(sequence(0, 7), j -> transform(sequence(0, 15), " +
+        "c -> cast(conv(substring(md5(concat(id, ':', j, ':', c)), 1, 6), 16, 10) " +
+        "as double) / 1e3)) AS qtab",
+      "transform(sequence(0, 7), j -> cast(conv(substring(md5(concat(id, '#', j)), " +
+        "1, 2), 16, 10) as int) % 16) AS codes")
+    val out = df.select(
+      call_function("pq_adc", expr("qtab"), expr("codes")).as("native"),
+      expr("aggregate(sequence(0, 7), 0D, (acc, j) -> " +
+        "acc + element_at(element_at(qtab, j + 1), " +
+        "cast(element_at(codes, j + 1) + 1 as int)))").as("interp"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("a vector equal to a centroid has zero ADC from a centroid query") {
     val s = spark
     import s.implicits._
