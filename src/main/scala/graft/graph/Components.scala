@@ -60,6 +60,7 @@ object Components {
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
 
     var labels = pages.select(col("page"), col("page").as("lbl"))
+    val rounds_ = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to rounds) {
       val neighbor = undirected
         .join(vhint(labels), undirected("dst") === labels("page"))
@@ -69,7 +70,13 @@ object Components {
       labels = neighbor.unionAll(labels)
         .groupBy("page").agg(min("lbl").as("lbl"))
         .localCheckpoint(eager = i == rounds)
+      if (i < rounds) rounds_ += labels
     }
+    // the final eager checkpoint materialized every lazily-marked round
+    // in the chain; only the last is ever read again — free the rest
+    // (Dataset.unpersist can't reach localCheckpoint blocks, see
+    // [[graft.plans.Lineage]])
+    rounds_.foreach(graft.plans.Lineage.freeLocalCheckpoint)
     if (ownPin) undirected.unpersist()
     labels.select(col("page"), col("lbl").as("comp"))
   }
@@ -122,7 +129,10 @@ object Components {
       changed = next.join(labels,
         next("page") === labels("page") && next("lbl") === labels("lbl"),
         "left_anti").count()
-      labels.unpersist(blocking = false)
+      // free the PREVIOUS round's checkpoint blocks for real —
+      // Dataset.unpersist can't reach them ([[graft.plans.Lineage]]),
+      // so this loop used to leak one |V| block set per round
+      graft.plans.Lineage.freeLocalCheckpoint(labels)
       labels = next
       round += 1
     }
@@ -193,7 +203,9 @@ object Components {
       val nextCount = next.count()
       changed = nextCount != eCount ||
         next.join(e, Seq("a", "b"), "left_anti").count() > 0
-      e.unpersist(blocking = false)
+      // same rationale as [[components]]: actually free the previous
+      // round's checkpoint blocks
+      graft.plans.Lineage.freeLocalCheckpoint(e)
       e = next
       eCount = nextCount
       round += 1

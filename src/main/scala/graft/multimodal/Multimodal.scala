@@ -31,6 +31,12 @@ import graft.Tables
   */
 object Multimodal {
 
+  // ImageIO defaults to FILE-backed stream caching: every read/write
+  // creates (and deletes) a temp file — per ROW in the decode pipeline.
+  // All our payloads are in-memory byte arrays; keep the codec there.
+  // JVM-global static, set once per executor when this object loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Per-record features a decoder would emit. */
   final case class AssetFeatures(
       doc_id: Long, n_bytes: Long, digest: String, hist: Array[Long])

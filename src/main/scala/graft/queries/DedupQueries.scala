@@ -292,16 +292,23 @@ object DedupQueries {
     val base = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), "\\s+"))
       .withColumn("hs", call_function("word_shingle_hashes", col("toks"), lit(3)))
-    // materialize the banded signature table once (localCheckpoint)
-    // before self-joining: Catalyst plans a self-join as two copies of
-    // the subplan, which would run the shingle+md5 pass twice
+    // materialize the banded signature table once before self-joining:
+    // Catalyst plans a self-join as two copies of the subplan, which
+    // would run the shingle+md5 pass twice. cache (not localCheckpoint),
+    // materialize the SMALL verified-pair result, drop the cache
+    // deterministically — the q_graph_triangles pattern: a leaked
+    // localCheckpoint here is doc_count × 16 band rows each carrying the
+    // full shingle array, and with two callers (q_dedup_lsh,
+    // q_dedup_cluster) those blocks piled up until the ContextCleaner
+    // got around to them, taxing every query after (bench r6→r7 probe:
+    // q_setops 0.54 s isolated vs 1.69 s run after the dedup suite)
     val banded = base
       .withColumn("sig", call_function("minhash_sig", col("hs"), lit(16)))
       .select(col("doc_id"), col("hs"),
         posexplode(expr(Dedup.bandKeysExpr("sig", 4, 4))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      .localCheckpoint(eager = true)
-    banded.as("x").join(banded.as("y"),
+      .persist()
+    val pairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -309,6 +316,9 @@ object DedupQueries {
         Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
       .groupBy("a", "b").agg(max("j").as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+      .localCheckpoint(eager = true)
+    banded.unpersist(blocking = true)
+    pairs
   }
 
   /** Skew-hardened edit-distance near-dup join: (length-bucket ×
@@ -362,7 +372,11 @@ object DedupQueries {
     * DedupNgramCapSpec's bounded-candidates assertion. */
   private[graft] def editdistCandidates(p: DataFrame, blockCap: Int): DataFrame = {
     val bc = p.groupBy("lb", "pb").agg(count(lit(1)).as("bc"))
-    val pc = p.join(bc, Seq("lb", "pb")).localCheckpoint(eager = true)
+    // cache + materialize the small candidate set + drop (the
+    // q_graph_triangles pattern): pc feeds both routes' self-joins, and
+    // a leaked eager localCheckpoint of the counted prefix table
+    // outlived the query until the ContextCleaner ran
+    val pc = p.join(bc, Seq("lb", "pb")).persist()
     // shingle-less prefixes (< 5 chars) cannot band — keep them exact
     val exactSide = col("bc") <= blockCap || length(col("pre")) < 5
     val small = pc.filter(exactSide)
@@ -385,7 +399,9 @@ object DedupQueries {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.pre").as("px"), col("y.pre").as("py"))
       .distinct() // a pair may collide in several bands
-    smallCand.unionByName(bigCand)
+    val cand = smallCand.unionByName(bigCand).localCheckpoint(eager = true)
+    pc.unpersist(blocking = true)
+    cand
   }
 
   /** Skew-hardened blocked n-gram near-dup join.
@@ -406,12 +422,16 @@ object DedupQueries {
     */
   def ngramNearDup(s: SparkSession, d: String, blockCap: Int): DataFrame = {
     graft.GraftFunctions.register(s)
+    // hash pass once, not per join side — cached, with the small verified
+    // result materialized and the cache dropped deterministically (the
+    // q_graph_triangles pattern; a leaked localCheckpoint of the shingle
+    // arrays outlived the query and taxed everything after it)
     val sh0 = Tables.documents(s, d)
       .withColumn("sh", call_function("char_shingle_hashes", col("text"), lit(5)))
       .select(col("doc_id"), col("source"),
         floor(col("n_chars") / 50).as("lb"), col("sh"))
-      .localCheckpoint(eager = true) // hash pass once, not per join side
-    ngramCandidates(sh0, blockCap)
+      .persist()
+    val verified = ngramCandidates(sh0, blockCap)
       // arrays join candidates once at the end, instead of being carried
       // through the pair self-join
       .join(sh0.select(col("doc_id").as("a"), col("sh").as("shx")), "a")
@@ -419,7 +439,9 @@ object DedupQueries {
       .select(col("a"), col("b"),
         Dedup.jaccardSorted(col("shx"), col("shy")).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-      .orderBy(col("a"), col("b"))
+      .localCheckpoint(eager = true)
+    sh0.unpersist(blocking = true)
+    verified.orderBy(col("a"), col("b"))
   }
 
   /** Candidate (a, b) pairs under the capped blocking scheme. `sh0`

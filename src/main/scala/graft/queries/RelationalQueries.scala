@@ -257,6 +257,32 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Salted SKEW JOIN — the hot-key remedy when one join key carries a
+    // disproportionate share of the fact side and AQE's split isn't
+    // available (or the skew is known statically): salt the fact side
+    // into 16 sub-keys, REPLICATE each dim row across all 16 salts
+    // (explode of a 16-element literal — dim×16 rows, the bounded cost
+    // of the technique), join on (key, salt) so the hot key's rows land
+    // on 16 reducers instead of one. Each fact row matches exactly one
+    // replica, so the result — and the oracle — is the plain join. No
+    // broadcast hint anywhere: the point of salting is precisely the
+    // case where the dim side is too big to broadcast.
+    "q_join_salted" -> ((s, d) => {
+      val salts = 16
+      val fact = Tables.orders(s, d)
+        .withColumn("salt", pmod(hash(col("o_orderkey")), lit(salts)))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .withColumn("salt", explode(lit((0 until salts).toArray)))
+      fact.join(dim,
+          fact("o_custkey") === dim("c_custkey") &&
+            fact("salt") === dim("salt"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Two-phase salted aggregation — the skew-mitigation shape: phase 1
     // aggregates on (key, salt) spreading a hot key over 16 reducers,
     // phase 2 merges the partials. The result is salt-invariant (sum and
@@ -437,6 +463,13 @@ object RelationalQueries {
       """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
          COUNT(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // salt-invariant by construction (each fact row matches exactly one
+    // dim replica) → the oracle is the plain join
+    "q_join_salted" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+                ROUND(SUM(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_distinct_kmv" ->
       """WITH h AS (SELECT l_returnflag,
                     CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 8))

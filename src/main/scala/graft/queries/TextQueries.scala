@@ -172,6 +172,67 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact STRATIFIED sampling: ~10% per language stratum — the
+    // balanced-mix counterpart of q_text_sample's global split (a global
+    // hash split under-represents rare strata; training mixes are
+    // stratified). Deterministic: rank docs within each stratum by their
+    // md5 hash and keep the first ceil(n/10) — integer arithmetic
+    // ((n+9) div 10, no float boundary), no RNG state, stable under
+    // reruns and repartitioning. One shuffle on the stratum key; the
+    // per-stratum count rides the same window partition.
+    "q_text_sample_stratified" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hv = md5(col("doc_id").cast("string"))
+      val w = Window.partitionBy(col("lang")).orderBy(hv, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n_lang", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .filter(col("rk") <= (col("n_lang") + 9) / 10)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII detection + redaction — the mandatory privacy pass of a
+    // training-data pipeline: count and mask emails / IPv4 addresses /
+    // phone numbers in one narrow codegen'd pass (regexp_extract_all +
+    // chained regexp_replace; counts from the pre-redaction text). The
+    // synthetic corpus contains no PII, so the gate deterministically
+    // INJECTS it first — doc_id-keyed email/IP/phone suffixes on every
+    // 3rd/5th/7th document — making every pattern and the redaction
+    // order non-vacuously exercised; the oracle replays injection,
+    // counts, and redaction identically (md5 of the redacted text keeps
+    // the compared payload small). Patterns are deliberately in the
+    // RE2 ∩ java.util.regex common subset (character classes and
+    // bounded repetition only — no backrefs, no lookaround) so both
+    // engines match identically.
+    "q_text_pii" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      val phone = "\\d{3}-\\d{3}-\\d{4}"
+      val id = col("doc_id")
+      val aug = concat(col("text"),
+        when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" host 10."), (id % 256).cast("string"),
+          lit(".0."), (id % 100).cast("string"))).otherwise(lit("")),
+        when(id % 7 === 0, concat(lit(" call 555-"),
+          (id % 900 + 100).cast("string"), lit("-"),
+          (id % 9000 + 1000).cast("string"))).otherwise(lit("")))
+      Tables.documents(s, d)
+        .withColumn("aug", aug)
+        .select(id,
+          size(regexp_extract_all(col("aug"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(ip), lit(0)))
+            .cast("long").as("n_ips"),
+          size(regexp_extract_all(col("aug"), lit(phone), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+            email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>"))
+            .as("red_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (k=8 char shingles, window w=4): per doc
     // the fingerprint-set size and its min/max — the join key shape a
     // plagiarism / near-dup pass would bucket on.
@@ -364,6 +425,48 @@ object TextQueries {
            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                       AS BIGINT) % 100 < 10
            ORDER BY doc_id""",
+      // row_number over (md5, doc_id) within the stratum; the keep
+      // threshold is pure integer arithmetic so no float boundary can
+      // flip membership between engines
+      "q_text_sample_stratified" ->
+        """WITH r AS (SELECT doc_id, lang,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+                  COUNT(*) OVER (PARTITION BY lang) AS n_lang
+                  FROM documents)
+           SELECT doc_id, lang, rk FROM r
+           WHERE rk <= (n_lang + 9) // 10
+           ORDER BY doc_id""",
+      // DuckDB regexp_replace needs the 'g' option to replace ALL
+      // matches (Spark's replaces all by default)
+      "q_text_pii" ->
+        """WITH a AS (SELECT doc_id, text ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com' ELSE '' END ||
+                 CASE WHEN doc_id % 5 = 0
+                      THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 7 = 0
+                      THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                           || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                      ELSE '' END AS aug
+                FROM documents)
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(aug,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_emails,
+                  CAST(len(regexp_extract_all(aug,
+                    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+                  CAST(len(regexp_extract_all(aug,
+                    '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+                  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+                    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS red_md5
+           FROM a ORDER BY doc_id""",
       "q_text_fingerprint" ->
         """WITH s AS (SELECT doc_id,
                   list_transform([substring(text, i, 8) for i in range(1, len(text) - 6)],

