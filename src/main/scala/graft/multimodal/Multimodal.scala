@@ -125,6 +125,67 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "px_sum", "px_min", "px_max", "px_md5")
   }
 
+  /** 64-bit average-hash (aHash) of each decoded image — the standard
+    * cheap perceptual fingerprint image pipelines dedup on: pool the
+    * grayscale raster to an 8×8 cell grid (integer mean per cell,
+    * remainder rows/cols trimmed), threshold each cell against the
+    * integer mean-of-cells, read the 64 bits out as 8 row-band BYTES
+    * (values 0..255) — the band form avoids 64-bit sign-bit arithmetic
+    * entirely and doubles as the LSH key: two hashes within Hamming
+    * distance 7 must agree on at least one of the 8 bands (pigeonhole),
+    * so a band-equality equi-join finds ALL such pairs with no distance
+    * scan. Runs through the REAL decode ([[encodePng]] → [[decodeMedia]]
+    * — lossless gray round-trip), so the oracle can restate the bits
+    * from the payload bytes. Payloads shorter than 8 pixel rows are
+    * filtered (no 8×8 grid to pool).
+    *
+    * @return doc_id, bs — the 8 band bytes, row-major.
+    */
+  def aHashBands(assets: DataFrame, width: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .filter(_._2.length >= width * 8)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val dec = decodeMedia(encodePng(bytes, width))
+          val ch = dec.height / 8
+          val cw = width / 8
+          val cells = new Array[Long](64)
+          var m = 0
+          while (m < 64) {
+            val r = m / 8
+            val cc = m % 8
+            var sum = 0L
+            var i = 0
+            while (i < ch) {
+              var j = 0
+              while (j < cw) {
+                sum += dec.pixels((r * ch + i) * width + cc * cw + j) & 0xff
+                j += 1
+              }
+              i += 1
+            }
+            cells(m) = sum / (ch * cw)
+            m += 1
+          }
+          val mean = cells.sum / 64
+          val bs = Array.tabulate(8) { r =>
+            var b = 0
+            var cc = 0
+            while (cc < 8) {
+              if (cells(r * 8 + cc) > mean) b |= 1 << cc
+              cc += 1
+            }
+            b
+          }
+          (id, bs)
+        }
+      }
+      .toDF("doc_id", "bs")
+  }
+
   /** Deterministic stand-in featurizer: 16-bucket histogram of the
     * payload's byte values (bucket = byte >> 4). */
   def byteHistogram(bytes: Array[Byte]): Array[Long] = {

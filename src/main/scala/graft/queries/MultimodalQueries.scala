@@ -41,6 +41,43 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual-hash image near-dup — where the multimodal and dedup
+    // families meet: every payload is REALLY decoded (grayscale PNG
+    // round-trip), aHashed to 64 bits held as 8 band bytes
+    // ([[Multimodal.aHashBands]]), and pairs within Hamming distance 7
+    // are found by a band-equality equi-join (8 bands × ≤7 differing
+    // bits → some band matches exactly, pigeonhole — NO recall loss at
+    // this threshold, unlike probabilistic banding) + an 8-byte XOR
+    // popcount on candidates only. The corpus-sized band table never
+    // self-compares beyond bucket collisions; at 100 TB the join keys
+    // are (band, byte) — 2048 buckets per band tier — with AQE handling
+    // any hot bucket. Non-vacuous: the corpus's planted exact/near dups
+    // surface as hamming-0 pairs.
+    "q_mm_phash" -> ((s, d) => {
+      val bands = Multimodal.aHashBands(Multimodal.assets(s, d), 32)
+        .persist()
+      val eb = bands.select(col("doc_id"), posexplode(col("bs")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val cand = eb.as("x").join(eb.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct() // a pair may agree on several bands
+      // cache → materialize the small pair result → unpersist (the
+      // q_graph_triangles pattern; bands feeds the explode AND both
+      // hamming sides)
+      val out = cand
+        .join(bands.select(col("doc_id").as("a"), col("bs").as("bsx")), "a")
+        .join(bands.select(col("doc_id").as("b"), col("bs").as("bsy")), "b")
+        .select(col("a"), col("b"),
+          expr("aggregate(zip_with(bsx, bsy, (p, q) -> bit_count(p ^ q))," +
+            " 0, (acc, v) -> acc + v)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 7)
+        .localCheckpoint(eager = true)
+      bands.unpersist(blocking = true)
+      out.orderBy(col("a"), col("b"))
+    }),
+
     // Frame sampling: 64-byte frames, every 4th kept — the
     // video-decode-and-sample plumbing with byte slices standing in for
     // frames (the oracle replays it on the text since the corpus is
@@ -102,6 +139,41 @@ object MultimodalQueries {
                 CAST(list_aggregate(cs, 'max') AS BIGINT) AS px_max,
                 md5(px) AS px_md5
          FROM c ORDER BY doc_id""",
+    // replays decode-free (the gray PNG round-trip is lossless and the
+    // corpus ASCII): cells pooled straight from character codes, integer
+    // divisions throughout, band bytes via 1<<bit sums
+    "q_mm_phash" ->
+      """WITH b AS (SELECT doc_id, len(text) // 32 AS h,
+                    [unicode(substring(text, k, 1))
+                     for k in range(1, (len(text) // 32) * 32 + 1)] AS c
+                    FROM documents WHERE len(text) >= 256),
+          cells AS (SELECT doc_id,
+                      [list_sum([c[((m // 8) * (h // 8) + t // 4) * 32
+                                   + (m % 8) * 4 + (t % 4) + 1]
+                                 for t in range(0, (h // 8) * 4)])
+                         // ((h // 8) * 4)
+                       for m in range(0, 64)] AS cl
+                    FROM b),
+          ph AS (SELECT doc_id, cl, list_sum(cl) // 64 AS mean FROM cells),
+          bands AS (SELECT doc_id,
+                      [list_sum([CASE WHEN cl[r * 8 + cc + 1] > mean
+                                      THEN 1 << cc ELSE 0 END
+                                 for cc in range(0, 8)])
+                       for r in range(0, 8)] AS bs
+                    FROM ph),
+          e AS (SELECT doc_id, bs, unnest(generate_series(0, 7)) AS band
+                FROM bands),
+          eb AS (SELECT doc_id, bs, band, bs[band + 1] AS bkey FROM e),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM eb x JOIN eb y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                        AND x.doc_id < y.doc_id),
+          hd AS (SELECT cand.a, cand.b,
+                   CAST(list_sum([bit_count(xor(bx.bs[i], by.bs[i]))
+                                  for i in range(1, 9)]) AS BIGINT) AS hamming
+                 FROM cand JOIN bands bx ON bx.doc_id = cand.a
+                           JOIN bands by ON by.doc_id = cand.b)
+         SELECT a, b, hamming FROM hd WHERE hamming <= 7 ORDER BY a, b""",
     "q_mm_frames" ->
       """WITH f AS (SELECT doc_id, text,
                     unnest([i for i in range(0,

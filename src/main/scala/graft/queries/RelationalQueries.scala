@@ -189,6 +189,52 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Histogram-sketch quantiles — the mergeable approximate form that
+    // replaces q_percentiles' exact computation at scale: exact
+    // percentile needs every group value on one node (a full sort /
+    // collect per group), while the sketch is two NARROW passes — exact
+    // min/max, then 128 equal-width bin counts (map-side partial agg;
+    // ≤128 rows per group cross the shuffle regardless of group size) —
+    // plus within-bin linear interpolation. Deterministic by
+    // construction (no GK/t-digest order sensitivity): bin boundaries
+    // and interpolation are fixed-order IEEE arithmetic the oracle
+    // replays bit-for-bit, unrounded (the q_text_quality rationale).
+    // The 3-row bounds table broadcasts; rank ties and the hi==lo
+    // degenerate bucket are integer-guarded.
+    "q_percentiles_sketch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bins = 128
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"))
+      val bounds = li.groupBy("flag").agg(min("v").as("lo"), max("v").as("hi"))
+      val binned = li.join(broadcast(bounds), "flag")
+        .withColumn("bin",
+          when(col("hi") === col("lo"), lit(0))
+            .otherwise(least(greatest(floor((col("v") - col("lo"))
+              / (col("hi") - col("lo")) * bins), lit(0)), lit(bins - 1)))
+            .cast("int"))
+      val counts = binned.groupBy("flag", "bin").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("bin"))
+      val cum = counts
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("cum_before", col("cum") - col("c"))
+        .withColumn("n", sum("c").over(Window.partitionBy(col("flag"))))
+      val est = cum
+        .withColumn("q", explode(array(lit(0.5), lit(0.95))))
+        .withColumn("r", ceil(col("q") * col("n")))
+        .filter(col("cum_before") < col("r") && col("r") <= col("cum"))
+        .join(broadcast(bounds), "flag")
+        .withColumn("est", col("lo") +
+          ((col("bin") + (col("r") - col("cum_before")).cast("double")
+            / col("c")) * ((col("hi") - col("lo")) / lit(bins.toDouble))))
+      est.groupBy(col("flag"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("q") === 0.5, col("est"))).as("p50_est"),
+          max(when(col("q") === 0.95, col("est"))).as("p95_est"))
+        .orderBy(col("flag"))
+    }),
+
     // Distinct aggregate + conditional aggregate in one pass.
     "q_distinct_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -420,6 +466,43 @@ object RelationalQueries {
          ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
          ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // identical-order IEEE arithmetic throughout (bin assignment,
+    // interpolation), so the unrounded doubles hash-match; the window
+    // sums are cast from DuckDB's HUGEINT back to BIGINT to mirror
+    // Spark's long window sums
+    "q_percentiles_sketch" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS v
+                     FROM lineitem),
+          bounds AS (SELECT flag, MIN(v) AS lo, MAX(v) AS hi
+                     FROM li GROUP BY flag),
+          binned AS (SELECT li.flag,
+                       CASE WHEN b.hi = b.lo THEN 0
+                            ELSE CAST(LEAST(GREATEST(
+                              FLOOR((v - lo) / (hi - lo) * 128), 0), 127)
+                              AS INT) END AS bin
+                     FROM li JOIN bounds b ON li.flag = b.flag),
+          counts AS (SELECT flag, bin, COUNT(*) AS c
+                     FROM binned GROUP BY flag, bin),
+          cum AS (SELECT flag, bin, c,
+                    CAST(SUM(c) OVER (PARTITION BY flag ORDER BY bin)
+                         AS BIGINT) AS cum,
+                    CAST(SUM(c) OVER (PARTITION BY flag ORDER BY bin) - c
+                         AS BIGINT) AS cum_before,
+                    CAST(SUM(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+                  FROM counts),
+          e AS (SELECT cum.*, qq.q, CEIL(qq.q * n) AS r
+                FROM cum CROSS JOIN (SELECT unnest([0.5, 0.95]) AS q) qq),
+          sel AS (SELECT e.*, b.lo, b.hi
+                  FROM e JOIN bounds b ON e.flag = b.flag
+                  WHERE cum_before < r AND r <= cum),
+          est AS (SELECT flag, n, q,
+                    lo + ((bin + CAST(r - cum_before AS DOUBLE) / c)
+                          * ((hi - lo) / 128.0)) AS est
+                  FROM sel)
+         SELECT flag, CAST(MAX(n) AS BIGINT) AS n,
+                MAX(CASE WHEN q = 0.5 THEN est END) AS p50_est,
+                MAX(CASE WHEN q = 0.95 THEN est END) AS p95_est
+         FROM est GROUP BY flag ORDER BY flag""",
     "q_distinct_agg" ->
       """SELECT l_returnflag,
          COUNT(DISTINCT l_suppkey) AS n_supp,

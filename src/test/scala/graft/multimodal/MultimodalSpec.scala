@@ -54,4 +54,37 @@ class MultimodalSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(r.getString(6) == expectMd5)
   }
+  test("aHashBands: identical payloads hash identically; structure differs") {
+    val s = spark
+    import s.implicits._
+    // 8 rows of 32 bytes: top half dark ('a'=97), bottom half light ('z')
+    val split = "a" * 128 + "z" * 128
+    val flat = "m" * 256 // uniform → every cell == mean → all bits 0
+    val assets = Seq((1L, split), (2L, split), (3L, flat), (4L, "short"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val got = Multimodal.aHashBands(assets, 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // "short" filtered (< 8 rows)
+    assert(got(1L) == got(2L)) // identical bytes → identical hash
+    // split image: rows 0-3 are 'a' (< mean), rows 4-7 'z' (> mean)
+    assert(got(1L) == Seq(0, 0, 0, 0, 255, 255, 255, 255))
+    assert(got(3L) == Seq(0, 0, 0, 0, 0, 0, 0, 0)) // strict > keeps flat at 0
+  }
+
+  test("q_mm_phash finds exact-dup pairs at hamming 0 and skips dissimilar") {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    val imgA = "a" * 128 + "z" * 128
+    val imgB = "z" * 128 + "a" * 128 // complement of A: hamming 64
+    Seq((1L, imgA), (2L, imgA), (3L, imgB))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = graft.queries.MultimodalQueries.queries("q_mm_phash")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0L)))
+  }
+
 }
