@@ -99,4 +99,27 @@ class PiiSamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("with broadcast disabled the salted join shuffles on (key, salt)") {
+    // at gate scale AQE (correctly) broadcasts the replicated dim —
+    // salting matters precisely when the dim is too big for that, so
+    // prove the above-threshold plan shape with broadcasts off
+    val d = "/root/testdata/sf0.001"
+    val s = spark
+    val olds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k))
+    olds.foreach { case (k, _) => s.conf.set(k, "-1") }
+    try {
+      val df = RelationalQueries.queries("q_join_salted")(spark, d)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"expected a shuffled join with broadcasts disabled:\n$plan")
+      assert(plan.contains("salt"), "join keys should include the salt")
+    } finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }
