@@ -233,6 +233,78 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark DECONTAMINATION — the train/test-overlap pass every
+    // serious pretraining run does (GPT-3 appendix C, PaLM): a corpus
+    // document is contaminated when it shares a word-8-gram with the
+    // eval set. Eval set here: the 'src0' source (a stand-in benchmark
+    // suite — real deployments read a held-out table). Scale shape:
+    // corpus windows hash to 8-byte digests (the substring-dedup trick —
+    // only digests shuffle), the eval digest set is tiny by construction
+    // (benchmarks are ~MBs) and BROADCASTS into a left-semi probe; no
+    // corpus self-join anywhere. The one explode pass is cached and the
+    // small per-doc result materialized (triangles pattern).
+    "q_text_decontaminate" -> ((s, d) => {
+      val w = 8
+      val wins = Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            s"IF(size(toks) >= $w, transform(sequence(1, size(toks) - ${w - 1}), " +
+              s"i -> concat_ws(' ', slice(toks, i, $w))), array())")).as("g"))
+        .select(col("doc_id"), col("source"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+        .persist()
+      val evalGrams = wins.filter(col("source") === "src0")
+        .select("h").distinct()
+      val corpus = wins.filter(col("source") =!= "src0")
+      val overlap = corpus.join(broadcast(evalGrams), Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      val out = Tables.documents(s, d).filter(col("source") =!= "src0")
+        .select("doc_id")
+        .join(tot, Seq("doc_id"), "left")
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+        .localCheckpoint(eager = true)
+      wins.unpersist(blocking = true)
+      out.orderBy(col("doc_id"))
+    }),
+
+    // Greedy sequence PACKING — the pretraining step that concatenates
+    // documents into fixed-token-budget training sequences (first-fit in
+    // doc_id order, 512-token budget; an oversized doc gets its own
+    // sequence). The scan is inherently stateful-sequential, so it runs
+    // per (source, doc_id%4 shard) group via flatMapSortedGroups: the
+    // shuffle's secondary sort delivers each group's rows in doc_id
+    // order and the fold streams through them with O(1) state — no
+    // group ever materializes in memory (the toSeq-and-sort anti-shape).
+    // Group count scales with the shard knob; the 2-level key keeps any
+    // one source from serializing the whole corpus through one task.
+    "q_text_pack" -> ((s, d) => {
+      import s.implicits._
+      val limit = 512L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          pmod(col("doc_id"), lit(4)).cast("int").as("shard"),
+          size(toks).cast("long").as("n_tok"))
+        .as[(Long, String, Int, Long)]
+      docs.groupByKey(r => (r._2, r._3))
+        .flatMapSortedGroups($"doc_id") { case ((src, shard), it) =>
+          var seq = 0L
+          var cum = 0L
+          it.map { case (id, _, _, n) =>
+            if (cum + n > limit && cum > 0) { seq += 1; cum = 0 }
+            cum += n
+            (id, src, shard, seq, cum)
+          }
+        }
+        .toDF("doc_id", "source", "shard", "seq_id", "cum_tokens")
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (k=8 char shingles, window w=4): per doc
     // the fingerprint-set size and its min/max — the join key shape a
     // plagiarism / near-dup pass would bucket on.
@@ -467,6 +539,56 @@ object TextQueries {
                     '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
                     '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS red_md5
            FROM a ORDER BY doc_id""",
+      "q_text_decontaminate" ->
+        """WITH t AS (SELECT doc_id, source,
+                        string_split_regex(text, '\s+') AS toks
+                      FROM documents),
+           w AS (SELECT doc_id, source,
+                   unnest([array_to_string(toks[i:i+7], ' ')
+                           for i in range(1, len(toks) - 6)]) AS g
+                 FROM t WHERE len(toks) >= 8),
+           hh AS (SELECT doc_id, source,
+                    CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h
+                  FROM w),
+           ev AS (SELECT DISTINCT h FROM hh WHERE source = 'src0'),
+           corpus AS (SELECT doc_id, h FROM hh WHERE source <> 'src0'),
+           ov AS (SELECT doc_id, count(*) AS n_overlap FROM corpus
+                  WHERE h IN (SELECT h FROM ev) GROUP BY doc_id),
+           tot AS (SELECT doc_id, count(*) AS n_windows FROM corpus
+                   GROUP BY doc_id)
+           SELECT d.doc_id,
+                  COALESCE(tot.n_windows, 0) AS n_windows,
+                  COALESCE(ov.n_overlap, 0) AS n_overlap,
+                  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+           FROM documents d
+           LEFT JOIN tot ON tot.doc_id = d.doc_id
+           LEFT JOIN ov ON ov.doc_id = d.doc_id
+           WHERE d.source <> 'src0' ORDER BY d.doc_id""",
+      // row-by-row recursion replays the greedy first-fit fold exactly;
+      // the base row carries cum = n (matching the cum>0 guard that
+      // exempts the first doc), and recursion depth = max docs per
+      // (source, shard) group
+      "q_text_pack" ->
+        """WITH RECURSIVE base AS (
+             SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS shard,
+                    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n,
+                    ROW_NUMBER() OVER (PARTITION BY source, doc_id % 4
+                                       ORDER BY doc_id) AS rn
+             FROM documents),
+           r AS (
+             SELECT doc_id, source, shard, n, rn,
+                    CAST(0 AS BIGINT) AS seq_id, n AS cum
+             FROM base WHERE rn = 1
+             UNION ALL
+             SELECT b.doc_id, b.source, b.shard, b.n, b.rn,
+                    CASE WHEN r.cum + b.n > 512 AND r.cum > 0
+                         THEN r.seq_id + 1 ELSE r.seq_id END,
+                    CASE WHEN r.cum + b.n > 512 AND r.cum > 0
+                         THEN b.n ELSE r.cum + b.n END
+             FROM r JOIN base b ON b.source = r.source
+                               AND b.shard = r.shard AND b.rn = r.rn + 1)
+           SELECT doc_id, source, shard, seq_id, cum AS cum_tokens
+           FROM r ORDER BY doc_id""",
       "q_text_fingerprint" ->
         """WITH s AS (SELECT doc_id,
                   list_transform([substring(text, i, 8) for i in range(1, len(text) - 6)],
