@@ -32,6 +32,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.iterator.map(_._1).reduce(_ ++ _)
 
+  /** Gate-only entries: forced-low-cap variants that exercise an
+    * overflow ROUTE of the same engine path their parent query already
+    * times (q_dedup_ngram_capped is q_dedup_ngram with the cap wrenched
+    * down; likewise editdist). Verify runs them — the routes must stay
+    * hash-correct — but Bench skips them so each engine path is
+    * measured once, not booked twice (VERDICT r7 item 8). */
+  val gateOnly: Set[String] =
+    Set("q_dedup_ngram_capped", "q_dedup_editdist_capped")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =

@@ -22,6 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free the query's scratch checkpoints (the write above is the
+      // last consumer) — a 92-query session otherwise accumulates one
+      // dead block set per cache-then-checkpoint query (ADVICE r7)
+      graft.plans.Lineage.freeScratch(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -77,6 +77,9 @@ object Components {
     // (Dataset.unpersist can't reach localCheckpoint blocks, see
     // [[graft.plans.Lineage]])
     rounds_.foreach(graft.plans.Lineage.freeLocalCheckpoint)
+    // the FINAL checkpoint is the per-invocation result — scratch, freed
+    // by the harness after the caller materializes (ADVICE r7)
+    graft.plans.Lineage.registerScratch(labels)
     if (ownPin) undirected.unpersist()
     labels.select(col("page"), col("lbl").as("comp"))
   }
@@ -136,6 +139,7 @@ object Components {
       labels = next
       round += 1
     }
+    graft.plans.Lineage.registerScratch(labels) // final result = scratch
     if (ownPin) undirected.unpersist()
     labels.select(col("page"), col("lbl").as("comp"))
   }
@@ -210,6 +214,7 @@ object Components {
       eCount = nextCount
       round += 1
     }
+    graft.plans.Lineage.registerScratch(e) // final contracted set = scratch
     // stars: (member → root); roots and isolated vertices map to self.
     // min() per page: if maxRounds is exhausted BEFORE convergence a
     // vertex can still hold edges to several candidate roots, and a

@@ -55,6 +55,8 @@ object GraphCatalog {
       val r = PageRank.run(g.pages, g.edges, iters)
         .persist(StorageLevel.MEMORY_AND_DISK)
       r.count()
+      // memoized across queries: exempt from harness scratch freeing
+      graft.plans.Lineage.pin(r)
       r
     })
 
@@ -73,6 +75,7 @@ object GraphCatalog {
       val r = PageRank.run(g.pages, g.edges, teleportTo = Some(src))
         .persist(StorageLevel.MEMORY_AND_DISK)
       r.count()
+      graft.plans.Lineage.pin(r)
       r
     })
 
@@ -87,6 +90,7 @@ object GraphCatalog {
       val r = Hits.run(g.pages, g.edges)
         .persist(StorageLevel.MEMORY_AND_DISK)
       r.count()
+      graft.plans.Lineage.pin(r)
       r
     })
 
@@ -133,6 +137,7 @@ object GraphCatalog {
       val r = PageRankGraphX.run(g.pages, g.edges)
         .persist(StorageLevel.MEMORY_AND_DISK)
       r.count()
+      graft.plans.Lineage.pin(r)
       r
     })
 }

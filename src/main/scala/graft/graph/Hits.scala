@@ -101,9 +101,13 @@ object Hits {
       hubs =
         if (i == iters) h
         else if (i % TruncateEvery == 0) {
-          // hard leaf: bounds cache nesting for plan rendering (scaladoc)
-          if (reliable) h.checkpoint(eager = true)
-          else h.localCheckpoint(eager = true)
+          // hard leaf: bounds cache nesting for plan rendering (scaladoc);
+          // scratch — dead once the final materializes (ADVICE r7)
+          val t =
+            if (reliable) h.checkpoint(eager = true)
+            else h.localCheckpoint(eager = true)
+          graft.plans.Lineage.registerScratch(t)
+          t
         }
         else {
           val c = h.persist(StorageLevel.MEMORY_AND_DISK)
@@ -125,6 +129,7 @@ object Hits {
         when(col("nh") === 0.0, 0.0).otherwise(col("hub") / col("nh"))
           .as("hub"))
       .localCheckpoint(eager = true)
+    graft.plans.Lineage.registerScratch(out) // memoized callers pin
     intermediates.foreach(_.unpersist(blocking = false))
     if (eOwn) e.unpersist()
     if (pOwn) p.unpersist()

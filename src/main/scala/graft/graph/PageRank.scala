@@ -197,6 +197,9 @@ object PageRank {
           val fin =
             if (reliable) next.checkpoint(eager = true)
             else next.localCheckpoint(eager = true)
+          // scratch unless the caller memoizes (GraphCatalog pins);
+          // registerScratch is a no-op for reliable checkpoints
+          graft.plans.Lineage.registerScratch(fin)
           intermediates.foreach(_.unpersist(blocking = false))
           fin
         }
@@ -217,8 +220,14 @@ object PageRank {
           // `checkpointInterval` (ADVICE r5): its own 2-step cadence
           // is a rendering bound, not a user knob.
           if (i % 2 == 0) {
-            if (reliable) next.checkpoint(eager = true)
-            else next.localCheckpoint(eager = true)
+            val t =
+              if (reliable) next.checkpoint(eager = true)
+              else next.localCheckpoint(eager = true)
+            // mid-loop hard truncations are dead weight once the final
+            // materializes — register so the harness frees them (they
+            // used to leak ~4 |V|-row block sets per call, ADVICE r7)
+            graft.plans.Lineage.registerScratch(t)
+            t
           } else {
             val c = next.persist(StorageLevel.MEMORY_AND_DISK)
             intermediates += c

@@ -137,6 +137,9 @@ object PageRankGraphX {
     val out =
       if (reliable) out0.checkpoint(eager = true)
       else out0.localCheckpoint(eager = true)
+    // per-invocation scratch unless memoized (GraphCatalog.wikiRanks
+    // pins); no-op for the reliable-checkpoint branch (ADVICE r7)
+    graft.plans.Lineage.registerScratch(out)
     edgeIds.unpersist()
     if (!reliable) ids.unpersist()
     // `out` is self-contained (its own checkpoint) — the ids checkpoint

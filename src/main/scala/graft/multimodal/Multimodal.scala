@@ -11,10 +11,13 @@ import graft.Tables
   * (`javax.imageio`, built into the JDK — PNG/BMP/GIF need no external
   * codec): [[decodeMedia]] turns a payload into its grayscale raster,
   * and [[decodeStats]] runs the full encode→decode→featurize path
-  * under the DuckDB gate. Audio/video codecs remain absent in this
-  * container; their pipelines use the deterministic byte-level
-  * featurizers below, which are themselves real, testable
-  * computations.
+  * under the DuckDB gate. Audio decode is REAL too
+  * (`javax.sound.sampled`, also JDK-built-in — WAV/PCM needs no
+  * external codec): [[audioStats]] runs encode→decode→featurize through
+  * the RIFF/WAV container under its own gate. Video codecs remain
+  * absent in this container; that pipeline uses the deterministic
+  * byte-level frame sampler below, which is itself a real, testable
+  * computation.
   *
   * Design notes for the real thing at scale:
   *   - payloads stay `binary` columns in parquet — Spark never
@@ -123,6 +126,74 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "width", "height", "px_sum", "px_min", "px_max", "px_md5")
+  }
+
+  /** Encode a byte payload as a real RIFF/WAV file — 8-bit unsigned
+    * PCM, mono, 8 kHz, samples = the payload bytes — through the JDK's
+    * own `javax.sound.sampled` WAV writer (the audio counterpart of
+    * [[encodePng]]). 8-bit unsigned PCM is lossless byte-for-byte, so
+    * decode ∘ encode = the payload — the property the q_mm_audio oracle
+    * states. */
+  def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 8, 1, /*signed=*/ false,
+      /*bigEndian=*/ false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** A decoded audio clip: sample rate plus the raw PCM samples. */
+  final case class DecodedAudio(sampleRate: Float, samples: Array[Byte])
+
+  /** Real audio decode via the JDK's built-in `javax.sound.sampled`
+    * parser: reads the RIFF/WAV container (chunk structure, format
+    * header) and streams the PCM frames out — the audio analogue of
+    * [[decodeMedia]]. */
+  def decodeAudio(bytes: Array[Byte]): DecodedAudio = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val samples = ais.readAllBytes()
+    ais.close()
+    DecodedAudio(ais.getFormat.getSampleRate, samples)
+  }
+
+  /** The full audio-decode pipeline under the gate: payloads become
+    * real 8-bit-PCM WAV files ([[encodeWav]]), are parsed back through
+    * the JDK codec ([[decodeAudio]]), and reduce to per-clip sample
+    * stats. One codec pass per partition via `mapPartitions` (the
+    * [[decodeStats]] shape). The oracle states the stats exactly
+    * because the unsigned-8-bit PCM round-trip is lossless: samples =
+    * the payload bytes. */
+  def audioStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .filter(_._2.nonEmpty)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val dec = decodeAudio(encodeWav(bytes))
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          dec.samples.foreach { b =>
+            val v = b & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+          md.reset()
+          (id, dec.samples.length.toLong, dec.sampleRate.toLong, sum,
+            mn.toLong, mx.toLong,
+            md.digest(dec.samples).map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("doc_id", "n_samples", "sample_rate", "sample_sum",
+        "sample_min", "sample_max", "pcm_md5")
   }
 
   /** 64-bit average-hash (aHash) of each decoded image — the standard

@@ -1,6 +1,11 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import java.lang.ref.WeakReference
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Block-store hygiene for iterative loops that truncate lineage with
@@ -25,7 +30,81 @@ object Lineage {
     */
   def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      // isCheckpointed guard: a LogicalRDD leaf can also be a plain
+      // RDD-backed source (spark.createDataFrame(rdd)) whose persisted
+      // blocks some other live consumer still needs — destructively
+      // unpersisting those would be a correctness bug in the caller's
+      // session, not a hygiene win (ADVICE r7). For a RELIABLE
+      // checkpoint unpersist only drops cached blocks (the checkpoint
+      // files remain, the RDD stays recomputable) — safe either way.
+      case l: LogicalRDD if l.rdd.isCheckpointed =>
+        l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  // ---- scratch-checkpoint registry (ADVICE r7) -----------------------
+  //
+  // The cache-then-checkpoint pattern ("triangles pattern") materializes
+  // a query's SMALL result eagerly so the big intermediate cache can be
+  // dropped — but the small checkpoint itself has no owner who frees it.
+  // One invocation leaks one small block set; a bench session running
+  // 92 queries × (warm-up + 3-5 reps) leaks thousands, and under a
+  // bounded heap the block store evicts the caches that matter
+  // (GraphCatalog, the dedup shingle pins) to keep the garbage. The
+  // registry gives those checkpoints an owner: queries REGISTER what
+  // they checkpoint, session-shared memoized results are PINNED
+  // (GraphCatalog), and the harness (Bench / Verify) FREES everything
+  // unpinned after it materializes each query.
+  //
+  // References are weak: code paths that never call freeScratch (unit
+  // tests) keep today's ContextCleaner behavior instead of accumulating
+  // strong refs the GC could otherwise reclaim.
+
+  private val scratch =
+    TrieMap.empty[SparkSession, TrieMap[Int, WeakReference[RDD[_]]]]
+  private val pinnedIds = TrieMap.empty[Int, Unit]
+
+  private def ckptRdds(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.analyzed.collectLeaves().collect {
+      case l: LogicalRDD if l.rdd.isCheckpointed => l.rdd
+    }.toSeq
+
+  /** Register `df`'s locally-checkpointed leaf blocks as per-invocation
+    * scratch, to be freed at the harness's next [[freeScratch]]. Call on
+    * a result that is NOT memoized across queries. */
+  def registerScratch(df: DataFrame): Unit =
+    ckptRdds(df).foreach { r =>
+      if (!pinnedIds.contains(r.id))
+        scratch.getOrElseUpdate(df.sparkSession, TrieMap.empty)
+          .put(r.id, new WeakReference(r))
+    }
+
+  /** `df.localCheckpoint(eager = true)` + [[registerScratch]] — the
+    * triangles-pattern materialization with an owner. */
+  def scratchCheckpoint(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(eager = true)
+    registerScratch(out)
+    out
+  }
+
+  /** Exempt a memoized, session-shared result (a GraphCatalog entry)
+    * from scratch freeing — permanently. Freeing a truncated-lineage
+    * checkpoint that a catalog still serves would poison every later
+    * read ("checkpoint block not found"), so pin BEFORE the first
+    * freeScratch can run. */
+  def pin(df: DataFrame): Unit =
+    ckptRdds(df).foreach { r =>
+      pinnedIds.put(r.id, ())
+      scratch.get(df.sparkSession).foreach(_.remove(r.id))
+    }
+
+  /** Free every unpinned scratch checkpoint registered in `spark`.
+    * Harness-only: call between queries, after every consumer of the
+    * previous query's result has materialized. */
+  def freeScratch(spark: SparkSession): Unit =
+    scratch.remove(spark).foreach(_.values.foreach { ref =>
+      val r = ref.get()
+      if (r != null && !pinnedIds.contains(r.id))
+        r.unpersist(blocking = false)
+    })
 }

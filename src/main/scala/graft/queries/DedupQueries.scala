@@ -259,7 +259,7 @@ object DedupQueries {
             col("n_windows").cast("double")).as("dup_frac"))
     if (!materialize) out
     else {
-      val fin = out.localCheckpoint(eager = true)
+      val fin = graft.plans.Lineage.scratchCheckpoint(out)
       perDoc.unpersist(blocking = true)
       fin
     }
@@ -316,9 +316,9 @@ object DedupQueries {
         Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
       .groupBy("a", "b").agg(max("j").as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .localCheckpoint(eager = true)
+    val out = graft.plans.Lineage.scratchCheckpoint(pairs)
     banded.unpersist(blocking = true)
-    pairs
+    out
   }
 
   /** Skew-hardened edit-distance near-dup join: (length-bucket ×
@@ -399,7 +399,8 @@ object DedupQueries {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.pre").as("px"), col("y.pre").as("py"))
       .distinct() // a pair may collide in several bands
-    val cand = smallCand.unionByName(bigCand).localCheckpoint(eager = true)
+    val cand = graft.plans.Lineage.scratchCheckpoint(
+      smallCand.unionByName(bigCand))
     pc.unpersist(blocking = true)
     cand
   }
@@ -439,9 +440,9 @@ object DedupQueries {
       .select(col("a"), col("b"),
         Dedup.jaccardSorted(col("shx"), col("shy")).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-      .localCheckpoint(eager = true)
+    val out = graft.plans.Lineage.scratchCheckpoint(verified)
     sh0.unpersist(blocking = true)
-    verified.orderBy(col("a"), col("b"))
+    out.orderBy(col("a"), col("b"))
   }
 
   /** Candidate (a, b) pairs under the capped blocking scheme. `sh0`

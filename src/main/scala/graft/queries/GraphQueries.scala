@@ -220,16 +220,14 @@ object GraphQueries {
           col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
         .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
           col("e2.hi").as("c"))
-      val counts = tri
+      // Materialize the (vertex-sized) result NOW so the |E|-sized
+      // oriented-edge cache can be dropped deterministically; the small
+      // checkpoint itself is registered as scratch so the harness frees
+      // it after the gate reads it (ADVICE r7 — the residual leak).
+      val counts = graft.plans.Lineage.scratchCheckpoint(tri
         .select(explode(array(col("a"), col("b"), col("c"))).as("supplier"))
         .groupBy("supplier").agg(count(lit(1)).as("n_tri"))
-        .orderBy("supplier")
-        // Materialize the (vertex-sized) result NOW so the |E|-sized
-        // oriented-edge checkpoint can be dropped deterministically
-        // (carried since r3: it used to wait for the ContextCleaner,
-        // accumulating across datasets in a long session). The caller
-        // re-reads the tiny result blocks, not the join.
-        .localCheckpoint(eager = true)
+        .orderBy("supplier"))
       oriented.unpersist(blocking = true)
       counts
     }),

@@ -224,10 +224,19 @@ object SimilarityQueries {
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
-  /** ≤16 deterministic centroid vectors (the IVF set), cid-sorted, as
-    * ONE broadcast row of array<array<float>>. */
+  /** ≤16 deterministic PQ codebook seed vectors, cid-sorted, as ONE
+    * broadcast row of array<array<float>>. DENSER than the IVF coarse
+    * set (% 30 < 480 → 16 seeds from sf0.01 up, where % 100 < 1600
+    * gave only 5 at sf0.01): a PQ codebook and an IVF quantizer are
+    * different artifacts in any real index (FAISS trains them
+    * separately), and 5 centroids per subspace collapsed the code
+    * space — most corpus vectors shared codes, ADC ranking degenerated
+    * to the vec_id tie-break, and recall@5 measured 0.08
+    * (AnnRecallSpec, the gate VERDICT r7 asked for). 16 seeds lift the
+    * same measurement to a usable index; the table stays
+    * constant-bounded (broadcastable at any corpus scale). */
   private def centroids(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % 100 === 50 && col("vec_id") < 1600)
+    e.filter(col("vec_id") % 30 === 15 && col("vec_id") < 480)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       .agg(expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cv)")
         .as("cs"))
@@ -379,7 +388,7 @@ object SimilarityQueries {
              for j in range(0, $M)]"""
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           c AS (SELECT vec_id AS cid, v AS cv FROM e
-                WHERE vec_id % 100 = 50 AND vec_id < 1600),
+                WHERE vec_id % 30 = 15 AND vec_id < 480),
           cst AS (SELECT list(cv ORDER BY cid) AS cs FROM c),
           enc AS (SELECT e.vec_id,
                     [list_indexof(dl, list_min(dl)) - 1
