@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,28 +9,38 @@ import graft.Tables
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors): brute-force cosine top-k as the exact baseline, a
   * random-hyperplane LSH (SimHash-for-vectors, Charikar'02) bucketed
-  * variant, and an IVF (inverted-file, coarse-quantizer) variant — the
-  * two standard sublinear scale paths.
+  * variant, an IVF (inverted-file, coarse-quantizer) variant, and a
+  * PQ-ADC (product-quantization) variant — the standard sublinear
+  * scale paths.
   *
   * Scale design (100 TB):
   *   - brute force: the query set is small → broadcast it against the
   *     corpus scan; per-partition top-k via window rank. Exact, one
   *     narrow pass over the corpus, no corpus shuffle. Right answer up
   *     to ~10⁴ queries × any corpus size.
-  *   - LSH: a 6-hyperplane signature buckets the corpus into 64 cells;
-  *     only same-cell pairs are scored — candidate generation is a
-  *     bucket equi-join, never O(corpus²). The hyperplane "table" is 6
-  *     rows — broadcast. Recall is tunable by planes/probes.
+  *   - LSH: L=2 independent 6-hyperplane tables bucket the corpus into
+  *     64 cells each; queries multiprobe Hamming ≤ 2 around their own
+  *     bucket in every table and candidates are the UNION — candidate
+  *     generation stays a (table, bucket) equi-join, never O(corpus²).
+  *     The plane "table" is 12 rows — broadcast. Recall is tunable by
+  *     planes/tables/probe radius (see AnnRecallSpec: measured
+  *     recall@5 = 0.92 on the sf0.01 corpus, which is near-orthogonal
+  *     noise — the adversarial case for any sublinear index).
   *   - IVF: a bounded centroid table (nlist ≤ 16 here; a real index
   *     uses ~2¹⁶ — still broadcastable) assigns every corpus vector to
   *     its nearest cell in ONE narrow pass + a partial-agg argmax;
-  *     queries probe their nprobe=2 nearest cells and score only those
+  *     queries probe their nprobe=3 nearest cells and score only those
   *     cells' members via a cell equi-join. The corpus shuffles once
   *     (the argmax agg), candidates are bucket-bounded, recall is
-  *     tunable by nprobe.
+  *     tunable by nprobe (measured 0.84 at nprobe=3 on sf0.01).
+  *   - PQ: corpus encoded once to M=16 4-bit codes; queries scan codes
+  *     by asymmetric distance, keep a FIXED-size shortlist (T=100),
+  *     and re-rank only the shortlist against raw vectors — the
+  *     FAISS-style refine step, so the raw-vector fetch is O(T) per
+  *     query regardless of corpus size (measured recall@5 = 1.0).
   *
   * Determinism: hyperplane components are md5-derived
-  * (w[j][i] = hash32(j:i)/2³¹ − 1 ∈ [−1,1)), so Spark and DuckDB
+  * (w[t][j][i] = hash32(t:j:i)/2³¹ − 1 ∈ [−1,1)), so Spark and DuckDB
   * compute bit-identical planes, signatures, and cosines (index-order
   * folds + IEEE sqrt on both engines); cosines ship UNROUNDED — the
   * doubles are equal by construction and decimal rounding would only
@@ -40,12 +50,47 @@ object SimilarityQueries {
 
   private val K = 5
   private val Planes = 6
+  // LSH: number of independent hash tables. One 6-plane table with
+  // Hamming-1 multiprobe measured recall@5 = 0.28 on sf0.01 (exactly
+  // the theory value for near-orthogonal vectors: P(≤1 of 6 sign bits
+  // differs) ≈ 0.27 at the corpus' ~68° neighbor angles). Two
+  // independent tables with Hamming-2 multiprobe measure 0.92 — the
+  // standard LSH-forest trade: more tables buy independent chances.
+  private val LshTables = 2
+
+  /** Hamming ≤ 2 probe masks over [[Planes]] sign bits: the query's own
+    * bucket, the 6 single-bit flips, and the 15 double-bit flips — 22
+    * enumerated XOR masks, so candidate generation stays an equi-join.
+    * Single source of truth for the Spark plan AND the DuckDB oracle
+    * (inlined into the SQL string below). */
+  private[graft] val LshProbeMasks: Seq[Long] =
+    Seq(0L) ++
+      (0 until Planes).map(a => 1L << a) ++
+      (for (a <- 0 until Planes; b <- a + 1 until Planes)
+        yield (1L << a) | (1L << b))
 
   // Product quantization: 64 dims = M subspaces × S dims; ≤ 16
-  // centroids per subspace (the IVF centroid set is data-bounded — 5 at
-  // sf0.01, 16 from sf0.1 up; a real index trains KC = 256)
-  private val M = 8
-  private val S = 8
+  // centroids per subspace. M=16 (4-dim subspaces) rather than 8:
+  // with 8-dim subspaces the 16-centroid quantization error swamped
+  // the tiny cosine gaps of this corpus and ADC ranking was noise
+  // (recall 0.08); 4-dim subspaces halve the per-subspace distortion
+  // (ADC-only recall 0.28, shortlist-T containment ≈ 1).
+  private val M = 16
+  private val S = 4
+
+  /** PQ refine shortlist size: the ADC scan keeps the T best codes per
+    * query and only those T rows are re-ranked against raw vectors —
+    * fixed per-query raw-vector bandwidth at any corpus scale
+    * (FAISS `IndexRefineFlat`). recall@5 = P(true top-5 ⊆ ADC top-T);
+    * measured 1.0 at T=100 on sf0.01. */
+  private val RerankT = 100
+
+  /** Production PQ codebook seed rule: 16 deterministic corpus vectors
+    * (% 30 == 15, id < 480 — present from sf0.01 up). PqSpec passes its
+    * own rule to keep closed-form fixtures valid independent of this
+    * choice. */
+  private val PqSeedRule: Column =
+    col("vec_id") % 30 === 15 && col("vec_id") < 480
 
   /** M × |cs| subspace-distance table: dtab[j][c] = ‖x[j·S+1 … (j+1)·S]
     * − cs[c][same slice]‖² — index-order fold, every element cast to
@@ -55,15 +100,18 @@ object SimilarityQueries {
     * range is size(cs)-driven, NOT a constant — ANSI element_at throws
     * on out-of-bounds where DuckDB list indexing yields silent NULLs,
     * so a hardcoded count would error on one engine and quietly skip
-    * centroids on the other. */
+    * centroids on the other. An EMPTY codebook yields NULL (not an
+    * ANSI error): sequence(0, size(cs)-1) would otherwise produce the
+    * descending [0,-1] and element_at(cs, 0) throws — the degenerate
+    * input must stay total (SURVEY §8). */
   private def dtabExpr(x: String, cs: String): String = {
     def el(arr: String, idx: String) =
       s"cast(element_at($arr, $idx) as double)"
     val diff = s"(${el(x, s"j * $S + i")} - " +
       s"${el(s"element_at($cs, c + 1)", s"j * $S + i")})"
-    s"transform(sequence(0, ${M - 1}), j -> " +
+    s"IF(size($cs) = 0, NULL, transform(sequence(0, ${M - 1}), j -> " +
       s"transform(sequence(0, size($cs) - 1), c -> " +
-      s"aggregate(sequence(1, $S), 0D, (acc, i) -> acc + $diff * $diff)))"
+      s"aggregate(sequence(1, $S), 0D, (acc, i) -> acc + $diff * $diff))))"
   }
 
   /** Query-vector set: every 100th vector. */
@@ -96,44 +144,53 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // LSH-bucketed top-k: signature = sign bits against 6 md5-derived
-    // hyperplanes; candidates = same-bucket vectors only.
+    // LSH-bucketed top-k: per table t, signature = sign bits against 6
+    // md5-derived hyperplanes; candidates = the union over tables of
+    // Hamming ≤ 2 multiprobe buckets, deduped by (qid, vec_id).
     "q_ann_lsh" -> ((s, d) => {
       graft.GraftFunctions.register(s)
-      // hyperplane dim table: 6 rows of 64 components, broadcast
+      // hyperplane dim table: 2 tables × 6 rows of 64 components,
+      // broadcast.
       // 2147483648D/1D: explicit DOUBLE literals — an undecorated float
       // literal parses as decimal, which would make w array<decimal> and
       // round each component to 12 dp; the oracle computes in doubles.
-      val planes = s.range(Planes).select(col("id").as("j"),
-        expr("transform(sequence(1, 64), i -> " +
-          "cast(conv(substring(md5(concat(j, ':', i)), 1, 8), 16, 10) as bigint)" +
-          " / 2147483648D - 1D)").as("w"))
+      val planes = s.range(LshTables).select(col("id").as("t"))
+        .crossJoin(s.range(Planes).select(col("id").as("j")))
+        .select(col("t"), col("j"),
+          expr("transform(sequence(1, 64), i -> " +
+            "cast(conv(substring(md5(concat(t, ':', j, ':', i)), 1, 8), 16, 10) as bigint)" +
+            " / 2147483648D - 1D)").as("w"))
       val e = Tables.embeddings(s, d)
-      // signature: bit j set iff dot(w_j, v) >= 0
+      // signatures: one row per (vec_id, t); bit j set iff dot(w_tj, v) >= 0
       val sigBits = e.crossJoin(broadcast(planes))
-        .select(col("vec_id"), col("j"),
+        .select(col("vec_id"), col("t"), col("j"),
           // native index-order fold — bit-identical to the interpreted
           // aggregate(zip_with(...)) form and the oracle's list_sum
           call_function("dot_product", col("w"), col("embedding")).as("dot"))
-        .groupBy("vec_id")
+        .groupBy("vec_id", "t")
         .agg(sum(when(col("dot") >= 0,
           expr("shiftleft(1L, cast(j as int))")).otherwise(0L)).as("sig"))
       val sigs = e.join(sigBits, "vec_id")
-      // multiprobe: each query checks its own bucket plus the 6 buckets
-      // at Hamming distance 1 — enumerated probe keys keep candidate
-      // generation an equi-join (the scale-sane form; recall on data
-      // with real neighbor structure is near-1, on near-orthogonal
-      // noise any sublinear ANN is recall-bound)
+      // multiprobe: every query probes its own bucket ⊕ each of the 22
+      // Hamming ≤ 2 masks, in EVERY table — enumerated probe keys keep
+      // candidate generation a (t, sig) equi-join (the scale-sane
+      // form); the union over tables is deduped below.
       val q = sigs.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          explode(expr(s"transform(sequence(0, $Planes), " +
-            "o -> IF(o = 0, sig, cast(sig as bigint) ^ shiftleft(1L, cast(o - 1 as int))))"))
-            .as("qsig"))
+          col("t").as("qt"), col("sig").as("qs"),
+          explode(lit(LshProbeMasks.toArray)).as("m"))
+        .select(col("qid"), col("qv"), col("qt"),
+          expr("cast(qs as bigint) ^ m").as("qsig"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))
-      sigs.join(broadcast(q), col("sig") === col("qsig") &&
-          col("vec_id") =!= col("qid"))
+      sigs.join(broadcast(q),
+          col("t") === col("qt") && col("sig") === col("qsig") &&
+            col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"), cos.as("cos"))
+        // a pair found by both tables (or several probes) appears more
+        // than once with the SAME cos — max() dedups deterministically
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(max(col("cos")).as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .orderBy(col("qid"), col("rank"))
@@ -141,7 +198,7 @@ object SimilarityQueries {
 
     // IVF top-k: deterministic coarse quantizer (centroids = a FIXED
     // bounded id set, so the broadcast is constant-size at any corpus
-    // scale), argmax cell assignment, nprobe=2 probing.
+    // scale), argmax cell assignment, nprobe=3 probing.
     "q_ann_ivf" -> ((s, d) => {
       graft.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
@@ -158,8 +215,9 @@ object SimilarityQueries {
         .groupBy("vec_id").agg(max(struct(col("ccos"), col("cid"))).as("b"))
         .select(col("vec_id"), col("b.cid").as("cell"))
       val ev = e.join(assigned, "vec_id")
-      // query probes: nprobe=2 nearest cells per query (tiny: queries ×
-      // ≤16 centroids, window over ≤16 rows)
+      // query probes: nprobe=3 nearest cells per query (tiny: queries ×
+      // ≤16 centroids, window over ≤16 rows). nprobe=2 measured
+      // recall@5 exactly 0.60 on sf0.01; 3 measures 0.84.
       val wq = Window.partitionBy(col("qid"))
         .orderBy(col("pcos").desc, col("pcell").desc)
       val probes = queryVecs(e)
@@ -167,7 +225,7 @@ object SimilarityQueries {
         .select(col("qid"), col("qv"), col("cid").as("pcell"),
           call_function("cosine_sim", col("cv"), col("qv")).as("pcos"))
         .withColumn("pr", row_number().over(wq))
-        .filter(col("pr") <= 2)
+        .filter(col("pr") <= 3)
         .select(col("qid"), col("qv"), col("pcell"))
       // candidates: cell equi-join — each corpus vector lives in exactly
       // one cell, so no duplicate (qid, vec_id) pairs
@@ -181,25 +239,24 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // PQ-ADC top-k (product quantization, Jégou'11 — the storage/
+    // PQ top-k (product quantization, Jégou'11 — the storage/
     // bandwidth scale path the other ANN variants don't cover): every
-    // corpus vector is ENCODED once into M=8 4-bit codes (nearest of
-    // ≤16 deterministic centroids per 8-dim subspace — a pure narrow
-    // pass against a broadcast ≤16×64 centroid table, no shuffle), and
+    // corpus vector is ENCODED once into M=16 4-bit codes (nearest of
+    // ≤16 deterministic centroids per 4-dim subspace — a pure narrow
+    // pass against a broadcast ≤16×64 centroid table, no shuffle);
     // queries score the whole corpus via asymmetric distance — an
-    // 8×≤16 per-query lookup table (broadcast) + 8 table lookups per
-    // corpus row, instead of 64 multiplies against raw floats. At 100 TB the
+    // M×≤16 per-query lookup table (broadcast) + M table lookups per
+    // corpus row instead of 64 multiplies against raw floats — keep
+    // the T=100 best codes, and re-rank ONLY those T against raw
+    // vectors by exact cosine (the FAISS refine step). At 100 TB the
     // codes table is 8 B/vector vs 256 B raw — the scan the exact path
-    // cannot afford. Ranking is approximate by construction; the gate
-    // checks the computation (codes, tables, ADC sums are bit-equal to
-    // the oracle — every element cast to double, index-order folds,
-    // first-minimum argmin via array_position on bit-equal distance
-    // arrays), not recall.
+    // cannot afford — and the raw-vector fetch is O(T) per query.
     // The encoded codes table is memoized per (session, dir) — a PQ
     // index is a build-once stored artifact in any real deployment
     // (FAISS trains and encodes offline; the per-query cost is ADC
-    // scoring only), so repeated calls measure the steady-state query
-    // path, exactly like q_pagerank's memoized rank vector.
+    // scoring + refine only), so repeated calls measure the
+    // steady-state query path, exactly like q_pagerank's memoized rank
+    // vector.
     "q_ann_pq" -> ((s, d) => {
       val enc = pqIndexCache.getOrElseUpdate((s, d), {
         val x = pqEncode(Tables.embeddings(s, d))
@@ -207,7 +264,7 @@ object SimilarityQueries {
         x.count()
         x
       })
-      pqScore(Tables.embeddings(s, d), enc)
+      pqSearch(Tables.embeddings(s, d), enc)
     })
   )
 
@@ -225,41 +282,47 @@ object SimilarityQueries {
   }
 
   /** ≤16 deterministic PQ codebook seed vectors, cid-sorted, as ONE
-    * broadcast row of array<array<float>>. DENSER than the IVF coarse
-    * set (% 30 < 480 → 16 seeds from sf0.01 up, where % 100 < 1600
-    * gave only 5 at sf0.01): a PQ codebook and an IVF quantizer are
-    * different artifacts in any real index (FAISS trains them
-    * separately), and 5 centroids per subspace collapsed the code
-    * space — most corpus vectors shared codes, ADC ranking degenerated
-    * to the vec_id tie-break, and recall@5 measured 0.08
-    * (AnnRecallSpec, the gate VERDICT r7 asked for). 16 seeds lift the
-    * same measurement to a usable index; the table stays
+    * broadcast row of array<array<float>>. Seeds are raw corpus
+    * vectors — with the shortlist-refine step the codebook only has to
+    * place true neighbors in the ADC top-T, not rank them exactly, so
+    * 16 arbitrary-but-spread seeds suffice (AnnRecallSpec measures
+    * recall@5 = 1.0 at T=100; without refine, ADC-only ranking on this
+    * near-orthogonal corpus is quantization-noise-bound no matter the
+    * seeds — 0.08 at M=8, 0.28 at M=16). The table stays
     * constant-bounded (broadcastable at any corpus scale). */
-  private def centroids(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % 30 === 15 && col("vec_id") < 480)
+  private def centroids(e: DataFrame,
+      seedRule: Column = PqSeedRule): DataFrame =
+    e.filter(seedRule)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       .agg(expr("transform(array_sort(collect_list(struct(cid, cv))), x -> x.cv)")
         .as("cs"))
 
   /** PQ ENCODE (the index build): codes[j] = index of the
-    * first-minimal subspace distance. One narrow pass, no shuffle. */
-  private[graft] def pqEncode(e0: DataFrame): DataFrame = {
+    * first-minimal subspace distance. One narrow pass, no shuffle.
+    * An empty codebook (no seed-rule matches) encodes to zero rows —
+    * total, never an ANSI element_at error. */
+  private[graft] def pqEncode(e0: DataFrame,
+      seedRule: Column = PqSeedRule): DataFrame = {
     val e = widen(e0)
-    e.crossJoin(broadcast(centroids(e)))
+    e.crossJoin(broadcast(centroids(e, seedRule)))
       .withColumn("dtab", expr(dtabExpr("embedding", "cs")))
       .select(col("vec_id"),
         expr("transform(dtab, dl -> cast(array_position(dl, array_min(dl)) - 1 as int))")
           .as("codes"))
+      .filter(col("codes").isNotNull)
   }
 
-  /** ADC scoring of the %100==0 query set against an encoded corpus. */
-  private[graft] def pqScore(e: DataFrame, enc: DataFrame,
-      k: Int = K): DataFrame = {
+  /** ADC scan of the %100==0 query set against an encoded corpus:
+    * top-k by asymmetric distance alone (no refine) — PqSpec's
+    * closed-form entry. */
+  private[graft] def pqAdcTopK(e: DataFrame, enc: DataFrame, k: Int = K,
+      seedRule: Column = PqSeedRule): DataFrame = {
     // per-query ADC lookup tables (M × ≤16 doubles, broadcast)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .crossJoin(broadcast(centroids(e)))
+      .crossJoin(broadcast(centroids(e, seedRule)))
       .select(col("qid"), expr(dtabExpr("qv", "cs")).as("qtab"))
+      .filter(col("qtab").isNotNull)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc"), col("vec_id"))
     graft.GraftFunctions.register(e.sparkSession)
@@ -276,9 +339,31 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** PQ encode + ADC top-k, uncached — PqSpec's closed-form entry. */
-  private[graft] def pqTopK(e: DataFrame, k: Int = K): DataFrame =
-    pqScore(e, pqEncode(e), k)
+  /** PQ search = ADC shortlist (top [[RerankT]] codes per query) +
+    * exact-cosine re-rank of the shortlist against raw vectors. The
+    * shortlist is queries × T rows — broadcast back against the corpus
+    * scan, so the refine join fetches O(T) raw vectors per query at
+    * any corpus scale. */
+  private[graft] def pqSearch(e: DataFrame, enc: DataFrame,
+      k: Int = K): DataFrame = {
+    val shortlist = pqAdcTopK(e, enc, RerankT)
+      .select(col("qid"), col("vec_id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queryVecs(e)), "qid")
+      .select(col("qid"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** PQ encode + ADC top-k (no refine), uncached — PqSpec's
+    * closed-form entry; the seed rule is a parameter so fixture
+    * construction is independent of the production rule. */
+  private[graft] def pqTopK(e: DataFrame, k: Int = K,
+      seedRule: Column = PqSeedRule): DataFrame =
+    pqAdcTopK(e, pqEncode(e, seedRule), k, seedRule)
 
   def oracles: Map[String, String] = Map(
     "q_ann_bruteforce" ->
@@ -299,37 +384,38 @@ object SimilarityQueries {
           SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
           ORDER BY qid, rank""",
     "q_ann_lsh" ->
-      s"""WITH planes AS (SELECT t.range AS j,
-                  [(CAST(('0x' || substring(md5(CAST(t.range AS VARCHAR) || ':' ||
+      s"""WITH planes AS (SELECT tt.range AS t, tj.range AS j,
+                  [(CAST(('0x' || substring(md5(CAST(tt.range AS VARCHAR) || ':' ||
+                          CAST(tj.range AS VARCHAR) || ':' ||
                           CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) / 2147483648.0 - 1.0)
                    for i in range(1, 65)] AS w
-                 FROM range(0, $Planes) t),
+                 FROM range(0, $LshTables) tt CROSS JOIN range(0, $Planes) tj),
           e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                        sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
                 FROM embeddings),
-          dots AS (SELECT e.vec_id, p.j,
+          dots AS (SELECT e.vec_id, p.t, p.j,
                           list_sum([p.w[i] * e.v[i]
                                     for i in range(1, len(e.v) + 1)]) AS dot
                    FROM e CROSS JOIN planes p),
-          sigs AS (SELECT vec_id,
+          sigs AS (SELECT vec_id, t,
                           SUM(CASE WHEN dot >= 0
                                    THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
                                    ELSE 0 END) AS sig
-                   FROM dots GROUP BY vec_id),
-          ev AS (SELECT e.vec_id, e.v, e.nrm, s.sig FROM e
+                   FROM dots GROUP BY vec_id, t),
+          ev AS (SELECT e.vec_id, e.v, e.nrm, s.t, s.sig FROM e
                  JOIN sigs s ON e.vec_id = s.vec_id),
-          q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn,
-                       CASE WHEN o.range = 0 THEN sig
-                            ELSE xor(sig, (CAST(1 AS BIGINT)
-                                           << CAST(o.range - 1 AS INTEGER)))
-                       END AS qsig
-                FROM ev CROSS JOIN range(0, $Planes + 1) o
-                WHERE vec_id % 100 = 0),
+          masks AS (SELECT unnest([${LshProbeMasks.mkString(", ")}]) AS m),
+          q AS (SELECT vec_id AS qid, qv, qn, t,
+                       xor(sig, CAST(m AS BIGINT)) AS qsig
+                FROM (SELECT vec_id, v AS qv, nrm AS qn, t, sig FROM ev
+                      WHERE vec_id % 100 = 0) CROSS JOIN masks),
           sc AS (SELECT q.qid, ev.vec_id,
-                        list_sum([q.qv[i] * ev.v[i]
-                                  for i in range(1, len(q.qv) + 1)]) /
-                              (q.qn * ev.nrm) AS cos
-                 FROM q JOIN ev ON ev.sig = q.qsig AND ev.vec_id <> q.qid),
+                        MAX(list_sum([q.qv[i] * ev.v[i]
+                                      for i in range(1, len(q.qv) + 1)]) /
+                                  (q.qn * ev.nrm)) AS cos
+                 FROM q JOIN ev ON ev.t = q.t AND ev.sig = q.qsig
+                               AND ev.vec_id <> q.qid
+                 GROUP BY q.qid, ev.vec_id),
           r AS (SELECT qid, vec_id, cos,
                        ROW_NUMBER() OVER (PARTITION BY qid
                          ORDER BY cos DESC, vec_id) AS rank
@@ -362,7 +448,7 @@ object SimilarityQueries {
                                      for i in range(1, len(e.v) + 1)]) /
                                  (c.cn * e.nrm) DESC, c.cid DESC) AS rn
                   FROM e CROSS JOIN c WHERE e.vec_id % 100 = 0)
-                 WHERE rn <= 2),
+                 WHERE rn <= 3),
           sc AS (SELECT qp.qid, ev.vec_id,
                         list_sum([qp.qv[i] * ev.v[i]
                                   for i in range(1, len(qp.qv) + 1)]) /
@@ -376,9 +462,9 @@ object SimilarityQueries {
           SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
           ORDER BY qid, rank""",
     // replays the PQ pipeline exactly: same centroid set (cid-sorted),
-    // same 8×16 subspace-distance tables (double casts, index-order
+    // same 16×16 subspace-distance tables (double casts, index-order
     // folds), first-minimum argmin via list_indexof(list_min), same
-    // ADC lookup-sum
+    // ADC lookup-sum, same T=100 shortlist, same exact-cosine refine
     "q_ann_pq" -> {
       val dtab = (x: String) =>
         s"""[[list_sum([($x[j * $S + i] - cs[c + 1][j * $S + i]) *
@@ -386,7 +472,9 @@ object SimilarityQueries {
                         for i in range(1, ${S + 1})])
               for c in range(0, len(cs))]
              for j in range(0, $M)]"""
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
+                     FROM embeddings),
           c AS (SELECT vec_id AS cid, v AS cv FROM e
                 WHERE vec_id % 30 = 15 AND vec_id < 480),
           cst AS (SELECT list(cv ORDER BY cid) AS cs FROM c),
@@ -400,11 +488,24 @@ object SimilarityQueries {
                         list_sum([q.qtab[j + 1][enc.codes[j + 1] + 1]
                                   for j in range(0, $M)]) AS adc
                  FROM q CROSS JOIN enc WHERE enc.vec_id <> q.qid),
-          r AS (SELECT qid, vec_id, adc,
+          sl AS (SELECT qid, vec_id FROM
+                 (SELECT qid, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY adc, vec_id) AS srank
+                  FROM sc) WHERE srank <= $RerankT),
+          qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
+                 WHERE vec_id % 100 = 0),
+          rr AS (SELECT sl.qid, sl.vec_id,
+                        list_sum([qq.qv[i] * e.v[i]
+                                  for i in range(1, len(qq.qv) + 1)]) /
+                              (qq.qn * e.nrm) AS cos
+                 FROM sl JOIN e ON e.vec_id = sl.vec_id
+                         JOIN qq ON qq.qid = sl.qid),
+          r AS (SELECT qid, vec_id, cos,
                        ROW_NUMBER() OVER (PARTITION BY qid
-                         ORDER BY adc, vec_id) AS rank
-                FROM sc)
-          SELECT qid, vec_id, adc, rank FROM r WHERE rank <= $K
+                         ORDER BY cos DESC, vec_id) AS rank
+                FROM rr)
+          SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
           ORDER BY qid, rank"""
     }
   )

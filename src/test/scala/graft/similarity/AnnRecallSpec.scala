@@ -12,14 +12,16 @@ import graft.queries.SimilarityQueries
   * that hole: recall@5 of each sublinear variant against
   * q_ann_bruteforce on the SAME query set must clear a floor.
   *
-  * Floors are set from the operators' structure on the sf0.01 corpus
-  * (64-dim synthetic embeddings with planted neighbor structure):
-  * IVF probes the 2 nearest of ≤16 cells (recall ≈ cell-containment
-  * probability), LSH multiprobes 7 of 64 sign buckets, PQ quantizes
-  * 8 subspaces to ≤16 centroids each (ranking is approximate by
-  * construction — VERDICT suggests 0.6 at k=5). A floor breach means
-  * someone changed buckets/probes/codes in a way that silently
-  * destroyed usefulness, even if the hash gate still passes.
+  * Floors are set just below each operator's MEASURED recall on the
+  * sf0.01 corpus — which is near-orthogonal noise (top-cosine ≈ 0.37,
+  * neighbors uncorrelated with the label column), the adversarial
+  * case for a sublinear index: LSH (2 independent 6-plane tables,
+  * Hamming ≤ 2 multiprobe) measures 0.92; IVF (5 cells, nprobe=3)
+  * measures 0.84; PQ (M=16 codes, ADC top-100 shortlist + exact
+  * cosine refine) measures 1.0. The pipelines are deterministic, so a
+  * floor breach means someone changed buckets/probes/codes/refine in
+  * a way that destroyed usefulness, even if the hash gate still
+  * passes.
   */
 class AnnRecallSpec extends SparkSpec {
 
@@ -46,9 +48,9 @@ class AnnRecallSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.forall(_._2.size == K))
 
     val floors = Seq(
-      "q_ann_lsh" -> 0.6,
-      "q_ann_ivf" -> 0.6,
-      "q_ann_pq" -> 0.6)
+      "q_ann_lsh" -> 0.7,
+      "q_ann_ivf" -> 0.7,
+      "q_ann_pq" -> 0.8)
     val recalls = floors.map { case (name, floor) =>
       (name, floor, recallAt5(topk(name), exact))
     }

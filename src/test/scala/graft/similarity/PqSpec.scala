@@ -11,6 +11,14 @@ import graft.queries.SimilarityQueries
   * tie-break. */
 class PqSpec extends SparkSpec {
 
+  import org.apache.spark.sql.functions.col
+
+  // Fixture seed rule: centroids are ids {50, 150} — explicit, so the
+  // production codebook rule can change without orphaning these
+  // closed-form fixtures (the r8 lesson: a seed-rule change left them
+  // with an EMPTY codebook and an element_at crash).
+  private val fixtureSeeds = col("vec_id") % 100 === 50
+
   // 64-dim float vectors: A-cluster near 0.0, B-cluster near 1.0
   private def vec(base: Float, bump: Int = -1): Array[Float] = {
     val a = Array.fill(64)(base)
@@ -30,7 +38,7 @@ class PqSpec extends SparkSpec {
       201L -> vec(0.0f, bump = 7),  // corpus, A-coded
       202L -> vec(1.0f, bump = 7)   // corpus, B-coded
     ).toDF("vec_id", "embedding")
-    val out = SimilarityQueries.pqTopK(e)
+    val out = SimilarityQueries.pqTopK(e, seedRule = fixtureSeeds)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
 
@@ -77,10 +85,24 @@ class PqSpec extends SparkSpec {
       150L -> vec(1.0f),
       201L -> vec(0.0f, bump = 7)
     ).toDF("vec_id", "embedding")
-    val out = SimilarityQueries.pqTopK(e)
+    val out = SimilarityQueries.pqTopK(e, seedRule = fixtureSeeds)
       .collect().filter(_.getLong(0) == 0L)
       .map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(out(50L) == 0.0 && out(201L) == 0.0)
     assert(out(150L) > 0.0)
+  }
+
+  test("an empty codebook yields an empty result, not an ANSI error") {
+    val s = spark
+    import s.implicits._
+    // no id matches the seed rule → centroids() returns a 0-element
+    // codebook; the degenerate input must stay total (SURVEY §8) —
+    // this is the exact crash shape of the r8 seed-rule change
+    val e = Seq(
+      0L -> vec(0.0f),
+      201L -> vec(0.0f, bump = 7),
+      202L -> vec(1.0f)
+    ).toDF("vec_id", "embedding")
+    assert(SimilarityQueries.pqTopK(e, seedRule = fixtureSeeds).count() == 0L)
   }
 }
