@@ -72,8 +72,11 @@ object Bench {
     // disagreement between two runs of identical code could not be
     // adjudicated because neither record said what JVM/parallelism it
     // was taken under (VERDICT r7 item 1)
-    val cfg = s""""config":{"cpus":$cpus,"shuffle_partitions":""" +
-      s"""${spark.conf.get("spark.sql.shuffle.partitions")},""" +
+    // cpus via defaultParallelism (always an int — the raw env string
+    // may be '*' for local[*], which would emit invalid JSON);
+    // shuffle_partitions JSON-quoted for the same reason (ADVICE r8)
+    val cfg = s""""config":{"cpus":${spark.sparkContext.defaultParallelism},""" +
+      s""""shuffle_partitions":"${spark.conf.get("spark.sql.shuffle.partitions")}",""" +
       s""""reps":$reps,"heap_mb":${Runtime.getRuntime.maxMemory / (1L << 20)},""" +
       s""""spark":"${spark.version}","java":"${sys.props("java.version")}"}"""
     val line =
@@ -98,6 +101,9 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qsSlow,"n_queries":${results.size},""" +
       s""""n_reported":${slow.size},$cfg,"full_record":"$out","sf":"$sfDir"}""")
+    // release memoized stream feeds before stop (ADVICE r8: the cache
+    // held the driver-side event chunks via a strong session key)
+    graft.queries.EventQueries.clearFeeds(spark)
     spark.stop()
   }
 }

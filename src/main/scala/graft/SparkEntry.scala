@@ -32,14 +32,28 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.iterator.map(_._1).reduce(_ ++ _)
 
-  /** Gate-only entries: forced-low-cap variants that exercise an
-    * overflow ROUTE of the same engine path their parent query already
-    * times (q_dedup_ngram_capped is q_dedup_ngram with the cap wrenched
-    * down; likewise editdist). Verify runs them — the routes must stay
-    * hash-correct — but Bench skips them so each engine path is
-    * measured once, not booked twice (VERDICT r7 item 8). */
+  /** Gate-only entries: queries Verify runs (the hashes must stay
+    * correct) but Bench skips, because their engine path is already
+    * timed elsewhere and re-timing only books harness overhead:
+    *
+    *  - forced-low-cap variants exercise an overflow ROUTE of the same
+    *    path their parent times (q_dedup_ngram_capped is q_dedup_ngram
+    *    with the cap wrenched down; likewise editdist) — VERDICT r7
+    *    item 8;
+    *  - the two slowest MemoryStream replay gates (VERDICT r8 item 6):
+    *    their ~6 s of bench time is micro-batch scheduling floor (query
+    *    start/stop + per-batch incremental planning — state is
+    *    watermark-bounded and partition count doesn't move it), and
+    *    each transform's batch-parity cost is already benched
+    *    (q_events_range times the same user_id-equi + time-range join
+    *    shape as q_stream_join; q_dedup_exact times keyed dedup). The
+    *    three benched replay gates keep every stateful operator class
+    *    timed under the engine: windowed agg + watermark (tumbling),
+    *    flatMapGroupsWithState (sessions), mapGroupsWithState
+    *    (running). */
   val gateOnly: Set[String] =
-    Set("q_dedup_ngram_capped", "q_dedup_editdist_capped")
+    Set("q_dedup_ngram_capped", "q_dedup_editdist_capped",
+      "q_stream_join", "q_stream_dedup")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

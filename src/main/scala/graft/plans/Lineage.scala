@@ -62,7 +62,16 @@ object Lineage {
 
   private val scratch =
     TrieMap.empty[SparkSession, TrieMap[Int, WeakReference[RDD[_]]]]
-  private val pinnedIds = TrieMap.empty[Int, Unit]
+  // pins keyed by (session, rddId), NOT bare int id: RDD ids restart
+  // per SparkContext, so in a JVM running several contexts (test
+  // suites) a bare-id pin from one context would silently block
+  // freeing a same-id scratch RDD in a later one, and pins would
+  // accumulate unboundedly (ADVICE r8). Stale sessions' pins are
+  // dropped in [[freeScratch]].
+  private val pinnedIds = TrieMap.empty[(SparkSession, Int), Unit]
+
+  private def pinned(s: SparkSession, id: Int): Boolean =
+    pinnedIds.contains((s, id))
 
   private def ckptRdds(df: DataFrame): Seq[RDD[_]] =
     df.queryExecution.analyzed.collectLeaves().collect {
@@ -74,7 +83,7 @@ object Lineage {
     * a result that is NOT memoized across queries. */
   def registerScratch(df: DataFrame): Unit =
     ckptRdds(df).foreach { r =>
-      if (!pinnedIds.contains(r.id))
+      if (!pinned(df.sparkSession, r.id))
         scratch.getOrElseUpdate(df.sparkSession, TrieMap.empty)
           .put(r.id, new WeakReference(r))
     }
@@ -94,17 +103,26 @@ object Lineage {
     * freeScratch can run. */
   def pin(df: DataFrame): Unit =
     ckptRdds(df).foreach { r =>
-      pinnedIds.put(r.id, ())
+      pinnedIds.put((df.sparkSession, r.id), ())
       scratch.get(df.sparkSession).foreach(_.remove(r.id))
     }
 
   /** Free every unpinned scratch checkpoint registered in `spark`.
     * Harness-only: call between queries, after every consumer of the
-    * previous query's result has materialized. */
-  def freeScratch(spark: SparkSession): Unit =
+    * previous query's result has materialized. Also drops pins (and
+    * scratch) belonging to STOPPED sessions — a stopped context's
+    * blocks are already gone, so its entries are pure leak. */
+  def freeScratch(spark: SparkSession): Unit = {
     scratch.remove(spark).foreach(_.values.foreach { ref =>
       val r = ref.get()
-      if (r != null && !pinnedIds.contains(r.id))
+      if (r != null && !pinned(spark, r.id))
         r.unpersist(blocking = false)
     })
+    pinnedIds.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) pinnedIds.remove(k)
+    }
+    scratch.keys.foreach { s =>
+      if (s.sparkContext.isStopped) scratch.remove(s)
+    }
+  }
 }

@@ -25,10 +25,15 @@ object EventQueries {
     * state store inherits spark.sql.shuffle.partitions at query START —
     * set around start(), restored after): a replay gate over one table
     * doesn't need the batch width, and 32 state partitions × N
-    * micro-batches is pure overhead. Syncing every third chunk makes
-    * emission really incremental without a micro-batch barrier per
-    * chunk; with a chronological feed nothing is ever late, so the
-    * emitted set is invariant to the chunking.
+    * micro-batches is pure overhead. ONE mid-feed barrier splits the
+    * replay into two data micro-batches — the minimum that still
+    * proves cross-batch state handoff (state written by batch 1 must
+    * serve batch 2: open sessions, join buffers, dedup keys,
+    * watermarks). Each gate's emitted set is chunking-invariant (see
+    * the per-gate notes), so barrier count is pure overhead beyond
+    * that: the r7/r8 every-third-chunk rhythm booked 12-13 s of
+    * micro-batch scheduling across the five gates for no additional
+    * coverage (measured: one barrier is ~2× fewer micro-batches).
     */
   private def replayToTable[A](s: SparkSession, chunks: Seq[Seq[A]],
       outputMode: String = "append")(
@@ -47,9 +52,10 @@ object EventQueries {
         .outputMode(outputMode).start()
       finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
     try {
+      val mid = (chunks.size - 1) / 2
       chunks.zipWithIndex.foreach { case (chunk, i) =>
         stream.addData(chunk)
-        if (i % 3 == 2) q.processAllAvailable()
+        if (i == mid) q.processAllAvailable()
       }
       q.processAllAvailable()
     } finally q.stop()
@@ -77,14 +83,38 @@ object EventQueries {
   private val feedCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), (Any, Vector[Vector[Any]])]
 
-  private def cachedChunks[A](s: SparkSession, d: String, gate: String)(
-      mk: => (Int, Iterator[A])): Vector[Vector[A]] =
-    feedCache.getOrElseUpdate((s, d, gate), {
-      val (chunk, it) = mk
-      ((), it.grouped(math.max(1, chunk)).map(_.toVector).toVector)
-    })._2.asInstanceOf[Vector[Vector[A]]]
+  /** Memoization bound (ADVICE r8): feeds beyond this many tuples are
+    * rebuilt per call from the partition-at-a-time iterator instead of
+    * being pinned on the driver heap — the cache is a harness
+    * optimization for the bounded test tables (~10⁵ tuples at sf0.1),
+    * not a license to hold an arbitrary-SF events table forever. */
+  private val MaxCachedFeedRows = 2L * 1024 * 1024
 
-  /** Globally ts-sorted feed: (chunk size for ~8 chunks,
+  /** Drop all memoized feeds for `s` — Bench/suite teardown hook, so a
+    * long-lived JVM (test runner, shared driver) can release both the
+    * chunk vectors and the strong SparkSession key. */
+  private[graft] def clearFeeds(s: SparkSession): Unit =
+    feedCache.keys.foreach { k => if (k._1 eq s) feedCache.remove(k) }
+
+  private def cachedChunks[A](s: SparkSession, d: String, gate: String)(
+      mk: => (Long, Int, Iterator[A])): Vector[Vector[A]] = {
+    // a stopped session can never replay again — evict its feeds so the
+    // cache cannot pin dead sessions or their heap (ADVICE r8: strong
+    // keys + no eviction grew linearly across suite sessions)
+    feedCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) feedCache.remove(k)
+    }
+    feedCache.get((s, d, gate)) match {
+      case Some((_, v)) => v.asInstanceOf[Vector[Vector[A]]]
+      case None =>
+        val (n, chunk, it) = mk
+        val chunks = it.grouped(math.max(1, chunk)).map(_.toVector).toVector
+        if (n <= MaxCachedFeedRows) feedCache.put((s, d, gate), ((), chunks))
+        chunks
+    }
+  }
+
+  /** Globally ts-sorted feed: (row count, chunk size for ~8 chunks,
     * partition-at-a-time iterator). The count runs BEFORE the sort
     * (scan-only job, no shuffle step to pay); AQE coalesces the sort's
     * range shuffle to data-sized partitions, so the partition-at-a-time
@@ -92,10 +122,10 @@ object EventQueries {
     * explicit repartitionByRange(4) is ~20% SLOWER than letting AQE
     * pick — the extra sampling pass costs more than it saves). */
   private def sortedFeed[A](ds: org.apache.spark.sql.Dataset[A],
-      tsCol: String): (Int, Iterator[A]) = {
+      tsCol: String): (Long, Int, Iterator[A]) = {
     import scala.jdk.CollectionConverters._
     val n = ds.count()
-    (math.max(1, (n / 8).toInt), ds.orderBy(tsCol).toLocalIterator().asScala)
+    (n, math.max(1, (n / 8).toInt), ds.orderBy(tsCol).toLocalIterator().asScala)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -188,10 +218,10 @@ object EventQueries {
     "q_stream_dedup" -> ((s, d) => {
       import s.implicits._
       val chunks = cachedChunks(s, d, "dedup") {
-        val (chunk, rows) = sortedFeed(Tables.events(s, d)
+        val (n, chunk, rows) = sortedFeed(Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
           .as[(Long, Long, java.sql.Timestamp, String)], "ts")
-        (chunk * 2, rows.flatMap(r => Iterator(r, r)))
+        (n * 2, chunk * 2, rows.flatMap(r => Iterator(r, r)))
       }
       replayToTable(s, chunks)(stream =>
         EventStreams.dedupStream(
