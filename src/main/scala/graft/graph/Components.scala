@@ -98,10 +98,17 @@ object Components {
     * is unchanged; [[labelPropagation]] deliberately stays plain HashMin
     * because its k-round gate replays exact per-round semantics.
     *
-    * The convergence check is an anti-join count of changed (page, lbl)
-    * pairs. Rounds here are eager by necessity: the loop CONDITION reads
-    * the data, so each round is an action (unlike the fixed-round
-    * PageRank loop, which defers to one final materialization).
+    * The convergence check rides the round's ONE action: the new label
+    * vector is joined (shuffle-free — both sides are hash-partitioned
+    * on `page`: the groupBy's output and the previous round's
+    * checkpoint, whose partitioning localCheckpoint preserves) against
+    * the old one, and a LongAccumulator counts changed labels as the
+    * eager checkpoint materializes. The old form was a SECOND job per
+    * round (anti-join count) — at cluster scale that is a second full
+    * barrier per round (VERDICT r8 item 7). Accumulator caveat,
+    * handled: a retried task can over-count, so the value is only used
+    * as `> 0` — a false positive costs one extra idempotent round
+    * (labels at fixpoint stay at fixpoint), never a wrong result.
     */
   def components(pages: DataFrame, edges: DataFrame,
                  maxRounds: Int = 50,
@@ -111,6 +118,16 @@ object Components {
     val hintSmall = knownVertexCount.getOrElse(pages.count()) <=
       PageRank.broadcastVertexLimit(pages.sparkSession)
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
+
+    val changedAcc = pages.sparkSession.sparkContext
+      .longAccumulator("graft.components.changed")
+    // always-true side-effecting filter: bumps the accumulator per
+    // changed row DURING the checkpoint's materialization pass.
+    // Nondeterministic so Catalyst can neither push it below the join
+    // nor evaluate it twice.
+    val bump = udf { (changed: Boolean) =>
+      if (changed) changedAcc.add(1L); true
+    }.asNondeterministic()
 
     var labels = pages.select(col("page"), col("page").as("lbl"))
       .localCheckpoint(eager = true)
@@ -126,12 +143,18 @@ object Components {
       val jump = labels.as("l1")
         .join(vhint(labels.as("l2")), col("l1.lbl") === col("l2.page"))
         .select(col("l1.page").as("page"), col("l2.lbl").as("lbl"))
+      changedAcc.reset()
       val next = neighbor.unionAll(jump).unionAll(labels)
         .groupBy("page").agg(min("lbl").as("lbl"))
+        // left join (not inner): a page emitted by the agg but absent
+        // from the old vector must count as changed, not vanish;
+        // <=> is the null-safe comparison for exactly that row
+        .join(labels.select(col("page"), col("lbl").as("prev_lbl")),
+          Seq("page"), "left")
+        .filter(bump(!(col("lbl") <=> col("prev_lbl"))))
+        .select(col("page"), col("lbl"))
         .localCheckpoint(eager = true)
-      changed = next.join(labels,
-        next("page") === labels("page") && next("lbl") === labels("lbl"),
-        "left_anti").count()
+      changed = changedAcc.value
       // free the PREVIOUS round's checkpoint blocks for real —
       // Dataset.unpersist can't reach them ([[graft.plans.Lineage]]),
       // so this loop used to leak one |V| block set per round
@@ -191,6 +214,24 @@ object Components {
       if (dedup) noLoops.distinct() else noLoops
     }
 
+    // convergence check folded into the round's ONE action (VERDICT r8
+    // item 7: the count + anti-join pair was two extra cluster barriers
+    // per round): a left join of the new edge set against the old (both
+    // hash-partitioned on (a, b) — distinct's output and the preserved
+    // checkpoint partitioning — so shuffle-free) feeds two accumulators
+    // during the checkpoint's materialization pass: rows(|next|) and
+    // misses(|next ∖ e|). Equal sizes + empty difference ⇔ equal sets.
+    // Retried tasks can over-count either accumulator; both uses are
+    // change-DETECTION only, so a false positive costs one extra
+    // idempotent round, never a wrong result.
+    val rowAcc = pages.sparkSession.sparkContext
+      .longAccumulator("graft.starContraction.rows")
+    val missAcc = pages.sparkSession.sparkContext
+      .longAccumulator("graft.starContraction.misses")
+    val bump = udf { (miss: Boolean) =>
+      rowAcc.add(1L); if (miss) missAcc.add(1L); true
+    }.asNondeterministic()
+
     var e = edges.select(col("src").as("a"), col("dst").as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(eager = true)
@@ -198,15 +239,17 @@ object Components {
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
+      rowAcc.reset(); missAcc.reset()
       val next =
         star(star(e, large = true, dedup = false), large = false,
-          dedup = true).localCheckpoint(eager = true)
-      // equality check with a count shortcut: |next| ≠ |e| → changed
-      // (count on the checkpointed RDD is shuffle-free); equal counts +
-      // next ⊆ e → equal sets, so one anti-join suffices
-      val nextCount = next.count()
-      changed = nextCount != eCount ||
-        next.join(e, Seq("a", "b"), "left_anti").count() > 0
+          dedup = true)
+          .join(e.select(col("a"), col("b"), lit(true).as("in_prev")),
+            Seq("a", "b"), "left")
+          .filter(bump(col("in_prev").isNull))
+          .select(col("a"), col("b"))
+          .localCheckpoint(eager = true)
+      val nextCount = rowAcc.value.longValue
+      changed = nextCount != eCount || missAcc.value > 0
       // same rationale as [[components]]: actually free the previous
       // round's checkpoint blocks
       graft.plans.Lineage.freeLocalCheckpoint(e)
