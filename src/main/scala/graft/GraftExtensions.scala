@@ -5,9 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharEntropy, CharShingleHashes, CosineSimilarity,
-  DotProduct, MinHashSig, PqAdc, SimHash32, SortedIntersectCount,
-  WordShingleHashes}
+import graft.functions.{BpeSymbols, CharEntropy, CharShingleHashes,
+  CosineSimilarity, DotProduct, MinHashSig, PqAdc, SimHash32,
+  SortedIntersectCount, WordShingleHashes}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -86,6 +86,7 @@ object GraftFunctions {
     withIntParam("minhash_sig", classOf[MinHashSig], MinHashSig.apply),
     unary("simhash32", classOf[SimHash32], SimHash32.apply),
     unary("char_entropy", classOf[CharEntropy], CharEntropy.apply),
+    unary("bpe_symbols", classOf[BpeSymbols], BpeSymbols.apply),
     binary("pq_adc", classOf[PqAdc], PqAdc.apply)
   )
 
