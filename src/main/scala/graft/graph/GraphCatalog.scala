@@ -33,9 +33,27 @@ object GraphCatalog {
   private val graphs = TrieMap.empty[(SparkSession, String), LinkGraphData]
   private val ranks = TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
+  /** Drop entries whose session has stopped — their block-store state
+    * died with the context, so stale entries only pin dead SparkSession
+    * object graphs on the driver (the ADVICE-r8 feedCache leak class,
+    * applied catalog-wide). Runs on every catalog access; the maps hold
+    * a handful of keys. */
+  private def sweepStopped(): Unit = {
+    def dead(s: SparkSession) = s.sparkContext.isStopped
+    graphs.keys.foreach { k => if (dead(k._1)) graphs.remove(k) }
+    ranks.keys.foreach { k => if (dead(k._1)) ranks.remove(k) }
+    pranks.keys.foreach { k => if (dead(k._1)) pranks.remove(k) }
+    hitsCache.keys.foreach { k => if (dead(k._1)) hitsCache.remove(k) }
+    wikiGraphs.keys.foreach { k => if (dead(k._1)) wikiGraphs.remove(k) }
+    wikiRankCache.keys.foreach { k => if (dead(k._1)) wikiRankCache.remove(k) }
+  }
+
   /** Cleaned TPC-H citation graph (customers → suppliers they bought
-    * from), pages ∪ edges persisted, N counted — built once per dir. */
-  def tpch(spark: SparkSession, dir: String): LinkGraphData =
+    * from), pages ∪ edges persisted, N counted — built once per dir.
+    * Every other catalog entry point funnels through here or [[wiki]],
+    * so the stale-session sweep lives in these two. */
+  def tpch(spark: SparkSession, dir: String): LinkGraphData = {
+    sweepStopped()
     graphs.getOrElseUpdate((spark, dir), {
       val pages = LinkGraph.tpchPages(spark, dir)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -45,6 +63,7 @@ object GraphCatalog {
       val n = pages.count()
       LinkGraphData(pages, edges, n)
     })
+  }
 
   /** Reference-convention rank vector after `iters` iterations —
     * computed once per (session, dir, iters), persisted. */
@@ -100,7 +119,8 @@ object GraphCatalog {
   /** Link graph of the synthesized wiki dump ([[graft.wiki.WikiDump]]):
     * full S1→P1→P2→J1 path — XML parse, link extraction, validity
     * filter, red-link semi-join — built once per (session, dir). */
-  def wiki(spark: SparkSession, dir: String): LinkGraphData =
+  def wiki(spark: SparkSession, dir: String): LinkGraphData = {
+    sweepStopped()
     wikiGraphs.getOrElseUpdate((spark, dir), {
       import graft.wiki.{WikiDump, WikiIngest}
       // The parsed (title, text) pages feed BOTH the vertex set and the
@@ -123,6 +143,7 @@ object GraphCatalog {
       parsed.unpersist(blocking = false)
       LinkGraphData(pages, edges, n)
     })
+  }
 
   /** Rank vector of the wiki graph — the reference's full 13-job DAG
     * equivalent, computed once per (session, dir). Uses the GraphX

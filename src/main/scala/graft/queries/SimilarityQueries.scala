@@ -258,6 +258,11 @@ object SimilarityQueries {
     // steady-state query path, exactly like q_pagerank's memoized rank
     // vector.
     "q_ann_pq" -> ((s, d) => {
+      // stale-session sweep (the ADVICE-r8 feedCache leak class): a
+      // stopped session's persisted index died with its context
+      pqIndexCache.keys.foreach { k =>
+        if (k._1.sparkContext.isStopped) pqIndexCache.remove(k)
+      }
       val enc = pqIndexCache.getOrElseUpdate((s, d), {
         val x = pqEncode(Tables.embeddings(s, d))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -82,11 +82,17 @@ object WikiDump {
     * shape (XmlInputFormat consumed raw `<page>…</page>` streams, no
     * root element) — once per (session, dir); returns the path. Input
     * for the [[graft.sources.XmlRecordSource]] file path of S1. */
-  def materializedDump(spark: SparkSession, dir: String): String =
+  def materializedDump(spark: SparkSession, dir: String): String = {
+    // stale-session sweep (ADVICE-r8 feedCache leak class); the temp
+    // dirs themselves are OS-cleaned, only the map entry pins memory
+    dumps.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) dumps.remove(k)
+    }
     dumps.getOrElseUpdate((spark, dir), {
       val out = java.nio.file.Files
         .createTempDirectory("graft-wikidump").toString
       xml(spark, dir).write.mode("overwrite").text(out)
       out
     })
+  }
 }
