@@ -19,6 +19,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * whitespace symbol — which makes per-word application equal to the
   * whole-string replace chain, and is what lets the memo below exist.
   *
+  * Character contract: symbols start as UTF-16 code units (charAt),
+  * which equals the oracle's regexp code-point split for all BMP text
+  * — the corpus is ASCII; supplementary-plane input would diverge
+  * (the same documented ASCII caveat as the editdist family). One
+  * regex quirk is replicated exactly: the oracle's
+  * `regexp_replace(text, '(.)', …)` init never terminates a NEWLINE
+  * (RE2 `.` matches every char except `\n`), so `\n` stays an
+  * unterminated non-symbol here too — it still breaks words (it is
+  * whitespace) but contributes no token (code-review r9 finding:
+  * the first charAt draft terminated it and diverged from the gate).
+  *
   * Why a native expression (replacing the foldLeft-of-replace() column
   * from round 7): the merge table is now the TRAINED 1200-rule vocab
   * (resources/graft/bpe_merges.txt — VERDICT r8 item 5; the 30-rule
@@ -60,9 +71,14 @@ object BpeSymbolsUtil {
   private lazy val productionRules = compiled(merges)
 
   // word → merged symbol string, for the production table only. Memo
-  // is a pure-function cache: bounded (inserts stop at the cap, lookups
-  // continue), safe under concurrent tasks.
+  // is a pure-function cache: bounded in entries AND bytes (only words
+  // ≤ 64 chars are memoized — covers all natural-language repetition;
+  // base64/URL-shaped "words" are computed, not pinned, so a
+  // pathological whitespace-free corpus cannot grow a process-lifetime
+  // static map without bound — code-review r9), safe under concurrent
+  // tasks (inserts stop at the cap, lookups continue).
   private val memoCap = 1 << 17
+  private val memoMaxWordLen = 64
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -98,7 +114,12 @@ object BpeSymbolsUtil {
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (c == '\n') {
+        // oracle parity: RE2 '.' skips newlines, so the init pass never
+        // terminates them — a '\n' is a word break but not a symbol
+        out.append(c)
+        i += 1
+      } else if (Character.isWhitespace(c)) {
         out.append(c).append(Sep)
         i += 1
       } else {
@@ -107,7 +128,7 @@ object BpeSymbolsUtil {
           j += 1
         val word = text.substring(i, j)
         val merged =
-          if (useMemo) {
+          if (useMemo && word.length <= memoMaxWordLen) {
             val hit = memo.get(word)
             if (hit != null) hit
             else {

@@ -33,19 +33,18 @@ object GraphCatalog {
   private val graphs = TrieMap.empty[(SparkSession, String), LinkGraphData]
   private val ranks = TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
-  /** Drop entries whose session has stopped — their block-store state
-    * died with the context, so stale entries only pin dead SparkSession
-    * object graphs on the driver (the ADVICE-r8 feedCache leak class,
-    * applied catalog-wide). Runs on every catalog access; the maps hold
-    * a handful of keys. */
+  /** Drop entries whose session has stopped
+    * ([[graft.plans.Lineage.sweepStoppedKeys]] — the ADVICE-r8 feedCache
+    * leak class, applied catalog-wide). Runs on every catalog access;
+    * the maps hold a handful of keys. */
   private def sweepStopped(): Unit = {
-    def dead(s: SparkSession) = s.sparkContext.isStopped
-    graphs.keys.foreach { k => if (dead(k._1)) graphs.remove(k) }
-    ranks.keys.foreach { k => if (dead(k._1)) ranks.remove(k) }
-    pranks.keys.foreach { k => if (dead(k._1)) pranks.remove(k) }
-    hitsCache.keys.foreach { k => if (dead(k._1)) hitsCache.remove(k) }
-    wikiGraphs.keys.foreach { k => if (dead(k._1)) wikiGraphs.remove(k) }
-    wikiRankCache.keys.foreach { k => if (dead(k._1)) wikiRankCache.remove(k) }
+    import graft.plans.Lineage.sweepStoppedKeys
+    sweepStoppedKeys(graphs)(_._1)
+    sweepStoppedKeys(ranks)(_._1)
+    sweepStoppedKeys(pranks)(_._1)
+    sweepStoppedKeys(hitsCache)(_._1)
+    sweepStoppedKeys(wikiGraphs)(_._1)
+    sweepStoppedKeys(wikiRankCache)(_._1)
   }
 
   /** Cleaned TPC-H citation graph (customers → suppliers they bought

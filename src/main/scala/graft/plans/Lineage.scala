@@ -60,6 +60,18 @@ object Lineage {
   // tests) keep today's ContextCleaner behavior instead of accumulating
   // strong refs the GC could otherwise reclaim.
 
+  /** Drop a session-keyed cache's entries whose SparkSession has
+    * stopped — shared by every memoization catalog (GraphCatalog, the
+    * PQ index cache, WikiDump, the stream feed cache, this registry): a
+    * stopped context's block-store state is already gone, so a stale
+    * entry only pins the dead session's object graph on the driver
+    * (ADVICE r8 leak class). One implementation, five users — the
+    * code-review r9 note on the copy-pasted sweep. */
+  def sweepStoppedKeys[K, V](m: TrieMap[K, V])(session: K => SparkSession): Unit =
+    m.keys.foreach { k =>
+      if (session(k).sparkContext.isStopped) m.remove(k)
+    }
+
   private val scratch =
     TrieMap.empty[SparkSession, TrieMap[Int, WeakReference[RDD[_]]]]
   // pins keyed by (session, rddId), NOT bare int id: RDD ids restart
@@ -118,11 +130,7 @@ object Lineage {
       if (r != null && !pinned(spark, r.id))
         r.unpersist(blocking = false)
     })
-    pinnedIds.keys.foreach { case k @ (s, _) =>
-      if (s.sparkContext.isStopped) pinnedIds.remove(k)
-    }
-    scratch.keys.foreach { s =>
-      if (s.sparkContext.isStopped) scratch.remove(s)
-    }
+    sweepStoppedKeys(pinnedIds)(_._1)
+    sweepStoppedKeys(scratch)(identity)
   }
 }

@@ -101,9 +101,7 @@ object EventQueries {
     // a stopped session can never replay again — evict its feeds so the
     // cache cannot pin dead sessions or their heap (ADVICE r8: strong
     // keys + no eviction grew linearly across suite sessions)
-    feedCache.keys.foreach { k =>
-      if (k._1.sparkContext.isStopped) feedCache.remove(k)
-    }
+    graft.plans.Lineage.sweepStoppedKeys(feedCache)(_._1)
     feedCache.get((s, d, gate)) match {
       case Some((_, v)) => v.asInstanceOf[Vector[Vector[A]]]
       case None =>

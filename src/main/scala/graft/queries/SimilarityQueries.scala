@@ -260,9 +260,7 @@ object SimilarityQueries {
     "q_ann_pq" -> ((s, d) => {
       // stale-session sweep (the ADVICE-r8 feedCache leak class): a
       // stopped session's persisted index died with its context
-      pqIndexCache.keys.foreach { k =>
-        if (k._1.sparkContext.isStopped) pqIndexCache.remove(k)
-      }
+      graft.plans.Lineage.sweepStoppedKeys(pqIndexCache)(_._1)
       val enc = pqIndexCache.getOrElseUpdate((s, d), {
         val x = pqEncode(Tables.embeddings(s, d))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -85,9 +85,7 @@ object WikiDump {
   def materializedDump(spark: SparkSession, dir: String): String = {
     // stale-session sweep (ADVICE-r8 feedCache leak class); the temp
     // dirs themselves are OS-cleaned, only the map entry pins memory
-    dumps.keys.foreach { k =>
-      if (k._1.sparkContext.isStopped) dumps.remove(k)
-    }
+    graft.plans.Lineage.sweepStoppedKeys(dumps)(_._1)
     dumps.getOrElseUpdate((spark, dir), {
       val out = java.nio.file.Files
         .createTempDirectory("graft-wikidump").toString

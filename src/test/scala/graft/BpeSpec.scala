@@ -38,6 +38,13 @@ class BpeSpec extends SparkSpec {
     // single (a, a)-style rule never cascades — spot-check with "ttt"
     // under (t, t): tt + t, not ttt
     assert(nTokens("ttt", Vector("t" -> "t")) === 2)
+    // oracle regex parity: RE2 '.' skips '\n', so a newline is a word
+    // break but NOT a symbol — 'a', '\n' (no token), 'a' = 2 tokens
+    // (code-review r9: the first charAt split terminated it and
+    // diverged from the DuckDB gate)
+    assert(nTokens("a\na", fixture) === 2)
+    // space IS a symbol: 'a', ' ', 'a' = 3
+    assert(nTokens("a a", fixture) === 3)
   }
 
   test("production merge table is the trained >=1k-rule vocab") {
@@ -48,8 +55,9 @@ class BpeSpec extends SparkSpec {
     // the whitespace invariant the per-word application relies on
     assert(ms.forall { case (a, b) =>
       !(a + b).exists(Character.isWhitespace) })
-    // classic English opener: 't h' is the most frequent English pair
-    assert(ms.head === ("t", "h"))
+    // structurally well-formed rules (no artifact-specific pins: the
+    // vocab is swappable data, retraining must not break the suite)
+    assert(ms.forall { case (a, b) => a.nonEmpty && b.nonEmpty })
   }
 
   test("q_text_tokens_bpe on the production table: counts compress real text") {
