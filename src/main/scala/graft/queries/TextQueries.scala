@@ -646,7 +646,12 @@ object TextQueries {
       // exempts the first doc), and recursion depth = max docs per
       // (source, shard) group
       "q_text_pack" ->
-        s"""WITH RECURSIVE base AS (
+        // base MUST be MATERIALIZED: DuckDB inlines plain CTEs, and the
+        // recursive part joins base once per recursion step — with the
+        // 1200-rule BPE fold in base that re-evaluation is ~10 s × depth
+        // ≈ 250 steps at sf0.1 (observed: a 40+ min oracle; materialized
+        // it is one 10 s pass)
+        s"""WITH RECURSIVE base AS MATERIALIZED (
              SELECT doc_id, source, CAST(doc_id % 4 AS INT) AS shard,
                     CAST(len(sym) - len(replace(sym, chr(1), '')) AS BIGINT)
                       AS n,
