@@ -145,13 +145,18 @@ object Hits {
       val hubIn = if (k == 1) "h0" else s"h${k - 1}"
       // CAST everything DOUBLE: DuckDB's bare 1.0 is DECIMAL and the
       // un-normalized scores grow past DECIMAL(38) by iteration ~4
-      s"""a$k AS (
+      // MATERIALIZED: DuckDB inlines plain CTEs per reference, and the
+      // final hits/na/nh CTEs reference a$iters / h$iters several times
+      // — inlined, the whole mutual-recursion chain re-evaluates per
+      // reference (minutes + a multi-GB spill at sf0.1); materialized,
+      // each half-iteration computes once. Evaluation hint only.
+      s"""a$k AS MATERIALIZED (
             SELECT p.page, COALESCE(m.s, CAST(0.0 AS DOUBLE)) AS v
             FROM pages p LEFT JOIN (
               SELECT g.dst, SUM(h.v) AS s
               FROM good g JOIN $hubIn h ON g.src = h.page
               GROUP BY g.dst) m ON p.page = m.dst),
-          h$k AS (
+          h$k AS MATERIALIZED (
             SELECT p.page, COALESCE(m.s, CAST(0.0 AS DOUBLE)) AS v
             FROM pages p LEFT JOIN (
               SELECT g.src, SUM(a.v) AS s

@@ -37,7 +37,13 @@ object PageRankOracle {
         else s"""0.15 / (SELECT n FROM nn) + 0.85 * (COALESCE(m.mass, 0) +
                    (SELECT COALESCE(SUM(pr), 0) FROM r${k - 1}
                     WHERE page NOT IN (SELECT src FROM good)) / (SELECT n FROM nn))"""
-      s"""r$k AS (
+      // MATERIALIZED: DuckDB inlines plain CTEs per REFERENCE, and the
+      // redistribute form references r_{k-1} twice (mass join + dangling
+      // scalar) — inlined, the 8-iteration chain re-evaluates 2^k times
+      // (observed: a 66 GB spill at sf0.1 before the oracle died);
+      // materialized, each iteration computes once. Evaluation hint
+      // only — results identical (same class as the q_text_pack fix).
+      s"""r$k AS MATERIALIZED (
             SELECT p.page,
                    $update AS pr
             FROM pages p LEFT JOIN (
