@@ -126,6 +126,50 @@ object SimilarityQueries {
   private def cos: org.apache.spark.sql.Column =
     call_function("cosine_sim", col("qv"), col("embedding"))
 
+  /** IVF coarse centroid set: a FIXED bounded id rule, so the broadcast
+    * is constant-size at any corpus scale. Shared by q_ann_ivf and
+    * q_ann_ivfpq. */
+  private def ivfCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 100 === 50 && col("vec_id") < 1600)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+
+  /** argmax cell assignment: corpus × (≤16 broadcast centroids)
+    * map-side, then a partial-agg argmax — max(struct(cos, cid)) picks
+    * the highest cosine, ties to the highest cid, matching the
+    * oracle's ORDER BY ccos DESC, cid DESC. One corpus shuffle. */
+  private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    def ccos = call_function("cosine_sim", col("cv"), col("embedding"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), ccos.as("ccos"), col("cid"))
+      .groupBy("vec_id").agg(max(struct(col("ccos"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cell"))
+  }
+
+  /** nprobe nearest cells per query (tiny: queries × ≤16 centroids,
+    * window over ≤16 rows) → (qid, qv, pcell). */
+  private def ivfProbes(e: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("pcell").desc)
+    queryVecs(e)
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid").as("pcell"),
+        call_function("cosine_sim", col("cv"), col("qv")).as("pcos"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("pcell"))
+  }
+
+  /** Per-query ADC lookup tables (qid, qtab) — M × ≤16 doubles per
+    * query, broadcast; empty codebooks filtered (totality). */
+  private def pqQueryTabs(e: DataFrame,
+      seedRule: Column = PqSeedRule): DataFrame =
+    e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(centroids(e, seedRule)))
+      .select(col("qid"), expr(dtabExpr("qv", "cs")).as("qtab"))
+      .filter(col("qtab").isNotNull)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-k: broadcast query set × corpus scan, window rank.
     "q_ann_bruteforce" -> ((s, d) => {
@@ -202,37 +246,55 @@ object SimilarityQueries {
     "q_ann_ivf" -> ((s, d) => {
       graft.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
-      val cents = e
-        .filter(col("vec_id") % 100 === 50 && col("vec_id") < 1600)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      def ccos = call_function("cosine_sim", col("cv"), col("embedding"))
-      // assignment: corpus × (≤16 broadcast centroids) map-side, then a
-      // partial-agg argmax — max(struct(cos, cid)) picks the highest
-      // cosine, ties to the highest cid, matching the oracle's
-      // ORDER BY ccos DESC, cid DESC. One corpus shuffle total.
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), ccos.as("ccos"), col("cid"))
-        .groupBy("vec_id").agg(max(struct(col("ccos"), col("cid"))).as("b"))
-        .select(col("vec_id"), col("b.cid").as("cell"))
-      val ev = e.join(assigned, "vec_id")
-      // query probes: nprobe=3 nearest cells per query (tiny: queries ×
-      // ≤16 centroids, window over ≤16 rows). nprobe=2 measured
-      // recall@5 exactly 0.60 on sf0.01; 3 measures 0.84.
-      val wq = Window.partitionBy(col("qid"))
-        .orderBy(col("pcos").desc, col("pcell").desc)
-      val probes = queryVecs(e)
-        .crossJoin(broadcast(cents))
-        .select(col("qid"), col("qv"), col("cid").as("pcell"),
-          call_function("cosine_sim", col("cv"), col("qv")).as("pcos"))
-        .withColumn("pr", row_number().over(wq))
-        .filter(col("pr") <= 3)
-        .select(col("qid"), col("qv"), col("pcell"))
+      val cents = ivfCentroids(e)
+      val ev = e.join(ivfAssign(e, cents), "vec_id")
+      // nprobe=2 measured recall@5 exactly 0.60 on sf0.01; 3 measures
+      // 0.84 (AnnRecallSpec floor 0.7)
+      val probes = ivfProbes(e, cents, nprobe = 3)
       // candidates: cell equi-join — each corpus vector lives in exactly
       // one cell, so no duplicate (qid, vec_id) pairs
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))
       ev.join(broadcast(probes),
           col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // IVF+PQ+refine — the canonical composed index (FAISS
+    // IndexIVFPQ + refine): the coarse quantizer restricts the search
+    // to nprobe=3 cells, ADC ranks ONLY those cells' codes (the scan
+    // never touches raw vectors), and the T-shortlist is re-ranked by
+    // exact cosine. At 100 TB this is the architecture that works: the
+    // cell partition bounds the candidate scan, codes bound its
+    // bandwidth (8 B/vector), refine bounds raw-vector fetch at O(T)
+    // per query. recall@5 = 0.84 on sf0.01 — the IVF containment bound
+    // (the ADC top-100 within probed cells loses nothing vs exact
+    // scoring; measured identical to q_ann_ivf's recall).
+    "q_ann_ivfpq" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val enc = pqIndex(s, d)
+      val cents = ivfCentroids(e)
+      val probes = ivfProbes(e, cents, nprobe = 3)
+        .select(col("qid"), col("pcell"))
+      val wA = Window.partitionBy(col("qid"))
+        .orderBy(col("adc"), col("vec_id"))
+      val shortlist = enc.join(ivfAssign(e, cents), "vec_id")
+        .join(broadcast(probes),
+          col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+        .join(broadcast(pqQueryTabs(e)), "qid")
+        .select(col("qid"), col("vec_id"),
+          call_function("pq_adc", col("qtab"), col("codes")).as("adc"))
+        .withColumn("srank", row_number().over(wA))
+        .filter(col("srank") <= RerankT)
+        .select(col("qid"), col("vec_id"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(queryVecs(e)), "qid")
         .select(col("qid"), col("vec_id"), cos.as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
@@ -257,23 +319,28 @@ object SimilarityQueries {
     // scoring + refine only), so repeated calls measure the
     // steady-state query path, exactly like q_pagerank's memoized rank
     // vector.
-    "q_ann_pq" -> ((s, d) => {
-      // stale-session sweep (the ADVICE-r8 feedCache leak class): a
-      // stopped session's persisted index died with its context
-      graft.plans.Lineage.sweepStoppedKeys(pqIndexCache)(_._1)
-      val enc = pqIndexCache.getOrElseUpdate((s, d), {
-        val x = pqEncode(Tables.embeddings(s, d))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        x.count()
-        x
-      })
-      pqSearch(Tables.embeddings(s, d), enc)
-    })
+    "q_ann_pq" -> ((s, d) =>
+      pqSearch(Tables.embeddings(s, d), pqIndex(s, d)))
   )
 
   private val pqIndexCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
+
+  /** The memoized PQ codes table per (session, dir) — shared by
+    * q_ann_pq and q_ann_ivfpq (one index, two search strategies, like
+    * a stored FAISS artifact serving several probes). */
+  private def pqIndex(s: SparkSession, d: String): DataFrame = {
+    // stale-session sweep (the ADVICE-r8 feedCache leak class): a
+    // stopped session's persisted index died with its context
+    graft.plans.Lineage.sweepStoppedKeys(pqIndexCache)(_._1)
+    pqIndexCache.getOrElseUpdate((s, d), {
+      val x = pqEncode(Tables.embeddings(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      x.count()
+      x
+    })
+  }
 
   /** Conditional fan-out for CPU-heavy narrow passes: a small corpus
     * file scans as ONE partition, pinning the pass to a single core
@@ -321,11 +388,7 @@ object SimilarityQueries {
   private[graft] def pqAdcTopK(e: DataFrame, enc: DataFrame, k: Int = K,
       seedRule: Column = PqSeedRule): DataFrame = {
     // per-query ADC lookup tables (M × ≤16 doubles, broadcast)
-    val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .crossJoin(broadcast(centroids(e, seedRule)))
-      .select(col("qid"), expr(dtabExpr("qv", "cs")).as("qtab"))
-      .filter(col("qtab").isNotNull)
+    val q = pqQueryTabs(e, seedRule)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc"), col("vec_id"))
     graft.GraftFunctions.register(e.sparkSession)
@@ -464,6 +527,77 @@ object SimilarityQueries {
                 FROM sc)
           SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
           ORDER BY qid, rank""",
+    // replays the composed index exactly: the IVF cell CTEs (same
+    // argmax/tie-break as q_ann_ivf), the PQ code/table CTEs (same
+    // folds as q_ann_pq), ADC restricted to probed cells, the same
+    // T=100 shortlist, the same exact-cosine refine. Iteration-free,
+    // so no MATERIALIZED hints needed (each CTE referenced once).
+    "q_ann_ivfpq" -> {
+      val dtab = (x: String) =>
+        s"""[[list_sum([($x[j * $S + i] - cs[c + 1][j * $S + i]) *
+                        ($x[j * $S + i] - cs[c + 1][j * $S + i])
+                        for i in range(1, ${S + 1})])
+              for c in range(0, len(cs))]
+             for j in range(0, $M)]"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
+                     FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+                WHERE vec_id % 100 = 50 AND vec_id < 1600),
+          asg0 AS (SELECT e.vec_id, c.cid,
+                          list_sum([c.cv[i] * e.v[i]
+                                    for i in range(1, len(e.v) + 1)]) /
+                                (c.cn * e.nrm) AS ccos
+                   FROM e CROSS JOIN c),
+          asg AS (SELECT vec_id, cid AS cell FROM
+                  (SELECT vec_id, cid,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cid DESC) AS rn
+                   FROM asg0) WHERE rn = 1),
+          qp AS (SELECT qid, pcell FROM
+                 (SELECT e.vec_id AS qid, c.cid AS pcell,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum([c.cv[i] * e.v[i]
+                                     for i in range(1, len(e.v) + 1)]) /
+                                 (c.cn * e.nrm) DESC, c.cid DESC) AS rn
+                  FROM e CROSS JOIN c WHERE e.vec_id % 100 = 0)
+                 WHERE rn <= 3),
+          pc AS (SELECT vec_id AS scid, v AS scv FROM e
+                 WHERE vec_id % 30 = 15 AND vec_id < 480),
+          cst AS (SELECT list(scv ORDER BY scid) AS cs FROM pc),
+          enc AS (SELECT e.vec_id,
+                    [list_indexof(dl, list_min(dl)) - 1
+                     for dl in ${dtab("e.v")}] AS codes
+                  FROM e CROSS JOIN cst),
+          qt AS (SELECT e.vec_id AS qid, ${dtab("e.v")} AS qtab
+                 FROM e CROSS JOIN cst WHERE e.vec_id % 100 = 0),
+          sc AS (SELECT qt.qid, enc.vec_id,
+                        list_sum([qt.qtab[j + 1][enc.codes[j + 1] + 1]
+                                  for j in range(0, $M)]) AS adc
+                 FROM enc JOIN asg a ON enc.vec_id = a.vec_id
+                          JOIN qp ON a.cell = qp.pcell
+                                 AND enc.vec_id <> qp.qid
+                          JOIN qt ON qt.qid = qp.qid),
+          sl AS (SELECT qid, vec_id FROM
+                 (SELECT qid, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY adc, vec_id) AS srank
+                  FROM sc) WHERE srank <= $RerankT),
+          qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
+                 WHERE vec_id % 100 = 0),
+          rr AS (SELECT sl.qid, sl.vec_id,
+                        list_sum([qq.qv[i] * e.v[i]
+                                  for i in range(1, len(qq.qv) + 1)]) /
+                              (qq.qn * e.nrm) AS cos
+                 FROM sl JOIN e ON e.vec_id = sl.vec_id
+                         JOIN qq ON qq.qid = sl.qid),
+          r AS (SELECT qid, vec_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, vec_id) AS rank
+                FROM rr)
+          SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
+          ORDER BY qid, rank"""
+    },
     // replays the PQ pipeline exactly: same centroid set (cid-sorted),
     // same 16×16 subspace-distance tables (double casts, index-order
     // folds), first-minimum argmin via list_indexof(list_min), same

@@ -50,7 +50,10 @@ class AnnRecallSpec extends SparkSpec {
     val floors = Seq(
       "q_ann_lsh" -> 0.7,
       "q_ann_ivf" -> 0.7,
-      "q_ann_pq" -> 0.8)
+      "q_ann_pq" -> 0.8,
+      // composed index: recall is IVF-containment-bound (the ADC
+      // shortlist within probed cells loses nothing vs exact scoring)
+      "q_ann_ivfpq" -> 0.7)
     val recalls = floors.map { case (name, floor) =>
       (name, floor, recallAt5(topk(name), exact))
     }

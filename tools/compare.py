@@ -41,6 +41,8 @@ def main():
             results[name] = {"rows_only": True, "spark_rows": len(spark_rel.fetchall())}
             continue
         try:
+            import time
+            t0 = time.time()
             ora_rel = con.sql(oracle[name])
             sc, sv = canon(con, spark_rel)
             oc, ov = canon(con, ora_rel)
@@ -49,6 +51,10 @@ def main():
                 "schema_match": sc == oc,
                 "hash_match": sv == ov,
                 "spark_rows": len(sv), "oracle_rows": len(ov),
+                # oracle wall seconds: a CTE-inlining blowup (the r9
+                # 66 GB spill class) shows up here as minutes, not as a
+                # mystery hang
+                "oracle_s": round(time.time() - t0, 1),
             }
             if not res["hash_match"] and res["rows_match"]:
                 diffs = [(a, b) for a, b in zip(sv, ov) if a != b][:3]
