@@ -211,6 +211,46 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Data-MIXTURE construction — the pretraining step that fills a
+    // per-source TOKEN budget (not a doc-count quota: mixtures are
+    // specified in tokens) from each source, in deterministic shuffled
+    // order. Two-phase, because the naive form is a serial window over
+    // every source's full doc list (one task per source at 100 TB):
+    //   1. per-source token totals (partial agg, tiny result broadcast
+    //      back), giving a keep-fraction = 3×budget/total — uniform
+    //      hash-pruning leaves ~3× the docs the budget needs;
+    //   2. a cumulative-token window over only the pruned survivors,
+    //      keeping the prefix (in md5(doc_id) order) that fits the
+    //      budget — an oversized first doc still gets through, the
+    //      q_text_pack rule.
+    // Token counts are REAL BPE tokens ([[bpeSymbols]]). Deterministic
+    // end-to-end (md5 order, integer token sums, the oracle replays
+    // totals, prune, window and prefix identically).
+    "q_text_mixture" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.GraftFunctions.register(s)
+      val budget = 1000L
+      val sym = bpeSymbols(col("text"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (length(sym) - length(replace(sym, lit(BpeSep), lit(""))))
+            .cast("long").as("n_tok"),
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+            .as("h"))
+      val totals = docs.groupBy("source")
+        .agg(sum(col("n_tok")).as("tot"))
+      val pruned = docs.join(broadcast(totals), "source")
+        .filter(col("h") / lit(4294967296.0) <
+          least(lit(1.0), lit(3.0) * lit(budget) / col("tot")))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pruned.withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= budget ||
+          col("cum_tok") - col("n_tok") === 0)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
+        .orderBy(col("source"), col("cum_tok"), col("doc_id"))
+    }),
+
     // PII detection + redaction — the mandatory privacy pass of a
     // training-data pipeline: count and mask emails / IPv4 addresses /
     // phone numbers in one narrow codegen'd pass (regexp_extract_all +
@@ -577,6 +617,30 @@ object TextQueries {
       // row_number over (md5, doc_id) within the stratum; the keep
       // threshold is pure integer arithmetic so no float boundary can
       // flip membership between engines
+      // replays the two-phase mixture exactly: same BPE token counts,
+      // same md5-derived order and prune fraction (3.0 * 1000 / tot,
+      // identical double-op order), same cum-sum window and prefix rule
+      "q_text_mixture" ->
+        s"""WITH d AS (SELECT doc_id, source,
+                    CAST(len(sym) - len(replace(sym, chr(1), '')) AS BIGINT)
+                      AS n_tok,
+                    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) AS h
+                FROM (SELECT doc_id, source, $bpeSymbolsSql AS sym
+                      FROM documents)),
+           t AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot
+                 FROM d GROUP BY source),
+           p AS (SELECT d.source, d.doc_id, d.n_tok, d.h
+                 FROM d JOIN t USING (source)
+                 WHERE d.h / 4294967296.0 < least(1.0, 3.0 * 1000 / t.tot)),
+           c AS (SELECT source, doc_id, n_tok,
+                        CAST(SUM(n_tok) OVER (PARTITION BY source
+                          ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum_tok
+                 FROM p)
+           SELECT source, doc_id, n_tok, cum_tok FROM c
+           WHERE cum_tok <= 1000 OR cum_tok - n_tok = 0
+           ORDER BY source, cum_tok, doc_id""",
       "q_text_sample_stratified" ->
         """WITH r AS (SELECT doc_id, lang,
                   ROW_NUMBER() OVER (PARTITION BY lang

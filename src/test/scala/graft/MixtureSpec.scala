@@ -1,0 +1,32 @@
+package graft
+
+/** q_text_mixture: the per-source token-budget invariants that must
+  * hold whatever the corpus (the hash gate pins exact values; this
+  * pins the SEMANTICS so a budget/prune/order change can't silently
+  * turn the mixture into something else). */
+class MixtureSpec extends SparkSpec {
+
+  private val Budget = 1000L
+
+  test("mixture fills per-source budgets: prefix-closed, never over (except a lone oversized head)") {
+    val s = spark
+    import s.implicits._
+    val out = queries.TextQueries.queries("q_text_mixture")(
+      s, "/root/testdata/sf0.001")
+      .select("source", "doc_id", "n_tok", "cum_tok")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._4)
+      // cumulative sums are consistent: cum_k = cum_{k-1} + n_tok_k
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._4 + b._3, src)
+        case _ => ()
+      }
+      // budget respected, except a single oversized first doc
+      sorted.zipWithIndex.foreach { case ((_, _, n, cum), i) =>
+        assert(cum <= Budget || (i == 0 && cum === n), s"$src over budget")
+      }
+    }
+  }
+}
