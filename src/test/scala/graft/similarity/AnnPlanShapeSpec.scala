@@ -1,0 +1,39 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+/** Physical-plan regression guards for the ANN family: the scale
+  * arguments (SURVEY §9, PLANS.md) rest on every query/probe/shortlist
+  * side being BROADCAST against the corpus scan — if a future change
+  * grows one of those sides past the broadcast threshold (or breaks
+  * the equi-join form so Catalyst falls back to a cartesian product),
+  * the query silently becomes a corpus-shuffling monster long before
+  * the recall gate would notice. Pin the shape, not just the answer. */
+class AnnPlanShapeSpec extends SparkSpec {
+
+  private val Dir = "/root/testdata/sf0.01"
+
+  test("ANN plans: broadcast joins only — no sort-merge, no cartesian product") {
+    for (name <- Seq("q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf",
+        "q_ann_pq", "q_ann_ivfpq")) {
+      val df = graft.SparkEntry.queries(name)(spark, Dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: a query/probe/shortlist side stopped broadcasting:\n" +
+          plan.take(2000))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: an equi-join degenerated to a cartesian product:\n" +
+          plan.take(2000))
+    }
+  }
+
+  test("q_text_mixture plan: totals broadcast back, no sort-merge") {
+    val df = graft.SparkEntry.queries("q_text_mixture")(spark, Dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-source totals must broadcast back to the corpus scan")
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+}
