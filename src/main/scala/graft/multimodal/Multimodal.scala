@@ -14,10 +14,14 @@ import graft.Tables
   * under the DuckDB gate. Audio decode is REAL too
   * (`javax.sound.sampled`, also JDK-built-in — WAV/PCM needs no
   * external codec): [[audioStats]] runs encode→decode→featurize through
-  * the RIFF/WAV container under its own gate. Video codecs remain
-  * absent in this container; that pipeline uses the deterministic
-  * byte-level frame sampler below, which is itself a real, testable
-  * computation.
+  * the RIFF/WAV container under its own gate. Video decode is REAL as
+  * of round 10: no JDK-built-in compressed-video codec exists, but
+  * Y4M (YUV4MPEG2 — mjpegtools' uncompressed interchange container,
+  * a pure-text header followed by raw planar frames) needs none;
+  * [[encodeY4m]]/[[decodeY4m]] below are a complete parser for it and
+  * [[videoStats]] runs encode→decode→per-frame featurize under its own
+  * gate, closing the last byte-slice stand-in (the [[frameSample]]
+  * sampler below remains as the decode-free sampling shape).
   *
   * Design notes for the real thing at scale:
   *   - payloads stay `binary` columns in parquet — Spark never
@@ -194,6 +198,141 @@ object Multimodal {
       }
       .toDF("doc_id", "n_samples", "sample_rate", "sample_sum",
         "sample_min", "sample_max", "pcm_md5")
+  }
+
+  /** A decoded video: frame geometry, frame rate, and the decoded
+    * luma planes in presentation order. */
+  final case class DecodedVideo(
+      width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      frames: Seq[Array[Byte]])
+
+  /** Encode a byte payload as a real Y4M (YUV4MPEG2) stream — the
+    * mjpegtools uncompressed interchange container every video toolchain
+    * (ffmpeg, x264, VLC) reads: an ASCII parameter header
+    * (`YUV4MPEG2 W.. H.. F.. Ip A1:1 Cmono\n`), then one `FRAME\n`
+    * marker + raw plane per frame. The payload bytes become the luma
+    * samples of successive `width`×`height` frames (partial last frame
+    * trimmed). `Cmono` is the spec's luma-only colorspace, so the
+    * round-trip is lossless byte-for-byte — the property the q_mm_video
+    * oracle states (the video analogue of [[encodePng]]/[[encodeWav]]). */
+  def encodeY4m(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val frameLen = width * height
+    val nFrames = bytes.length / frameLen
+    require(nFrames >= 1, s"payload shorter than one $width x $height frame")
+    val bos = new java.io.ByteArrayOutputStream(
+      32 + nFrames * (6 + frameLen))
+    bos.write(s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 Cmono\n"
+      .getBytes("US-ASCII"))
+    var f = 0
+    while (f < nFrames) {
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      bos.write(bytes, f * frameLen, frameLen)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Real Y4M decode: a complete pure-JVM parser for the YUV4MPEG2
+    * container. Walks the ASCII stream header (W/H/F/I/A/C/X parameter
+    * tags in any order), validates the magic and geometry, then reads
+    * each `FRAME` marker — including optional frame-level parameters
+    * after the marker, which the spec allows — followed by the raw
+    * plane data. Supports the luma-only `Cmono` colorspace (1 plane)
+    * and the chroma-subsampled `C420`-family / `C422` / `C444` layouts
+    * (3 planes; only luma is returned — the featurize target). The
+    * video analogue of [[decodeMedia]]/[[decodeAudio]]. */
+  def decodeY4m(bytes: Array[Byte]): DecodedVideo = {
+    // --- stream header: ASCII up to the first '\n' -----------------------
+    var nl = 0
+    while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+    require(nl < bytes.length, "no Y4M stream header terminator")
+    val header = new String(bytes, 0, nl, "US-ASCII")
+    val tags = header.split(" ").filter(_.nonEmpty)
+    require(tags.nonEmpty && tags.head == "YUV4MPEG2",
+      s"not a YUV4MPEG2 stream: '${header.take(20)}'")
+    var w = -1; var h = -1; var fn = 25; var fd = 1; var cs = "420jpeg"
+    tags.tail.foreach { t =>
+      t.head match {
+        case 'W' => w = t.tail.toInt
+        case 'H' => h = t.tail.toInt
+        case 'F' =>
+          val r = t.tail.split(":")
+          require(r.length == 2, s"malformed frame-rate tag '$t'")
+          fn = r(0).toInt; fd = r(1).toInt
+        case 'C' => cs = t.tail
+        case 'I' | 'A' | 'X' => () // interlacing / aspect / extension: n/a
+        case _ => throw new IllegalArgumentException(s"unknown Y4M tag '$t'")
+      }
+    }
+    require(w > 0 && h > 0, s"missing or invalid geometry W$w H$h")
+    val lumaLen = w * h
+    // chroma plane length per frame by colorspace family
+    val chromaLen = cs match {
+      case "mono" => 0
+      case c if c.startsWith("420") => 2 * (lumaLen / 4)
+      case "422" => 2 * (lumaLen / 2)
+      case "444" => 2 * lumaLen
+      case other => throw new IllegalArgumentException(
+        s"unsupported Y4M colorspace 'C$other'")
+    }
+    // --- frames: FRAME[ params]\n + planes, until end of stream ----------
+    val frames = Seq.newBuilder[Array[Byte]]
+    var p = nl + 1
+    while (p < bytes.length) {
+      require(p + 5 <= bytes.length &&
+        new String(bytes, p, 5, "US-ASCII") == "FRAME",
+        s"expected FRAME marker at offset $p")
+      p += 5
+      // optional frame-level parameters run to the newline
+      while (p < bytes.length && bytes(p) != '\n') p += 1
+      require(p < bytes.length, "unterminated FRAME header")
+      p += 1
+      require(p + lumaLen + chromaLen <= bytes.length,
+        s"truncated frame at offset $p")
+      frames += java.util.Arrays.copyOfRange(bytes, p, p + lumaLen)
+      p += lumaLen + chromaLen
+    }
+    DecodedVideo(w, h, fn, fd, frames.result())
+  }
+
+  /** The full video-decode pipeline under the gate: payloads become
+    * real Y4M streams ([[encodeY4m]]), are parsed back through
+    * [[decodeY4m]] (header tags, FRAME markers, plane walk), and each
+    * DECODED frame reduces to per-frame pixel stats — one row per
+    * (video, frame). One codec pass per partition via `mapPartitions`
+    * (the [[decodeStats]] shape). The oracle states the stats exactly
+    * because the mono-Y4M round-trip is lossless: frame k's pixels =
+    * payload bytes [k·w·h, (k+1)·w·h). */
+  def videoStats(assets: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val frameLen = width * height
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .filter(_._2.length >= frameLen)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val dec = decodeY4m(encodeY4m(bytes, width, height))
+          dec.frames.iterator.zipWithIndex.map { case (px, k) =>
+            var sum = 0L
+            var mn = 255
+            var mx = 0
+            px.foreach { b =>
+              val v = b & 0xff
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            md.reset()
+            (id, k.toLong, dec.width.toLong, dec.height.toLong,
+              dec.frames.length.toLong, sum, mn.toLong, mx.toLong,
+              md.digest(px).map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "n_frames",
+        "px_sum", "px_min", "px_max", "frame_md5")
   }
 
   /** 64-bit average-hash (aHash) of each decoded image — the standard
