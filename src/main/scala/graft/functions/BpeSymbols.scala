@@ -57,8 +57,10 @@ object BpeSymbolsUtil {
     val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
     require(in != null, "missing resource graft/bpe_merges.txt")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).map { line =>
+    try src.getLines().map(_.trim).filter(_.nonEmpty).map { line =>
       val i = line.indexOf(' ')
+      require(i > 0 && i < line.length - 1,
+        s"malformed merge rule in graft/bpe_merges.txt: '$line'")
       (line.substring(0, i), line.substring(i + 1))
     }.toVector
     finally src.close()
@@ -81,6 +83,12 @@ object BpeSymbolsUtil {
   private val memoMaxWordLen = 64
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // O(1) bound on memo entries: counts successful inserts instead of
+  // calling ConcurrentHashMap.size (O(segments)) per miss. Overshoot is
+  // bounded by the number of concurrent tasks (threads that all read
+  // count < cap before any increments land), i.e. ≤ cap + 32 entries —
+  // vs the old size<cap guard whose size() call was also O(segments).
+  private val memoCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def mergeWord(word: String,
       rules: IndexedSeq[(String, String)]): String = {
@@ -133,7 +141,9 @@ object BpeSymbolsUtil {
             if (hit != null) hit
             else {
               val m = mergeWord(word, rules)
-              if (memo.size < memoCap) memo.putIfAbsent(word, m)
+              if (memoCount.get < memoCap &&
+                  memo.putIfAbsent(word, m) == null)
+                memoCount.incrementAndGet()
               m
             }
           } else mergeWord(word, rules)

@@ -79,7 +79,11 @@ object PageRank {
     * page, so total rank stays exactly 1 (PageRankProperties). The
     * dangling mass is a 1-row aggregate broadcast-cross-joined into the
     * update — no extra driver action, no extra shuffle of the rank
-    * vector.
+    * vector, and (since r10) no per-iteration join against the dangling
+    * set either: the rank vector carries its own is-dangling indicator
+    * through the contribution aggregate, so the mass is sum(rank·dang)
+    * over rows the iteration already scans. In this mode the vectors
+    * passed to `onIteration` carry the extra internal `dang` column.
     * @param teleportTo personalized PageRank: when set, ALL teleport
     * mass lands on this page (r0 = the source's indicator vector, the
     * per-iteration teleport term is resetProb·[page == src] instead of
@@ -96,7 +100,14 @@ object PageRank {
           checkpointInterval: Int = 1,
           onIteration: (Int, DataFrame) => Unit = (_, _) => (),
           redistributeDangling: Boolean = false,
-          teleportTo: Option[String] = None): DataFrame = {
+          teleportTo: Option[String] = None,
+          // called with each iteration's UN-truncated update plan (the
+          // `next` DataFrame BEFORE persist/checkpoint) — plan-shape
+          // specs inspect it; `onIteration` can't serve this purpose
+          // because the redistribute branch hands it an already
+          // checkpointed leaf. Must not execute the plan.
+          onIterationPlan: (Int, DataFrame) => Unit = (_, _) => ()):
+      DataFrame = {
     require(teleportTo.isEmpty || !redistributeDangling,
       "personalized PageRank with dangling-mass redistribution is not supported")
     val spark = pages.sparkSession
@@ -131,24 +142,42 @@ object PageRank {
     // drops the old "left join ranks back onto the vertex set" second
     // join per iteration. Adding 0.0 to a double sum is exact, so the
     // rank values are unchanged.
-    val zero = p.select(col("page").as("dst"), lit(0.0).as("contrib"))
-    // dangling pages (no out-links) — static across iterations; only
-    // consulted under redistributeDangling
-    lazy val dangling = p.join(deg, p("page") === deg("src"), "left_anti")
-      .select("page").persist(StorageLevel.MEMORY_AND_DISK)
+    // Under redistributeDangling the keep-alive frame ALSO carries the
+    // page's is-dangling indicator (no out-links → 1.0): max("dang")
+    // rides the same contribution aggregate, so the NEXT rank vector
+    // knows its own dangling rows and the per-iteration dangling mass
+    // is a plain sum(rank·dang) over the vector the iteration already
+    // scans — no ranks⋈dangling semi-join per iteration. That join was
+    // the old shape (r9); at scale the dangling set is vertex-sized
+    // (easily billions of rows — every leaf page), so 8 iterations paid
+    // 8 joins of the full rank vector against it. The flag costs one
+    // double column through the checkpoint and one max() agg slot.
+    // Probed at sf0.1/local[32] (tools/probe_pr2.scala): 4.20 s vs
+    // 4.26 s warm — parity locally, strictly fewer distributed ops.
+    val zero =
+      if (!redistributeDangling)
+        p.select(col("page").as("dst"), lit(0.0).as("contrib"))
+      else p.join(deg, p("page") === deg("src"), "left_outer")
+        .select(p("page").as("dst"), lit(0.0).as("contrib"),
+          when(deg("src").isNull, lit(1.0)).otherwise(lit(0.0)).as("dang"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var ranks = teleportTo match {
       case Some(src) => p.select(col("page"),
         when(col("page") === lit(src), lit(1.0)).otherwise(lit(0.0)).as("rank"))
-      case None => p.select(col("page"), (lit(1.0) / lit(n)).as("rank"))
+      case None if !redistributeDangling =>
+        p.select(col("page"), (lit(1.0) / lit(n)).as("rank"))
+      case None => zero.select(col("dst").as("page"),
+        (lit(1.0) / lit(n)).as("rank"), col("dang"))
     }
     for (i <- 1 to iters) {
-      val contribs = edgesWithDeg
+      val contribJoin = edgesWithDeg
         .join(vhint(ranks), edgesWithDeg("src") === ranks("page"))
-        .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
-      val mass = contribs.unionAll(zero)
-        .groupBy("dst").agg(sum("contrib").as("mass"))
       val next = if (!redistributeDangling) {
+        val contribs = contribJoin
+          .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
+        val mass = contribs.unionAll(zero)
+          .groupBy("dst").agg(sum("contrib").as("mass"))
         // teleport from the exact resetProb constant, NOT 1 - damping:
         // (1 - 0.85) is 0.15000000000000002 in double fp, while the
         // reference, the DuckDB oracle, and GraphX all use exact 0.15
@@ -162,15 +191,24 @@ object PageRank {
           (teleport + lit(damping) * col("mass")).as("rank"))
       }
       else {
-        // Σ rank over dangling pages, as a 1-row broadcast — keeps the
-        // update one lazy plan (no per-iteration collect to the driver)
-        val dm = ranks.join(dangling, Seq("page"), "left_semi")
-          .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+        val contribs = contribJoin
+          .select(col("dst"), (col("rank") / col("deg")).as("contrib"),
+            lit(0.0).as("dang"))
+        val mass = contribs.unionAll(zero).groupBy("dst")
+          .agg(sum("contrib").as("mass"), max("dang").as("dang"))
+        // Σ rank over dangling pages = sum(rank·dang) over the whole
+        // vector (the 0-terms are fp-exact no-ops), as a 1-row
+        // broadcast — keeps the update one lazy plan (no per-iteration
+        // collect to the driver, no join against a dangling set)
+        val dm = ranks
+          .agg(coalesce(sum(col("rank") * col("dang")), lit(0.0)).as("dmass"))
         mass.crossJoin(broadcast(dm))
           .select(col("dst").as("page"),
             (lit(resetProb / n) +
-              lit(damping) * (col("mass") + col("dmass") / lit(n))).as("rank"))
+              lit(damping) * (col("mass") + col("dmass") / lit(n))).as("rank"),
+            col("dang"))
       }
+      onIterationPlan(i, next)
       // Truncate lineage EVERY interval but materialize only ONCE, at the
       // final iteration. Intermediates use LAZY persist(): the cached
       // Dataset substitutes as an InMemoryRelation LEAF in the next
@@ -187,8 +225,10 @@ object PageRank {
       // doCheckpoint — observed in the wild as markCheckpointed (held by
       // dag-scheduler-event-loop) vs RDDCheckpointData (held by
       // broadcast-exchange) lock inversion, hanging the driver. persist
-      // involves no checkpoint monitors; only the FINAL iteration is
-      // checkpointed, eagerly, on the main thread. Reliable checkpoint
+      // involves no checkpoint monitors; in the plain branch only the
+      // FINAL iteration is checkpointed, eagerly, on the main thread
+      // (the redistribute branch has its own measured cadence — see
+      // below). Reliable checkpoint
       // (HDFS/alluxio) when a dir is configured, executor-local blocks
       // otherwise (local runs only). The intermediate caches are |V|
       // rows each and dropped once the result is materialized.
@@ -211,28 +251,26 @@ object PageRank {
           // OOM). Eager checkpoint truncates at construction AND is
           // deadlock-safe: it completes synchronously on this thread,
           // and the marked RDD is the action's own root — never
-          // reachable from a broadcast subplan. Hard-truncating every
-          // SECOND iteration (lazy persist between — the doubling is
-          // then bounded at 4× of a two-iteration plan, the same
-          // rendering-bound argument as [[Hits.TruncateEvery]]) halves
-          // the mid-loop actions: ~10% faster warm at sf0.1 (7.1 s →
-          // 6.4 s in the probe harness). This mode still ignores
-          // `checkpointInterval` (ADVICE r5): its own 2-step cadence
-          // is a rendering bound, not a user knob.
-          if (i % 2 == 0) {
-            val t =
-              if (reliable) next.checkpoint(eager = true)
-              else next.localCheckpoint(eager = true)
-            // mid-loop hard truncations are dead weight once the final
-            // materializes — register so the harness frees them (they
-            // used to leak ~4 |V|-row block sets per call, ADVICE r7)
-            graft.plans.Lineage.registerScratch(t)
-            t
-          } else {
-            val c = next.persist(StorageLevel.MEMORY_AND_DISK)
-            intermediates += c
-            c
-          }
+          // reachable from a broadcast subplan. Cadence: EVERY iteration.
+          // The r9 2-step cadence (lazy persist between truncations) was
+          // re-probed at sf0.1/local[32] (tools/probe_pr.scala, VERDICT
+          // r9 item 3): every-iteration 4.97 s vs every-2nd 5.79 s vs
+          // every-3rd 6.08 s median — unlike the plain branch (where
+          // lazy chaining wins 4×), here each kept-lazy iteration drags
+          // the doubled rank reference plus a broadcast-exchange build
+          // into the next plan, and the re-planning cost exceeds the
+          // saved action barrier. Every-iteration is also the tightest
+          // spread (4.5–5.2 s vs 5.7–10.4 s). This mode still ignores
+          // `checkpointInterval` (ADVICE r5): its cadence is a
+          // measured rendering/pipelining bound, not a user knob.
+          val t =
+            if (reliable) next.checkpoint(eager = true)
+            else next.localCheckpoint(eager = true)
+          // mid-loop hard truncations are dead weight once the final
+          // materializes — register so the harness frees them (they
+          // used to leak ~4 |V|-row block sets per call, ADVICE r7)
+          graft.plans.Lineage.registerScratch(t)
+          t
         }
         else if (i % checkpointInterval != 0) next
         else {
@@ -243,9 +281,11 @@ object PageRank {
       onIteration(i, ranks)
     }
     edgesWithDeg.unpersist()
-    if (redistributeDangling) dangling.unpersist()
+    if (redistributeDangling) zero.unpersist()
     if (pOwn) p.unpersist()
-    ranks
+    // drop the internal dangling indicator (narrow projection over the
+    // final checkpoint leaf — free)
+    if (redistributeDangling) ranks.select("page", "rank") else ranks
   }
 
   /** F1 + O1 + M2: the reference's final ordering job — keep pages with

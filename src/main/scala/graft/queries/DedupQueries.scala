@@ -286,8 +286,13 @@ object DedupQueries {
     * exact Jaccard re-verification on band-collision candidates only.
     * Shared by q_dedup_lsh (the pair gate) and q_dedup_cluster (the
     * canonicalization step). Unordered — callers add their
-    * presentation sort. */
-  private[graft] def lshPairs(s: SparkSession, d: String): DataFrame = {
+    * presentation sort.
+    *
+    * `materialize = false` returns the lazy pair plan (no cache, no
+    * checkpoint — the banded signature subtree is planned twice) for
+    * plan inspection only (PlanShapeSpec); never execute it. */
+  private[graft] def lshPairs(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
     graft.GraftFunctions.register(s)
     val base = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), "\\s+"))
@@ -302,12 +307,12 @@ object DedupQueries {
     // q_dedup_cluster) those blocks piled up until the ContextCleaner
     // got around to them, taxing every query after (bench r6→r7 probe:
     // q_setops 0.54 s isolated vs 1.69 s run after the dedup suite)
-    val banded = base
+    val banded0 = base
       .withColumn("sig", call_function("minhash_sig", col("hs"), lit(16)))
       .select(col("doc_id"), col("hs"),
         posexplode(expr(Dedup.bandKeysExpr("sig", 4, 4))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      .persist()
+    val banded = if (materialize) banded0.persist() else banded0
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -316,9 +321,12 @@ object DedupQueries {
         Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
       .groupBy("a", "b").agg(max("j").as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-    val out = graft.plans.Lineage.scratchCheckpoint(pairs)
-    banded.unpersist(blocking = true)
-    out
+    if (!materialize) pairs
+    else {
+      val out = graft.plans.Lineage.scratchCheckpoint(pairs)
+      banded.unpersist(blocking = true)
+      out
+    }
   }
 
   /** Skew-hardened edit-distance near-dup join: (length-bucket ×

@@ -13,27 +13,49 @@ class AnnPlanShapeSpec extends SparkSpec {
 
   private val Dir = "/root/testdata/sf0.01"
 
+  /** The no-SMJ assertions hold because the probe/shortlist sides fit
+    * under autoBroadcastJoinThreshold — pin that conf (and AQE) for the
+    * duration of the test so another suite tweaking session defaults
+    * can't flip a join strategy and fail the guard without any real
+    * plan regression (ADVICE r9). */
+  private def withPinnedConfs[A](body: => A): A = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ANN plans: broadcast joins only — no sort-merge, no cartesian product") {
-    for (name <- Seq("q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf",
-        "q_ann_pq", "q_ann_ivfpq")) {
-      val df = graft.SparkEntry.queries(name)(spark, Dir)
-      df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("SortMergeJoin"),
-        s"$name: a query/probe/shortlist side stopped broadcasting:\n" +
-          plan.take(2000))
-      assert(!plan.contains("CartesianProduct"),
-        s"$name: an equi-join degenerated to a cartesian product:\n" +
-          plan.take(2000))
+    withPinnedConfs {
+      for (name <- Seq("q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf",
+          "q_ann_pq", "q_ann_ivfpq")) {
+        val df = graft.SparkEntry.queries(name)(spark, Dir)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("SortMergeJoin"),
+          s"$name: a query/probe/shortlist side stopped broadcasting:\n" +
+            plan.take(2000))
+        assert(!plan.contains("CartesianProduct"),
+          s"$name: an equi-join degenerated to a cartesian product:\n" +
+            plan.take(2000))
+      }
     }
   }
 
   test("q_text_mixture plan: totals broadcast back, no sort-merge") {
-    val df = graft.SparkEntry.queries("q_text_mixture")(spark, Dir)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      "per-source totals must broadcast back to the corpus scan")
-    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    withPinnedConfs {
+      val df = graft.SparkEntry.queries("q_text_mixture")(spark, Dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "per-source totals must broadcast back to the corpus scan")
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    }
   }
 }
