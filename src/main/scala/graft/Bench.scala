@@ -82,8 +82,18 @@ object Bench {
     // Single-shot wall times at local[N] swing 3-4x on the slow queries
     // (round-3 false-regression on q_graph_components); median-of-reps
     // over a warm session is the trustworthy signal.
-    named.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // per-query failure log (VERDICT r11 item 2): a query that throws must
+    // be LOUD in the artifact — r11 booked 14 analysis-broken queries as
+    // ~0.06 s "wins" because every Throwable was silently swallowed here
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def recordFailure(name: String, e: Throwable): Unit = {
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .linesIterator.take(1).mkString.take(200)
+      errors(name) = msg
+      System.err.println(s"[bench] FAILED $name: $msg")
+    }
+    named.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch { case e: Throwable => recordFailure(name, e) }
       // free per-invocation scratch checkpoints after each
       // materialization: without this the warm-up + reps over the full
       // catalog leak thousands of dead block sets, and under a bounded
@@ -95,7 +105,8 @@ object Bench {
     val results = named.map { case (name, fn) =>
       def sample(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => recordFailure(name, e) }
         val dt = (System.nanoTime() - t0) / 1e9
         // freeing is bookkeeping, not engine work — outside the clock
         graft.plans.Lineage.freeScratch(spark)
@@ -153,8 +164,20 @@ object Bench {
       s""""reps":$reps,"heap_mb":${Runtime.getRuntime.maxMemory / (1L << 20)},""" +
       s""""spark":"${spark.version}","java":"${sys.props("java.version")}"},""" +
       envJson
+    // failures, IN the record (VERDICT r11 item 2): name → first line of
+    // the exception, plus a count a gate can cheaply check ≠ 0. A record
+    // with n_failed > 0 must never be read as a clean run — the failed
+    // queries' "times" measure how fast they threw, not engine work.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("\"errors\":{", ",", s"},\"n_failed\":${errors.size}")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$cfg,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$errJson,$cfg,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture has truncated the head of this line in
     // every round so far (r5 lost 9 of 74 timings) — persist the full
@@ -172,9 +195,13 @@ object Bench {
     val slow = results.filter(_._2 >= 0.1)
     val qsSlow = slow.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // compact line carries failed NAMES (not messages — tail budget);
+    // the full messages live in the file record above
+    val failedNames = errors.keys.map(jstr).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qsSlow,"n_queries":${results.size},""" +
-      s""""n_reported":${slow.size},$cfg,"full_record":"$out","sf":"$sfDir"}""")
+      s""""n_reported":${slow.size},"n_failed":${errors.size},""" +
+      s""""failed":$failedNames,$cfg,"full_record":"$out","sf":"$sfDir"}""")
     // release memoized stream feeds before stop (ADVICE r8: the cache
     // held the driver-side event chunks via a strong session key)
     graft.queries.EventQueries.clearFeeds(spark)

@@ -16,11 +16,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // VERDICT r11 item 3: a failed query must leave a machine-readable
+    // trace, not just stderr — r11's 14 analysis-broken queries simply
+    // VANISHED from CORRECTNESS (97 → 83 entries) because failure wrote
+    // nothing the driver's compare could carry forward as `err`.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg.linesIterator.take(3).mkString(" ").take(500)
+        System.err.println(s"[verify] $name failed: $msg")
       }
       // free the query's scratch checkpoints (the write above is the
       // last consumer) — a 92-query session otherwise accumulates one
@@ -42,6 +49,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // failed query → message, always written (empty {} on a clean run) so
+    // the driver can distinguish "all passed" from "file never produced"
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} of ${SparkEntry.queries.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

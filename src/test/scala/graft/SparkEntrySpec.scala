@@ -31,4 +31,29 @@ class SparkEntrySpec extends SparkSpec {
   test("flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  /** VERDICT r11 item 4: the round-11 data-contract flip broke 14 catalog
+    * queries at ANALYSIS time and `sbt test` only noticed by accident
+    * (SqlSurfaceSpec happened to register the events view). This runs the
+    * ENTIRE catalog against the live driver testdata, so any query that
+    * throws — analysis error, broken read, streaming gate — turns the
+    * build red with its name attached, not via an incidental hit. */
+  test("every catalog query constructs and runs at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val r =
+          try { fn(spark, dir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(2).mkString(" ")}")
+          }
+        // free per-query scratch checkpoints: 97 queries in one test JVM
+        // otherwise accumulate dead block sets (same hygiene as Verify)
+        graft.plans.Lineage.freeScratch(spark)
+        r
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} catalog queries failed:\n${failures.mkString("\n")}")
+  }
 }
