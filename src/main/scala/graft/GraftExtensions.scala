@@ -5,9 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeSymbols, CharEntropy, CharShingleHashes,
-  CosineSimilarity, DotProduct, MinHashSig, PqAdc, SimHash32,
-  SortedIntersectCount, WordShingleHashes}
+import graft.functions.{BloomMightContain, BpeSymbols, CharEntropy,
+  CharShingleHashes, CosineSimilarity, DotProduct, MinHashSig, PqAdc,
+  SimHash32, SortedIntersectCount, WordShingleHashes}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -87,7 +87,9 @@ object GraftFunctions {
     unary("simhash32", classOf[SimHash32], SimHash32.apply),
     unary("char_entropy", classOf[CharEntropy], CharEntropy.apply),
     unary("bpe_symbols", classOf[BpeSymbols], BpeSymbols.apply),
-    binary("pq_adc", classOf[PqAdc], PqAdc.apply)
+    binary("pq_adc", classOf[PqAdc], PqAdc.apply),
+    binary("bloom_might_contain", classOf[BloomMightContain],
+      BloomMightContain.apply)
   )
 
   /** Idempotent registration on a live session. */

@@ -37,7 +37,7 @@ object Components {
     * jitter (block-store churn). When `edges` comes straight off
     * parquet, persisting avoids `rounds` extra scans — that is the
     * 100 TB path. */
-  private def undirectedView(edges: DataFrame): (DataFrame, Boolean) = {
+  private[graph] def undirectedView(edges: DataFrame): (DataFrame, Boolean) = {
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
     val sourceCached =

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{Components, GraphCatalog, Hits, LinkGraph, PageRank, PageRankGraphX}
+import graft.graph.{Bfs, Components, GraphCatalog, Hits, LinkGraph, PageRank, PageRankGraphX}
 
 /** The reference's core surface — link graph + PageRank — as driver
   * queries over the TPC-H-ish tables (graph: customers cite suppliers
@@ -45,6 +45,12 @@ object GraphQueries {
     * can never flip on a last-ulp difference.
     */
   private val TopMultiplier = 1.2
+
+  /** BFS round budget, shared verbatim by the engine loop and the
+    * oracle's recursion guard so the reachable set is cap-identical on
+    * both engines (the graph's undirected diameter is ~6 at every SF,
+    * so both converge well under the cap and it never binds). */
+  private val BfsMaxRounds = 16
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: red-link removal — edges surviving the existence semi-join.
@@ -128,6 +134,22 @@ object GraphQueries {
       val g = GraphCatalog.tpch(s, d)
       PageRank.run(g.pages, g.edges, redistributeDangling = true)
         .select(col("page"), round(col("rank"), 6).as("pr"))
+        .orderBy(col("page"))
+    }),
+
+    // Single-source BFS hop distances ([[graft.graph.Bfs]]) — the
+    // traversal member of the graph family. Source: the deterministic
+    // MIN(page). Undirected view: the citation graph is bipartite
+    // (customers → suppliers only), so a directed BFS would stop at hop
+    // 1; undirected hop distance is the "link distance from X"
+    // crawl-scheduling / neighborhood-radius signal. Gated against a
+    // DuckDB RECURSIVE walk closure capped at the same round budget
+    // (UNION-dedup keeps the enumerated (page, depth) set finite;
+    // MIN(d) per page equals the BFS level).
+    "q_graph_bfs" -> ((s, d) => {
+      val g = GraphCatalog.tpch(s, d)
+      val src = g.pages.agg(min(col("page"))).first().getString(0)
+      Bfs.hopDistances(g.pages, g.edges, src, maxRounds = BfsMaxRounds)
         .orderBy(col("page"))
     }),
 
@@ -321,6 +343,18 @@ object GraphQueries {
                 UNION ALL SELECT c FROM tri)
           SELECT supplier, COUNT(*) AS n_tri FROM x
           GROUP BY supplier ORDER BY supplier""",
+    "q_graph_bfs" ->
+      s"""WITH RECURSIVE $graphCtes,
+          und AS (SELECT src, dst FROM good
+                  UNION
+                  SELECT dst AS src, src AS dst FROM good),
+          walk AS (SELECT (SELECT MIN(page) FROM pages) AS page, 0 AS d
+                   UNION
+                   SELECT u.dst AS page, w.d + 1 AS d
+                   FROM walk w JOIN und u ON u.src = w.page
+                   WHERE w.d < $BfsMaxRounds)
+          SELECT page, CAST(MIN(d) AS INTEGER) AS dist FROM walk
+          GROUP BY page ORDER BY page""",
     "q_components_converged" ->
       """WITH RECURSIVE
           li AS (SELECT l_orderkey, l_suppkey FROM lineitem

@@ -332,6 +332,63 @@ object TextQueries {
       fin.orderBy(col("doc_id"))
     }),
 
+    // Decontamination at BLOCKLIST scale — same contract (identical
+    // output, same oracle) as q_text_decontaminate, different physical
+    // plan for the regime where the eval-gram set no longer broadcasts
+    // as rows: a ~MB bloom of the eval digests is built by a
+    // distributed treeAggregate (`df.stat.bloomFilter`) and probed by
+    // the native codegen'd [[graft.functions.BloomMightContain]] INSIDE
+    // the corpus scan stage, so only the surviving sliver (true
+    // overlaps + fpp·windows) ever reaches the exact verify semi-join
+    // that kills false positives — the rest of the corpus is dropped
+    // before any shuffle. The verify join is left UNHINTED: in the
+    // target regime both sides shuffle, but both are bloom-sized
+    // slivers; at bench scale AQE still picks broadcast on its own.
+    // Result is exact regardless of fpp (false negatives impossible,
+    // false positives verified away), which is why one oracle serves
+    // both variants.
+    "q_text_decontaminate_bloom" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      val w = 8
+      val wins = Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            s"IF(size(toks) >= $w, transform(sequence(1, size(toks) - ${w - 1}), " +
+              s"i -> concat_ws(' ', slice(toks, i, $w))), array())")).as("g"))
+        .select(col("doc_id"), col("source"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+        .persist()
+      val evalGrams = wins.filter(col("source") === "src0")
+        .select("h").distinct()
+      // sized for a benchmark-suite-scale digest set (1e6 grams → ~1.2
+      // MB at 1% fpp) — a constant, not a count job: oversizing a bloom
+      // costs bytes, undersizing only costs fpp, never correctness
+      val bloom = evalGrams.stat.bloomFilter("h", 1000000L, 0.01)
+      val bloomBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      val corpus = wins.filter(col("source") =!= "src0")
+      val candidates = corpus.filter(
+        call_function("bloom_might_contain", lit(bloomBytes), col("h")))
+      val overlap = candidates.join(evalGrams, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      val out = Tables.documents(s, d).filter(col("source") =!= "src0")
+        .select("doc_id")
+        .join(tot, Seq("doc_id"), "left")
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+      val fin = graft.plans.Lineage.scratchCheckpoint(out)
+      wins.unpersist(blocking = true)
+      fin.orderBy(col("doc_id"))
+    }),
+
     // Greedy sequence PACKING — the pretraining step that concatenates
     // documents into fixed-token-budget training sequences (first-fit in
     // doc_id order, 512-token budget; an oversized doc gets its own
@@ -502,6 +559,35 @@ object TextQueries {
     s"list_reduce(list_prepend($init, $rules), (acc, r) -> " +
       "replace(acc, r || chr(1), replace(r, chr(1), '') || chr(1)))"
   }
+
+  /** Shared by q_text_decontaminate and q_text_decontaminate_bloom: the
+    * bloom variant's output is exact (prefilter false positives die in
+    * the verify join), so one oracle pins both physical plans. */
+  private val decontaminateSql =
+    """WITH t AS (SELECT doc_id, source,
+                    string_split_regex(text, '\s+') AS toks
+                  FROM documents),
+       w AS (SELECT doc_id, source,
+               unnest([array_to_string(toks[i:i+7], ' ')
+                       for i in range(1, len(toks) - 6)]) AS g
+             FROM t WHERE len(toks) >= 8),
+       hh AS (SELECT doc_id, source,
+                CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h
+              FROM w),
+       ev AS (SELECT DISTINCT h FROM hh WHERE source = 'src0'),
+       corpus AS (SELECT doc_id, h FROM hh WHERE source <> 'src0'),
+       ov AS (SELECT doc_id, count(*) AS n_overlap FROM corpus
+              WHERE h IN (SELECT h FROM ev) GROUP BY doc_id),
+       tot AS (SELECT doc_id, count(*) AS n_windows FROM corpus
+               GROUP BY doc_id)
+       SELECT d.doc_id,
+              COALESCE(tot.n_windows, 0) AS n_windows,
+              COALESCE(ov.n_overlap, 0) AS n_overlap,
+              COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+       FROM documents d
+       LEFT JOIN tot ON tot.doc_id = d.doc_id
+       LEFT JOIN ov ON ov.doc_id = d.doc_id
+       WHERE d.source <> 'src0' ORDER BY d.doc_id"""
 
   def oracles: Map[String, String] = {
     val en = sqlStopList(StopLists.head._2)
@@ -680,31 +766,10 @@ object TextQueries {
                     '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
                     '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS red_md5
            FROM a ORDER BY doc_id""",
-      "q_text_decontaminate" ->
-        """WITH t AS (SELECT doc_id, source,
-                        string_split_regex(text, '\s+') AS toks
-                      FROM documents),
-           w AS (SELECT doc_id, source,
-                   unnest([array_to_string(toks[i:i+7], ' ')
-                           for i in range(1, len(toks) - 6)]) AS g
-                 FROM t WHERE len(toks) >= 8),
-           hh AS (SELECT doc_id, source,
-                    CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h
-                  FROM w),
-           ev AS (SELECT DISTINCT h FROM hh WHERE source = 'src0'),
-           corpus AS (SELECT doc_id, h FROM hh WHERE source <> 'src0'),
-           ov AS (SELECT doc_id, count(*) AS n_overlap FROM corpus
-                  WHERE h IN (SELECT h FROM ev) GROUP BY doc_id),
-           tot AS (SELECT doc_id, count(*) AS n_windows FROM corpus
-                   GROUP BY doc_id)
-           SELECT d.doc_id,
-                  COALESCE(tot.n_windows, 0) AS n_windows,
-                  COALESCE(ov.n_overlap, 0) AS n_overlap,
-                  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
-           FROM documents d
-           LEFT JOIN tot ON tot.doc_id = d.doc_id
-           LEFT JOIN ov ON ov.doc_id = d.doc_id
-           WHERE d.source <> 'src0' ORDER BY d.doc_id""",
+      "q_text_decontaminate" -> decontaminateSql,
+      // bit-identical contract: the bloom is a prefilter whose false
+      // positives the exact join removes, so the oracle is shared
+      "q_text_decontaminate_bloom" -> decontaminateSql,
       // row-by-row recursion replays the greedy first-fit fold exactly;
       // the base row carries cum = n (matching the cum>0 guard that
       // exempts the first doc), and recursion depth = max docs per
