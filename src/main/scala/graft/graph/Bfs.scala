@@ -46,9 +46,19 @@ object Bfs {
     *         visit order.
     */
   def hopDistances(pages: DataFrame, edges: DataFrame,
-                   source: String, maxRounds: Int = 16): DataFrame = {
+                   source: String, maxRounds: Int = 16,
+                   knownVertexCount: Option[Long] = None): DataFrame = {
     val spark = pages.sparkSession
     val (und, ownPin) = Components.undirectedView(edges)
+
+    // frontier and visited are both bounded by |V| (16 B/row-ish), so
+    // below the deployment-tunable vertex gate they broadcast and each
+    // round's only shuffle is the candidate distinct — the edge table
+    // never crosses the wire (the Components vhint pattern). Above the
+    // gate both joins fall back to shuffles on `page`.
+    val hintSmall = knownVertexCount.getOrElse(pages.count()) <=
+      PageRank.broadcastVertexLimit(spark)
+    def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
 
     val frontierAcc = spark.sparkContext.longAccumulator("graft.bfs.frontier")
     val bump = udf { () => frontierAcc.add(1L); true }.asNondeterministic()
@@ -65,9 +75,9 @@ object Bfs {
     while (frontierSize > 0 && d < maxRounds) {
       d += 1
       frontierAcc.reset()
-      val next = und.join(frontier, und("src") === frontier("page"))
+      val next = und.join(vhint(frontier), und("src") === frontier("page"))
         .select(und("dst").as("page")).distinct()
-        .join(visited, Seq("page"), "left_anti")
+        .join(vhint(visited), Seq("page"), "left_anti")
         .filter(bump())
         .select(col("page"), lit(d).as("dist"))
         .localCheckpoint(eager = true)

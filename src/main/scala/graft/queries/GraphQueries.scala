@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{Bfs, Components, GraphCatalog, Hits, LinkGraph, PageRank, PageRankGraphX}
+import graft.graph.{Bfs, Components, GraphCatalog, Hits, KCore, LinkGraph, PageRank, PageRankGraphX}
 
 /** The reference's core surface — link graph + PageRank — as driver
   * queries over the TPC-H-ish tables (graph: customers cite suppliers
@@ -51,6 +51,12 @@ object GraphQueries {
     * both engines (the graph's undirected diameter is ~6 at every SF,
     * so both converge well under the cap and it never binds). */
   private val BfsMaxRounds = 16
+
+  /** k-core gate parameters, shared by the engine loop and the oracle's
+    * unrolled round CTEs (fixed-round contract — exact at any
+    * convergence state, see [[graft.graph.KCore]]). */
+  private val KCoreK = 2
+  private val KCoreRounds = 4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: red-link removal — edges surviving the existence semi-join.
@@ -149,7 +155,8 @@ object GraphQueries {
     "q_graph_bfs" -> ((s, d) => {
       val g = GraphCatalog.tpch(s, d)
       val src = g.pages.agg(min(col("page"))).first().getString(0)
-      Bfs.hopDistances(g.pages, g.edges, src, maxRounds = BfsMaxRounds)
+      Bfs.hopDistances(g.pages, g.edges, src, maxRounds = BfsMaxRounds,
+          knownVertexCount = Some(g.n))
         .orderBy(col("page"))
     }),
 
@@ -181,6 +188,26 @@ object GraphQueries {
       val pages = graft.Tables.supplier(s, d)
         .select(col("s_suppkey").as("page"))
       Components.componentsStarContraction(pages, e).orderBy(col("page"))
+    }),
+
+    // Fixed-round k-core peeling ([[graft.graph.KCore]]) — iterative
+    // subgraph filtering on the supplier co-occurrence graph (same
+    // l_quantity > 45 projection as q_graph_triangles, whose triangles
+    // guarantee a non-empty 2-core). 4 peel rounds at k = 2; the oracle
+    // replays the identical rounds unrolled, so the gate is exact
+    // whether or not the peel converged (q_graph_components philosophy).
+    "q_graph_kcore" -> ((s, d) => {
+      val li = graft.Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+        .distinct()
+      KCore.peel(e, k = KCoreK, rounds = KCoreRounds)
+        .select(col("page").as("supplier"), col("deg"))
+        .orderBy(col("supplier"))
     }),
 
     // Degree distribution — the graph-health histogram every pipeline
@@ -343,6 +370,30 @@ object GraphQueries {
                 UNION ALL SELECT c FROM tri)
           SELECT supplier, COUNT(*) AS n_tri FROM x
           GROUP BY supplier ORDER BY supplier""",
+    "q_graph_kcore" -> {
+      val roundCtes = (1 to KCoreRounds).map { r =>
+        val prev = if (r == 1) "v0" else s"v${r - 1}"
+        s"""e$r AS (SELECT src, dst FROM und
+                    WHERE src IN (SELECT v FROM $prev)
+                      AND dst IN (SELECT v FROM $prev)),
+            v$r AS (SELECT src AS v FROM e$r
+                    GROUP BY src HAVING count(*) >= $KCoreK)"""
+      }.mkString(",\n          ")
+      s"""WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                      WHERE l_quantity > 45),
+          e AS (SELECT DISTINCT x.l_suppkey AS src, y.l_suppkey AS dst
+                FROM li x JOIN li y
+                  ON x.l_orderkey = y.l_orderkey
+                     AND x.l_suppkey < y.l_suppkey),
+          und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+          v0 AS (SELECT DISTINCT src AS v FROM und),
+          $roundCtes,
+          ef AS (SELECT src, dst FROM und
+                 WHERE src IN (SELECT v FROM v$KCoreRounds)
+                   AND dst IN (SELECT v FROM v$KCoreRounds))
+          SELECT src AS supplier, count(*) AS deg FROM ef
+          GROUP BY src ORDER BY supplier"""
+    },
     "q_graph_bfs" ->
       s"""WITH RECURSIVE $graphCtes,
           und AS (SELECT src, dst FROM good

@@ -363,8 +363,13 @@ object TextQueries {
         .select("h").distinct()
       // sized for a benchmark-suite-scale digest set (1e6 grams → ~1.2
       // MB at 1% fpp) — a constant, not a count job: oversizing a bloom
-      // costs bytes, undersizing only costs fpp, never correctness
-      val bloom = evalGrams.stat.bloomFilter("h", 1000000L, 0.01)
+      // costs bytes, undersizing only costs fpp, never correctness.
+      // Built on the NON-distinct digests: bloom inserts are
+      // idempotent, so the build skips the distinct's shuffle entirely
+      // (treeAggregate over the cached window pass) — only the exact
+      // verify join needs the deduplicated set.
+      val bloom = wins.filter(col("source") === "src0")
+        .stat.bloomFilter("h", 1000000L, 0.01)
       val bloomBytes = {
         val bos = new java.io.ByteArrayOutputStream()
         bloom.writeTo(bos)
@@ -534,6 +539,42 @@ object TextQueries {
         .select(col("doc_id"),
           round(call_function("char_entropy", col("text")), 6).as("entropy"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Unigram-LM log-probability scoring — the perplexity filter of
+    // CCNet/CC-cleaning pipelines (Wenzek et al. 2020), with the corpus
+    // itself as the LM: score(doc) = (Σ_tok ln p(tok)) / n_tok where
+    // p(tok) = corpus count / corpus total. Implausibly low scores mark
+    // rare-garbage docs; implausibly high mark boilerplate.
+    // Scale shape: per-(doc, token) counts partial-agg before ANY
+    // shuffle (the explode never crosses the wire raw), the unigram
+    // table is a second partial-agg over those counts (shuffled by
+    // token — at 100 TB the table itself is distributed, no broadcast
+    // of the vocabulary), the counts⋈table join is token-co-partitioned
+    // off that same shuffle, and the corpus-total is a 1-row broadcast.
+    // Float determinism: the per-doc Σ is folded over the token-sorted
+    // (tok, term) list — collect_list order is nondeterministic, the
+    // sorted fold is not — and the oracle folds list(term ORDER BY tok)
+    // the same way (the char_entropy contract: the only cross-engine
+    // wiggle is libm ln(), absorbed by round(…, 6)).
+    "q_text_logprob" -> ((s, d) => {
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+      val unigrams = perDoc.groupBy("tok").agg(sum("m").as("c"))
+      val total = unigrams.agg(sum("c").as("n"))
+      val out = perDoc.join(unigrams, Seq("tok"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("tok"), col("m"),
+          (col("m") * log(col("c") / col("n"))).as("term"))
+        .groupBy("doc_id")
+        .agg(sum(col("m")).as("n_tok"),
+          sort_array(collect_list(struct(col("tok"), col("term"))))
+            .as("ts"))
+        .select(col("doc_id"), col("n_tok"),
+          round(expr("aggregate(ts, CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc + x.term)") / col("n_tok"), 6).as("logprob"))
+      out.orderBy(col("doc_id"))
     })
   )
 
@@ -880,7 +921,26 @@ object TextQueries {
                  FROM l)
            SELECT d.doc_id, round(COALESCE(e.entropy, 0.0), 6) AS entropy
            FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
-           ORDER BY d.doc_id"""
+           ORDER BY d.doc_id""",
+      // same token-sorted fold order as the Spark side; c and n are far
+      // below 2^53, so the double division is exact-input identical
+      "q_text_logprob" ->
+        """WITH t AS (SELECT doc_id,
+                        unnest(string_split_regex(text, '\s+')) AS tok
+                      FROM documents),
+           pd AS (SELECT doc_id, tok, count(*) AS m FROM t
+                  GROUP BY doc_id, tok),
+           g AS (SELECT tok, CAST(sum(m) AS BIGINT) AS c FROM pd
+                 GROUP BY tok),
+           tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+           terms AS (SELECT doc_id, tok, m,
+                       m * ln(c / (SELECT n FROM tot)) AS term
+                     FROM pd JOIN g USING (tok)),
+           f AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tok,
+                   list_sum(list(term ORDER BY tok)) AS s
+                 FROM terms GROUP BY doc_id)
+           SELECT doc_id, n_tok, round(s / n_tok, 6) AS logprob
+           FROM f ORDER BY doc_id"""
     )
   }
 }
