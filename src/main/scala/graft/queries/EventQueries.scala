@@ -275,6 +275,40 @@ object EventQueries {
         .orderBy(col("wstart"), col("event_type"))
     }),
 
+    // Event-RATE anomaly detection: each user's hourly event count
+    // z-scored against that user's own hourly profile, |z| > 2 flagged
+    // — the telemetry spike/outage screen (and, on a training corpus,
+    // the scraper-burst detector). Two partial-agg'd shuffles (hourly
+    // buckets; per-user moments) + one co-partitioned join back.
+    // Float determinism BY CONSTRUCTION rather than by rounding luck:
+    // the moments (n, Σcnt, Σcnt²) are exact longs, and mean/var/z are
+    // the same fixed IEEE expression on both engines — +,·,/,sqrt are
+    // all correctly-rounded operations, so z is bit-identical and the
+    // |z| > 2 cut can never flip on a last-ulp difference (unlike a
+    // float stddev aggregated in shuffle order, which is why the
+    // moments are NOT computed with stddev_samp).
+    "q_events_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = hourly.groupBy("user_id")
+        .agg(count(lit(1)).as("nb"), sum("cnt").as("s1"),
+          sum(col("cnt") * col("cnt")).as("s2"))
+        .filter(col("nb") >= 2)
+      hourly.join(stats, Seq("user_id"))
+        .withColumn("m", col("s1").cast("double") / col("nb"))
+        .withColumn("varr",
+          (col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("nb"))
+            / (col("nb") - 1))
+        .filter(col("varr") > 0 &&
+          abs((col("cnt") - col("m")) / sqrt(col("varr"))) > 2.0)
+        .select(col("user_id"), date_format(col("hour"), Fmt).as("hour"),
+          col("cnt"),
+          round((col("cnt") - col("m")) / sqrt(col("varr")), 6).as("z"))
+        .orderBy(col("user_id"), col("hour"))
+    }),
+
     // Per-user session windows, 4h inactivity gap.
     "q_events_sessions" -> ((s, d) => {
       EventStreams.sessions(Tables.events(s, d), "4 hours")
@@ -409,6 +443,26 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // same exact-long moments and the same fixed IEEE expression as the
+    // engine side — see the q_events_anomaly comment on determinism
+    "q_events_anomaly" ->
+      """WITH h AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                           COUNT(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+         st AS (SELECT user_id, COUNT(*) AS nb, SUM(cnt) AS s1,
+                       SUM(cnt * cnt) AS s2
+                FROM h GROUP BY user_id HAVING COUNT(*) >= 2),
+         z AS (SELECT h.user_id, h.hour, h.cnt,
+                 (CAST(s1 AS DOUBLE) / nb) AS m,
+                 ((CAST(s2 AS DOUBLE) -
+                   CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nb)
+                  / (nb - 1)) AS varr
+               FROM h JOIN st USING (user_id))
+         SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, cnt,
+                ROUND((cnt - m) / sqrt(varr), 6) AS z
+         FROM z
+         WHERE varr > 0 AND ABS((cnt - m) / sqrt(varr)) > 2.0
+         ORDER BY user_id, hour""",
     "q_events_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
                          '%Y-%m-%d %H:%M:%S') AS wstart,
