@@ -170,7 +170,94 @@ object SimilarityQueries {
       .select(col("qid"), expr(dtabExpr("qv", "cs")).as("qtab"))
       .filter(col("qtab").isNotNull)
 
+  // ---- deterministic distributed k-means (q_embed_kmeans) ----
+
+  /** Cluster count / Lloyd update count for the k-means gate. */
+  private val KmK = 8
+  private val KmIters = 2
+
+  /** Fixed-point scale for centroid accumulation: 2²⁰. Component sums
+    * run on `floor(x · 2²⁰)` LONGS, so the partial-agg'd sum is exact
+    * and order-independent — a float sum over shuffle-ordered rows
+    * would make the centroids (and every downstream assignment)
+    * nondeterministic. x·2²⁰ is exact for binary floats and floor
+    * rounds toward −∞ on both engines, so the quantized values are
+    * bit-identical cross-engine by construction. */
+  private val KmQ = "1048576.0"
+
+  /** Σ_{i=1..64} (x_i − c_i)² in index order — the dtabExpr contract:
+    * every element cast to DOUBLE before arithmetic, IEEE +,·,− only,
+    * bit-equal to the oracle's in-order list_sum. `cc` is a
+    * struct<cluster, carr:array<double>> lambda variable. */
+  private def kmDistExpr(cc: String): String = {
+    val diff = s"(cast(element_at(embedding, i) as double) - " +
+      s"element_at($cc.carr, i))"
+    s"aggregate(sequence(1, 64), 0D, (acc, i) -> acc + $diff * $diff)"
+  }
+
+  /** Shuffle-FREE assignment: centroids travel as one broadcast row
+    * holding array<struct<cluster, carr>>, and `array_min` over
+    * transform(cs, cc -> (dist, cluster)) is the argmin — struct
+    * ordering compares dist first, then cluster, which is exactly the
+    * oracle's ORDER BY dist ASC, cluster ASC tie rule. No groupBy, no
+    * corpus shuffle — the corpus is touched by one narrow projection
+    * per assignment. */
+  private def kmAssign(e: DataFrame, centsRow: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"),
+        expr("array_min(transform(cs, cc -> " +
+          s"named_struct('d', ${kmDistExpr("cc")}, 'c', cc.cluster)))" +
+          ".c").as("cluster"))
+
+  /** Lloyd update as ONE tiny shuffle: posexplode to (cluster, pos,
+    * fixed-point component), partial-agg'd integer sums — ≤ K·64 rows
+    * per partition cross the wire regardless of corpus size — then the
+    * ≤K-row centroid table is re-packed and collapsed to a single
+    * broadcastable row. An emptied cluster simply drops out (same on
+    * the oracle side). */
+  private def kmUpdate(e: DataFrame, assign: DataFrame): DataFrame =
+    e.join(assign, Seq("vec_id"))
+      .select(col("cluster"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cluster"), col("pos"),
+        floor(col("v").cast("double") * expr(KmQ)).cast("long").as("fix"))
+      .groupBy("cluster", "pos")
+      .agg(sum("fix").as("sfix"), count(lit(1)).as("n"))
+      .groupBy("cluster")
+      .agg(sort_array(collect_list(struct(col("pos"),
+        (col("sfix").cast("double") / expr(KmQ) / col("n")).as("m"))))
+        .as("pm"))
+      .select(col("cluster"), expr("transform(pm, x -> x.m)").as("carr"))
+      .agg(sort_array(collect_list(struct(col("cluster"), col("carr"))))
+        .as("cs"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Embedding-space k-means — the clustering step of diversity-aware
+    // sampling / SemDeDup-style semantic curation (Abbas et al. 2023):
+    // cluster the corpus, then sample or dedup within clusters. Lloyd
+    // iterations with deterministic init (the KmK smallest vec_ids'
+    // vectors) and deterministic float behavior BY CONSTRUCTION:
+    // centroid sums accumulate in fixed-point longs (order-independent
+    // partial aggs), distances are fixed-form IEEE folds, argmin ties
+    // break on cluster id — so the integer output is bit-stable and the
+    // oracle replays the identical recurrence in unrolled CTEs. Per
+    // iteration: one narrow assignment pass + one K·64-row shuffle; the
+    // ≤K-row centroid table is checkpointed so iteration plans never
+    // nest.
+    "q_embed_kmeans" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val c0 = e.orderBy(col("vec_id")).limit(KmK)
+        .select(col("vec_id").as("cluster"),
+          expr("transform(embedding, v -> cast(v as double))").as("carr"))
+        .agg(sort_array(collect_list(struct(col("cluster"), col("carr"))))
+          .as("cs"))
+      var cents = graft.plans.Lineage.scratchCheckpoint(c0)
+      for (_ <- 1 to KmIters)
+        cents = graft.plans.Lineage.scratchCheckpoint(
+          kmUpdate(e, kmAssign(e, cents)))
+      kmAssign(e, cents).orderBy(col("vec_id"))
+    }),
+
     // Exact top-k: broadcast query set × corpus scan, window rank.
     "q_ann_bruteforce" -> ((s, d) => {
       graft.GraftFunctions.register(s)
@@ -431,7 +518,51 @@ object SimilarityQueries {
       seedRule: Column = PqSeedRule): DataFrame =
     pqAdcTopK(e, pqEncode(e, seedRule), k, seedRule)
 
+  /** Unrolled replay of the k-means recurrence: a_k = argmin assignment
+    * under c_k (ORDER BY dist ASC, cluster ASC = the engine's
+    * struct-min), c_{k+1} = fixed-point component means of a_k's
+    * clusters. Same index-order folds, same floor(x·2²⁰) longs, same
+    * division order — doubles are bit-equal, so the integer output
+    * hash-matches without any rounding. */
+  private val kmeansOracle: String = {
+    def dist(c: String) =
+      s"""list_sum(list_transform(range(1, 65), i ->
+            (CAST(e.embedding[i] AS DOUBLE) - $c.carr[i]) *
+            (CAST(e.embedding[i] AS DOUBLE) - $c.carr[i])))"""
+    def assign(a: String, c: String) =
+      s"""$a AS (SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${dist("c")} ASC, c.cluster ASC) AS rn
+            FROM e CROSS JOIN $c c) WHERE rn = 1)"""
+    def update(u: String, cNew: String, a: String) =
+      s"""$u AS (SELECT a.cluster, x.i AS pos,
+                   SUM(CAST(FLOOR(CAST(x.v AS DOUBLE) * $KmQ) AS BIGINT))
+                     AS sfix,
+                   COUNT(*) AS n
+                 FROM (SELECT vec_id, unnest(embedding) AS v,
+                              unnest(range(1, 65)) AS i FROM e) x
+                 JOIN $a a USING (vec_id)
+                 GROUP BY a.cluster, x.i),
+          $cNew AS (SELECT cluster,
+                      list(CAST(sfix AS DOUBLE) / $KmQ / n ORDER BY pos)
+                        AS carr
+                    FROM $u GROUP BY cluster)"""
+    val iters = (0 until KmIters).map { k =>
+      s"${assign(s"a$k", s"c$k")},\n${update(s"u${k + 1}", s"c${k + 1}", s"a$k")}"
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        c0 AS (SELECT vec_id AS cluster,
+                      list_transform(embedding, v -> CAST(v AS DOUBLE))
+                        AS carr
+               FROM e ORDER BY vec_id LIMIT $KmK),
+        $iters,
+        ${assign(s"a$KmIters", s"c$KmIters")}
+        SELECT vec_id, cluster FROM a$KmIters ORDER BY vec_id"""
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_embed_kmeans" -> kmeansOracle,
     "q_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                             sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
