@@ -231,6 +231,29 @@ object SimilarityQueries {
       .agg(sort_array(collect_list(struct(col("cluster"), col("carr"))))
         .as("cs"))
 
+  /** Within-cluster near-dup cosine threshold (q_dedup_semantic) —
+    * same 0.4 as the label-blocked q_dedup_embedding, non-vacuous at
+    * every SF (20 pairs at sf0.001, 27 at sf0.01). */
+  private val SemTau = 0.4
+
+  /** The full trained assignment (vec_id, cluster): KmIters Lloyd
+    * updates from the deterministic init, centroid table checkpointed
+    * between iterations so plans never nest. Shared by q_embed_kmeans
+    * and q_dedup_semantic. */
+  private def kmClusters(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val c0 = e.orderBy(col("vec_id")).limit(KmK)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, v -> cast(v as double))").as("carr"))
+      .agg(sort_array(collect_list(struct(col("cluster"), col("carr"))))
+        .as("cs"))
+    var cents = graft.plans.Lineage.scratchCheckpoint(c0)
+    for (_ <- 1 to KmIters)
+      cents = graft.plans.Lineage.scratchCheckpoint(
+        kmUpdate(e, kmAssign(e, cents)))
+    kmAssign(e, cents)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-space k-means — the clustering step of diversity-aware
     // sampling / SemDeDup-style semantic curation (Abbas et al. 2023):
@@ -244,18 +267,31 @@ object SimilarityQueries {
     // iteration: one narrow assignment pass + one K·64-row shuffle; the
     // ≤K-row centroid table is checkpointed so iteration plans never
     // nest.
-    "q_embed_kmeans" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val c0 = e.orderBy(col("vec_id")).limit(KmK)
-        .select(col("vec_id").as("cluster"),
-          expr("transform(embedding, v -> cast(v as double))").as("carr"))
-        .agg(sort_array(collect_list(struct(col("cluster"), col("carr"))))
-          .as("cs"))
-      var cents = graft.plans.Lineage.scratchCheckpoint(c0)
-      for (_ <- 1 to KmIters)
-        cents = graft.plans.Lineage.scratchCheckpoint(
-          kmUpdate(e, kmAssign(e, cents)))
-      kmAssign(e, cents).orderBy(col("vec_id"))
+    "q_embed_kmeans" -> ((s, d) =>
+      kmClusters(Tables.embeddings(s, d)).orderBy(col("vec_id"))),
+
+    // SemDeDup proper (Abbas et al. 2023): near-duplicate pairs found
+    // only WITHIN the learned k-means clusters — the unsupervised
+    // blocking that makes embedding near-dup sublinear (vs
+    // q_dedup_embedding's given-label blocking). Candidate pairs are a
+    // cluster equi-join, never corpus²; K is the bucket-size knob — a
+    // real deployment scales K with the corpus (≈ n/1000 clusters) so
+    // per-cluster pair counts stay bounded, the gate uses the oracle's
+    // K=8. Cosines ship unrounded (index-order fold + IEEE sqrt are
+    // bit-equal cross-engine, the ANN contract).
+    "q_dedup_semantic" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      val ec = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .join(kmClusters(Tables.embeddings(s, d)), Seq("vec_id"))
+      ec.as("x").join(ec.as("y"),
+          col("x.cluster") === col("y.cluster") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          call_function("cosine_sim",
+            col("x.embedding"), col("y.embedding")).as("cos"))
+        .filter(col("cos") >= SemTau)
+        .orderBy(col("a"), col("b"))
     }),
 
     // Exact top-k: broadcast query set × corpus scan, window rank.
@@ -524,7 +560,28 @@ object SimilarityQueries {
     * clusters. Same index-order folds, same floor(x·2²⁰) longs, same
     * division order — doubles are bit-equal, so the integer output
     * hash-matches without any rounding. */
-  private val kmeansOracle: String = {
+  private val kmeansOracle: String = kmeansCtes +
+    s"\n        SELECT vec_id, cluster FROM a$KmIters ORDER BY vec_id"
+
+  /** kmeansOracle's CTE chain + the within-cluster pair join — the
+    * q_dedup_embedding oracle's cosine idiom with the learned cluster
+    * as the blocking key. */
+  private val semanticOracle: String = kmeansCtes + s""",
+        en AS (SELECT e.vec_id, a$KmIters.cluster,
+                      list_transform(e.embedding, v -> CAST(v AS DOUBLE))
+                        AS v,
+                      sqrt(list_sum(list_transform(e.embedding,
+                        c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE))))
+                        AS nrm
+               FROM e JOIN a$KmIters USING (vec_id)),
+        p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                     list_sum(list_transform(range(1, 65), i ->
+                       x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS cs
+              FROM en x JOIN en y
+                ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+        SELECT a, b, cs AS cos FROM p WHERE cs >= $SemTau ORDER BY a, b"""
+
+  private lazy val kmeansCtes: String = {
     def dist(c: String) =
       s"""list_sum(list_transform(range(1, 65), i ->
             (CAST(e.embedding[i] AS DOUBLE) - $c.carr[i]) *
@@ -557,12 +614,12 @@ object SimilarityQueries {
                         AS carr
                FROM e ORDER BY vec_id LIMIT $KmK),
         $iters,
-        ${assign(s"a$KmIters", s"c$KmIters")}
-        SELECT vec_id, cluster FROM a$KmIters ORDER BY vec_id"""
+        ${assign(s"a$KmIters", s"c$KmIters")}"""
   }
 
   def oracles: Map[String, String] = Map(
     "q_embed_kmeans" -> kmeansOracle,
+    "q_dedup_semantic" -> semanticOracle,
     "q_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                             sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
