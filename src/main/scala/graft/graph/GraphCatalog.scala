@@ -42,6 +42,7 @@ object GraphCatalog {
     sweepStoppedKeys(graphs)(_._1)
     sweepStoppedKeys(ranks)(_._1)
     sweepStoppedKeys(pranks)(_._1)
+    sweepStoppedKeys(wranks)(_._1)
     sweepStoppedKeys(hitsCache)(_._1)
     sweepStoppedKeys(wikiGraphs)(_._1)
     sweepStoppedKeys(wikiRankCache)(_._1)
@@ -93,6 +94,28 @@ object GraphCatalog {
       val r = PageRank.run(g.pages, g.edges, teleportTo = Some(src))
         .persist(StorageLevel.MEMORY_AND_DISK)
       r.count()
+      graft.plans.Lineage.pin(r)
+      r
+    })
+
+  private val wranks = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Weighted rank vector (edge weight = purchase-line multiplicity,
+    * [[LinkGraph.tpchWeightedEdges]]) — computed once per (session,
+    * dir), persisted. Same loop as [[tpchRanks]] with
+    * `weightCol = Some("w")`; the weighted edge build is its own
+    * aggregation over orders⋈lineitem, so it shares only the cached
+    * vertex set with the unweighted graph. */
+  def tpchWeightedRanks(spark: SparkSession, dir: String): DataFrame =
+    wranks.getOrElseUpdate((spark, dir), {
+      val g = tpch(spark, dir)
+      val we = LinkGraph
+        .removeRedLinks(LinkGraph.tpchWeightedEdges(spark, dir), g.pages)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val r = PageRank.run(g.pages, we, weightCol = Some("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      we.unpersist()
       graft.plans.Lineage.pin(r)
       r
     })

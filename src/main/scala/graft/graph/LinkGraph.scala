@@ -103,4 +103,20 @@ object LinkGraph {
       .select(col("o_custkey"), col("l_suppkey")).distinct()
       .select(cid(col("o_custkey")).as("src"), sid(col("l_suppkey")).as("dst"))
   }
+
+  /** Weighted edge set: (customer → supplier, w = purchase-line
+    * multiplicity). Same join/projection shape as [[tpchEdges]] but the
+    * dedup becomes a partial-agg'd COUNT on the raw int key pair —
+    * still 16 B/row across the shuffle plus one long. The weight is the
+    * natural interaction strength of the citation graph (how many line
+    * items the customer bought from that supplier). */
+  def tpchWeightedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("w"))
+      .select(cid(col("o_custkey")).as("src"), sid(col("l_suppkey")).as("dst"),
+        col("w"))
+  }
 }

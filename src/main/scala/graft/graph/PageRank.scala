@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -93,6 +93,13 @@ object PageRank {
     * `redistributeDangling` (personalized dangling mass conventionally
     * returns to the source — not implemented; keep reference-parity
     * mass loss instead).
+    * @param weightCol weighted PageRank: name of a numeric edge-weight
+    * column on `edges`. The out-"degree" becomes Σw per source and each
+    * edge carries rank·w/Σw — the production norm for interaction
+    * graphs (uniform split is the w = 1 special case, and
+    * `weightCol = None` keeps the exact reference COUNT path: bit-equal
+    * when every w is 1, proven by spec). Same loop, same shuffles —
+    * the weight rides the already-persisted edge frame.
     * @return DataFrame["page", "rank"] — one row per page.
     */
   def run(pages: DataFrame, edges: DataFrame, iters: Int = DefaultIters,
@@ -106,7 +113,8 @@ object PageRank {
           // specs inspect it; `onIteration` can't serve this purpose
           // because the redistribute branch hands it an already
           // checkpointed leaf. Must not execute the plan.
-          onIterationPlan: (Int, DataFrame) => Unit = (_, _) => ()):
+          onIterationPlan: (Int, DataFrame) => Unit = (_, _) => (),
+          weightCol: Option[String] = None):
       DataFrame = {
     require(teleportTo.isEmpty || !redistributeDangling,
       "personalized PageRank with dangling-mass redistribution is not supported")
@@ -127,10 +135,23 @@ object PageRank {
     val hintSmall = n <= broadcastVertexLimit(spark)
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
 
-    // out-degree per source; rank_contribution(edge) = rank(src)/deg(src).
-    // Precomputed once, reused all iterations (the reference recomputed
-    // it from the adjacency line every iteration, PageRank.java:265).
-    val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    // out-degree per source; rank_contribution(edge) = rank(src)/deg(src)
+    // (weighted: deg = Σw, contribution = rank·w/Σw). Precomputed once,
+    // reused all iterations (the reference recomputed it from the
+    // adjacency line every iteration, PageRank.java:265).
+    val deg = weightCol match {
+      case Some(w) =>
+        edges.groupBy("src").agg(sum(col(w)).cast("double").as("deg"))
+      case None =>
+        edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    }
+    // per-edge contribution numerator: rank·w (weighted) or rank (not) —
+    // written as `rank * w / deg` so the oracle's `r.pr * g.w / d.deg`
+    // is the same double expression tree
+    def contribExpr: Column = weightCol match {
+      case Some(w) => col("rank") * col(w) / col("deg")
+      case None => col("rank") / col("deg")
+    }
     val edgesWithDeg = edges.join(vhint(deg), "src")
       .persist(StorageLevel.MEMORY_AND_DISK) // first iteration fills the cache
 
@@ -175,7 +196,7 @@ object PageRank {
         .join(vhint(ranks), edgesWithDeg("src") === ranks("page"))
       val next = if (!redistributeDangling) {
         val contribs = contribJoin
-          .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
+          .select(col("dst"), contribExpr.as("contrib"))
         val mass = contribs.unionAll(zero)
           .groupBy("dst").agg(sum("contrib").as("mass"))
         // teleport from the exact resetProb constant, NOT 1 - damping:
@@ -192,7 +213,7 @@ object PageRank {
       }
       else {
         val contribs = contribJoin
-          .select(col("dst"), (col("rank") / col("deg")).as("contrib"),
+          .select(col("dst"), contribExpr.as("contrib"),
             lit(0.0).as("dang"))
         val mass = contribs.unionAll(zero).groupBy("dst")
           .agg(sum("contrib").as("mass"), max("dang").as("dang"))

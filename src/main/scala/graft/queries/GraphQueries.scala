@@ -35,6 +35,25 @@ object GraphQueries {
   private def pagerankSql(iters: Int, select: String): String =
     PageRankOracle.sql(graphCtes, iters, select)
 
+  /** Weighted graph CTEs: `good(src, dst, w)` with w = purchase-line
+    * multiplicity — the COUNT(*) group replaces [[graphCtes]]'s
+    * DISTINCT, exactly like [[graft.graph.LinkGraph.tpchWeightedEdges]]
+    * replaces tpchEdges. */
+  private val weightedGraphCtes =
+    """pages AS (
+         SELECT 'c' || CAST(c_custkey AS VARCHAR) AS page FROM customer
+         UNION ALL
+         SELECT 's' || CAST(s_suppkey AS VARCHAR) AS page FROM supplier),
+       wedges AS (
+         SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                's' || CAST(l_suppkey AS VARCHAR) AS dst,
+                COUNT(*) AS w
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1, 2),
+       good AS (
+         SELECT e.src, e.dst, e.w FROM wedges e
+         WHERE EXISTS (SELECT 1 FROM pages p WHERE p.page = e.dst))"""
+
   /** q_pagerank_top threshold multiplier. The reference hard-codes 5.0
     * (PageRank.java:336,346) but on the TPC-H citation graph max rank
     * ≈ 2.3/N, so 5/N selects nothing at any SF (ADVICE r1 item 2) — the
@@ -126,6 +145,19 @@ object GraphQueries {
     // the indicator-vector r0 and 0.15·[page = src] teleport.
     "q_pagerank_personalized" -> ((s, d) => {
       GraphCatalog.tpchPersonalizedRanks(s, d)
+        .select(col("page"), round(col("rank"), 6).as("pr"))
+        .orderBy(col("page"))
+    }),
+
+    // WEIGHTED PageRank — edge weight = purchase-line multiplicity
+    // (how many line items the customer bought from that supplier), the
+    // production norm for interaction graphs: contribution is
+    // rank·w/Σw instead of the reference's uniform rank/deg split
+    // (which is exactly the w = 1 special case — PageRank.run with
+    // weightCol = None stays the bit-equal reference path). Same loop,
+    // same shuffles; oracle replays the weighted recurrence.
+    "q_pagerank_weighted" -> ((s, d) => {
+      GraphCatalog.tpchWeightedRanks(s, d)
         .select(col("page"), round(col("rank"), 6).as("pr"))
         .orderBy(col("page"))
     }),
@@ -332,6 +364,10 @@ object GraphQueries {
       "SELECT page, ROUND(pr, 6) AS pr FROM r8 ORDER BY page"),
     "q_pagerank_cold" -> pagerankSql(PageRank.DefaultIters,
       "SELECT page, ROUND(pr, 6) AS pr FROM r8 ORDER BY page"),
+    "q_pagerank_weighted" -> PageRankOracle.sql(weightedGraphCtes,
+      PageRank.DefaultIters,
+      "SELECT page, ROUND(pr, 6) AS pr FROM r8 ORDER BY page",
+      weighted = true),
     "q_pagerank_redistributed" -> PageRankOracle.sql(graphCtes,
       PageRank.DefaultIters,
       "SELECT page, ROUND(pr, 6) AS pr FROM r8 ORDER BY page",

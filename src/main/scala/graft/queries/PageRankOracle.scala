@@ -21,9 +21,14 @@ object PageRankOracle {
     * FROM good — the same deterministic choice the catalog query
     * collects). Mutually exclusive with `redistribute`, like the
     * engine parameter. */
+  /** @param weighted replays `PageRank.run(weightCol = Some("w"))`:
+    * callers' graphCtes must define `good(src, dst, w)`; deg becomes
+    * Σw per source and the mass term `r.pr * g.w / d.deg` — the same
+    * double expression tree as the engine's `rank * w / deg`. */
   def sql(graphCtes: String, iters: Int, select: String,
           redistribute: Boolean = false,
-          personalized: Boolean = false): String = {
+          personalized: Boolean = false,
+          weighted: Boolean = false): String = {
     require(!(redistribute && personalized),
       "personalized + redistribute is not supported (mirrors PageRank.run)")
     val iterCtes = (1 to iters).map { k =>
@@ -43,11 +48,12 @@ object PageRankOracle {
       // (observed: a 66 GB spill at sf0.1 before the oracle died);
       // materialized, each iteration computes once. Evaluation hint
       // only — results identical (same class as the q_text_pack fix).
+      val massTerm = if (weighted) "r.pr * g.w / d.deg" else "r.pr / d.deg"
       s"""r$k AS MATERIALIZED (
             SELECT p.page,
                    $update AS pr
             FROM pages p LEFT JOIN (
-              SELECT g.dst, SUM(r.pr / d.deg) AS mass
+              SELECT g.dst, SUM($massTerm) AS mass
               FROM good g
               JOIN r${k - 1} r ON g.src = r.page
               JOIN deg d ON g.src = d.src
@@ -61,9 +67,15 @@ object PageRankOracle {
       else "r0 AS (SELECT page, 1.0 / (SELECT n FROM nn) AS pr FROM pages)"
     val psrc =
       if (personalized) "psrc AS (SELECT MIN(src) AS s FROM good),\n" else ""
+    val degCte =
+      if (weighted)
+        """deg AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS deg
+                   FROM good GROUP BY src)"""
+      else
+        """deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                   FROM good GROUP BY src)"""
     s"""WITH $graphCtes,
-        deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
-                FROM good GROUP BY src),
+        $degCte,
         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pages),
         $psrc$r0,
         $iterCtes
