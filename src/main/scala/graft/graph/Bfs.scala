@@ -19,9 +19,18 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB):
   *   - frontier-at-a-time: round `d` does ONE shuffle join
   *     (frontier ⋈ edges on src), one distinct, and one anti-join
-  *     against the visited set — per-round cost is O(|frontier
-  *     out-edges|), total O(|E|) across the run, the BSP-BFS optimum.
-  *   - the visited set stays distributed: it is a lazy union of each
+  *     against the two most recent level sets — per-round cost is
+  *     O(|frontier out-edges|), total O(|E|) across the run, the
+  *     BSP-BFS optimum.
+  *   - the visited check is LEVEL-LOCAL, not a scan of everything seen:
+  *     in an undirected graph adjacent vertices' BFS levels differ by
+  *     at most 1, so a candidate (a neighbor of level d−1) that is
+  *     already visited must sit at level d−2 or d−1 — the anti-join
+  *     needs only those two checkpointed level sets, never the full
+  *     visited union (which the broadcast hint would otherwise re-ship
+  *     in its entirety every round: O(levels·|V|) cumulative traffic,
+  *     ADVICE r12).
+  *   - the RESULT stays distributed: it is a lazy union of each
   *     round's locally-checkpointed frontier (≤ diameter branches, all
   *     materialized blocks), never collected to the driver.
   *   - frontier emptiness rides the round's single action: a
@@ -70,14 +79,23 @@ object Bfs {
       .select(col("page"), lit(0).as("dist"))
       .localCheckpoint(eager = true)
     var visited = frontier
+    // level d−2 set for the level-local visited check; at d=1 there is
+    // no grandparent level, so it starts as a (harmless) second view of
+    // level 0
+    var prev = frontier
     var frontierSize = frontier.count() // 0 or 1 rows, on materialized blocks
     var d = 0
     while (frontierSize > 0 && d < maxRounds) {
       d += 1
       frontierAcc.reset()
+      // already-visited candidates can only live at level d−2 or d−1
+      // (undirected adjacency moves BFS level by at most 1) — anti-join
+      // those two materialized level sets, not the growing full union
+      val seen = prev.select(col("page"))
+        .unionAll(frontier.select(col("page")))
       val next = und.join(vhint(frontier), und("src") === frontier("page"))
         .select(und("dst").as("page")).distinct()
-        .join(vhint(visited), Seq("page"), "left_anti")
+        .join(vhint(seen), Seq("page"), "left_anti")
         .filter(bump())
         .select(col("page"), lit(d).as("dist"))
         .localCheckpoint(eager = true)
@@ -87,6 +105,7 @@ object Bfs {
       // re-checkpoint of |V| rows per round. An empty `next` still
       // checkpointed is a zero-block leaf; freed with the rest.
       visited = visited.unionAll(next)
+      prev = frontier
       frontier = next
     }
     if (ownPin) und.unpersist()

@@ -20,8 +20,8 @@ object PageRankOracle {
     * 0.15·[page = src] instead of 0.15/N (the psrc CTE picks MIN(src)
     * FROM good — the same deterministic choice the catalog query
     * collects). Mutually exclusive with `redistribute`, like the
-    * engine parameter. */
-  /** @param weighted replays `PageRank.run(weightCol = Some("w"))`:
+    * engine parameter.
+    * @param weighted replays `PageRank.run(weightCol = Some("w"))`:
     * callers' graphCtes must define `good(src, dst, w)`; deg becomes
     * Σw per source and the mass term `r.pr * g.w / d.deg` — the same
     * double expression tree as the engine's `rank * w / deg`. */

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Bench.contendedFlag]]: the mechanical discount-me predicate over
+  * the machine probes the bench record already carries (VERDICT r12
+  * item 3). The fixtures are the REAL probe values from the three r12
+  * measurements of the same HEAD tree — the contaminated driver run
+  * must flag, both clean runs must not. */
+class BenchContentionSpec extends AnyFunSuite {
+
+  test("r12 driver conditions (contaminated) are flagged") {
+    // BENCH_r12: load_start "3.41 4.94 4.06", spark probe 0.325 vs the
+    // 0.19-0.25 quiet norm — busy at launch alone must flag it
+    assert(Bench.contendedFlag("3.41 4.94 4.06", 0.946, 0.940, 0.325, 0.330))
+  }
+
+  test("judge's clean re-run conditions stay unflagged") {
+    // cpu 0.809->0.815, spark 0.191->0.250 (31% drift — scheduler noise
+    // a clean run really shows, hence the Spark probe's wider 50%
+    // allowance), load under 2
+    assert(!Bench.contendedFlag("1.20 1.00 0.90", 0.809, 0.815, 0.191, 0.250))
+  }
+
+  test("builder's clean committed-record conditions stay unflagged") {
+    // bench_out.json @ r12 HEAD: cpu 0.853, spark 0.238, load_start 1.99
+    assert(!Bench.contendedFlag("1.99 2.40 2.10", 0.853, 0.860, 0.238, 0.240))
+  }
+
+  test("mid-run probe drift flags even when launch was quiet") {
+    // contention arriving mid-run: start probes clean, end probes moved
+    assert(Bench.contendedFlag("0.50 0.40 0.30", 0.80, 1.30, 0.20, 0.21))
+    assert(Bench.contendedFlag("0.50 0.40 0.30", 0.80, 0.81, 0.20, 0.35))
+  }
+
+  test("unparseable loadavg falls back to probe drift only") {
+    assert(!Bench.contendedFlag("n/a", 0.80, 0.81, 0.20, 0.21))
+    assert(Bench.contendedFlag("n/a", 0.80, 1.30, 0.20, 0.21))
+  }
+}
