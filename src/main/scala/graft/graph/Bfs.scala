@@ -56,7 +56,13 @@ object Bfs {
     */
   def hopDistances(pages: DataFrame, edges: DataFrame,
                    source: String, maxRounds: Int = 16,
-                   knownVertexCount: Option[Long] = None): DataFrame = {
+                   knownVertexCount: Option[Long] = None,
+                   // each round's UN-truncated frontier plan (before the
+                   // eager checkpoint) — plan-shape specs inspect it;
+                   // must not execute the plan (PageRank.onIterationPlan
+                   // contract)
+                   onRoundPlan: (Int, DataFrame) => Unit = (_, _) => ())
+      : DataFrame = {
     val spark = pages.sparkSession
     val (und, ownPin) = Components.undirectedView(edges)
 
@@ -93,12 +99,13 @@ object Bfs {
       // those two materialized level sets, not the growing full union
       val seen = prev.select(col("page"))
         .unionAll(frontier.select(col("page")))
-      val next = und.join(vhint(frontier), und("src") === frontier("page"))
+      val plan = und.join(vhint(frontier), und("src") === frontier("page"))
         .select(und("dst").as("page")).distinct()
         .join(vhint(seen), Seq("page"), "left_anti")
         .filter(bump())
         .select(col("page"), lit(d).as("dist"))
-        .localCheckpoint(eager = true)
+      onRoundPlan(d, plan)
+      val next = plan.localCheckpoint(eager = true)
       frontierSize = frontierAcc.value
       // visited stays a lazy union of checkpointed level sets: ≤
       // maxRounds flat branches, each already materialized — no

@@ -34,23 +34,29 @@ object KCore {
     * @return DataFrame["page", "deg"] — deterministic (set-valued
     *         peeling, no tie-breaking anywhere).
     */
-  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def peel(edges: DataFrame, k: Int, rounds: Int,
+           // each round's UN-truncated survivor plan (before the eager
+           // checkpoint) — plan-shape specs inspect it; must not
+           // execute the plan (PageRank.onIterationPlan contract)
+           onRoundPlan: (Int, DataFrame) => Unit = (_, _) => ())
+      : DataFrame = {
     val (und, ownPin) = Components.undirectedView(edges)
 
     // round-0 vertex set: every edge endpoint (an isolated vertex has
     // degree 0 < k and would be peeled in round 1 anyway)
     var v = und.select(col("src").as("v")).distinct()
       .localCheckpoint(eager = true)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val surviving = und
         .join(v, und("src") === v("v"), "left_semi")
         .join(v.select(col("v").as("v2")), und("dst") === col("v2"),
           "left_semi")
-      val next = surviving.groupBy(col("src"))
+      val plan = surviving.groupBy(col("src"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("v"))
-        .localCheckpoint(eager = true)
+      onRoundPlan(r, plan)
+      val next = plan.localCheckpoint(eager = true)
       graft.plans.Lineage.freeLocalCheckpoint(v)
       v = next
     }

@@ -99,7 +99,10 @@ object PageRank {
     * graphs (uniform split is the w = 1 special case, and
     * `weightCol = None` keeps the exact reference COUNT path: bit-equal
     * when every w is 1, proven by spec). Same loop, same shuffles —
-    * the weight rides the already-persisted edge frame.
+    * the weight rides the already-persisted edge frame. Composes with
+    * `teleportTo` (weighted personalized PageRank: the weight changes
+    * only how rank splits across out-edges, the teleport only where
+    * reset mass lands — semantics pinned by WeightedPageRankSpec).
     * @return DataFrame["page", "rank"] — one row per page.
     */
   def run(pages: DataFrame, edges: DataFrame, iters: Int = DefaultIters,

@@ -216,7 +216,7 @@ object SimilarityQueries {
     * oracle's ORDER BY dist ASC, cluster ASC tie rule. No groupBy, no
     * corpus shuffle — the corpus is touched by one narrow projection
     * per assignment. */
-  private def kmAssign(e: DataFrame, centsRow: DataFrame): DataFrame =
+  private[graft] def kmAssign(e: DataFrame, centsRow: DataFrame): DataFrame =
     e.crossJoin(broadcast(centsRow))
       .select(col("vec_id"),
         expr("array_min(transform(cs, cc -> " +
@@ -229,7 +229,7 @@ object SimilarityQueries {
     * ≤K-row centroid table is re-packed and collapsed to a single
     * broadcastable row. An emptied cluster simply drops out (same on
     * the oracle side). */
-  private def kmUpdate(e: DataFrame, assign: DataFrame): DataFrame =
+  private[graft] def kmUpdate(e: DataFrame, assign: DataFrame): DataFrame =
     e.join(assign, Seq("vec_id"))
       .select(col("cluster"),
         posexplode(col("embedding")).as(Seq("pos", "v")))

@@ -61,4 +61,33 @@ class WeightedPageRankSpec extends SparkSpec {
     assert(got("s2") > got("s1"))
     assert(got("s1") > got("c1"))
   }
+
+  // ---- weighted × personalized composition (VERDICT r12 item 7) ----
+  // The two knobs are orthogonal by construction — weightCol changes
+  // only HOW a source's rank splits across its out-edges (rank·w/Σw),
+  // teleportTo changes only WHERE teleport mass lands — so their
+  // composition is the standard weighted personalized PageRank. These
+  // cases pin that reading so a future edit can't silently change it.
+
+  test("weighted × personalized, w = 1: BIT-equal to plain personalized") {
+    val ones = wedges.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val plain = ranksOf(PageRank.run(pages, ones.select("src", "dst"),
+      iters = 8, teleportTo = Some("c1")))
+    val composed = ranksOf(PageRank.run(pages, ones, iters = 8,
+      weightCol = Some("w"), teleportTo = Some("c1")))
+    assert(composed == plain) // exact ==, not tolerance
+  }
+
+  test("weighted × personalized, one iteration matches the hand recurrence") {
+    // r0 = [c1] indicator. deg(c1) = 4 (Σw), deg(c2) = 2.
+    // r1(s1) = 0.85 · (1 · 3/4)            (teleport lands on c1 only)
+    // r1(s2) = 0.85 · (1 · 1/4)            (c2 holds no rank at r0)
+    // r1(c1) = 0.15 (the whole teleport), r1(c2) = 0
+    val got = ranksOf(PageRank.run(pages, wedges, iters = 1,
+      weightCol = Some("w"), teleportTo = Some("c1")))
+    assert(math.abs(got("s1") - 0.85 * (3.0 / 4.0)) < 1e-15)
+    assert(math.abs(got("s2") - 0.85 * (1.0 / 4.0)) < 1e-15)
+    assert(math.abs(got("c1") - 0.15) < 1e-15)
+    assert(math.abs(got("c2") - 0.0) < 1e-15)
+  }
 }

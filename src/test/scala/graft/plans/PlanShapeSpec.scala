@@ -3,7 +3,8 @@ package graft.plans
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec,
+  ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
   BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec,
   SortMergeJoinExec}
@@ -144,5 +145,138 @@ class PlanShapeSpec extends SparkSpec {
     assert(equiJoins(p) >= 1,
       s"q_dedup_lsh: bucket equi-join missing:\n${p.toString.take(2000)}")
     assertNoAllPairs("q_dedup_lsh", p)
+  }
+
+  // ---- round-12 operator families (VERDICT r12 item 6) ----
+
+  private def joinsOfType(p: SparkPlan, t: String): Int = p.collect {
+    case j: BroadcastHashJoinExec if j.joinType.toString == t => 1
+    case j: SortMergeJoinExec if j.joinType.toString == t => 1
+    case j: ShuffledHashJoinExec if j.joinType.toString == t => 1
+  }.sum
+
+  test("q_graph_bfs round plan: 1 shuffle (candidate distinct), " +
+      "broadcast frontier + level-local anti-join") {
+    withStaticPlans {
+    val g = graft.graph.GraphCatalog.tpch(spark, Dir)
+    val src = g.pages.agg(org.apache.spark.sql.functions.min(
+      org.apache.spark.sql.functions.col("page"))).first().getString(0)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[(Int, SparkPlan)]
+    graft.graph.Bfs.hopDistances(g.pages, g.edges, src, maxRounds = 3,
+      knownVertexCount = Some(g.n),
+      onRoundPlan = (d, df) => plans += ((d, df.queryExecution.executedPlan)))
+    assert(plans.size == 3)
+    for ((d, p) <- plans) {
+      // the candidate distinct is the round's ONLY shuffle — frontier
+      // and the two-level visited view both ride broadcasts under the
+      // vertex gate, and the edge table never crosses the wire
+      assert(shuffles(p) == 1,
+        s"bfs round $d: expected 1 shuffle (the distinct), got " +
+          s"${shuffles(p)}:\n${p.toString.take(2000)}")
+      assert(count(p) { case _: SortMergeJoinExec => () } == 0,
+        s"bfs round $d: a join stopped broadcasting:\n${p.toString.take(2000)}")
+      // the level-local visited anti-join (2 nodes: Catalyst pushes it
+      // into both branches of the undirected-view union); a growing
+      // count here would mean the full visited union crept back in
+      assert(joinsOfType(p, "LeftAnti") == 2,
+        s"bfs round $d: expected the anti-join pushed into the 2 " +
+          s"undirected branches, got ${joinsOfType(p, "LeftAnti")}:\n" +
+          p.toString.take(2000))
+      assertNoAllPairs(s"q_graph_bfs round $d", p)
+    }
+    }
+  }
+
+  test("q_graph_kcore round plan: 1 shuffle (degree agg), two semi-joins " +
+      "per undirected branch, all broadcast") {
+    withStaticPlans {
+    val g = graft.graph.GraphCatalog.tpch(spark, Dir)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[(Int, SparkPlan)]
+    graft.graph.KCore.peel(g.edges, k = 3, rounds = 2,
+      onRoundPlan = (r, df) => plans += ((r, df.queryExecution.executedPlan)))
+    assert(plans.size == 2)
+    for ((r, p) <- plans) {
+      // the partial-agg'd degree count is the round's only shuffle
+      assert(shuffles(p) == 1,
+        s"kcore round $r: expected 1 shuffle (the degree agg), got " +
+          s"${shuffles(p)}:\n${p.toString.take(2000)}")
+      // 2 logical semi-joins (src-survives, dst-survives), each pushed
+      // into both branches of the undirected union = 4 plan nodes; more
+      // means a third filtering join crept in, fewer means an endpoint
+      // check vanished
+      assert(joinsOfType(p, "LeftSemi") == 4,
+        s"kcore round $r: expected 2 semi-joins × 2 undirected " +
+          s"branches, got ${joinsOfType(p, "LeftSemi")}:\n" +
+          p.toString.take(2000))
+      assert(count(p) { case _: SortMergeJoinExec => () } == 0,
+        s"kcore round $r: a join stopped broadcasting:\n${p.toString.take(2000)}")
+      assertNoAllPairs(s"q_graph_kcore round $r", p)
+    }
+    }
+  }
+
+  test("k-means Lloyd update plan: corpus crosses the wire only as the " +
+      "partial-agg'd (cluster, pos) rows") {
+    withStaticPlans {
+    import org.apache.spark.sql.functions.{col, collect_list, expr,
+      sort_array, struct}
+    val e = graft.Tables.embeddings(spark, Dir)
+      .select(col("vec_id"), col("embedding"))
+    val c0 = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(embedding, v -> cast(v as double))").as("carr"))
+      .agg(sort_array(collect_list(struct(col("cluster"), col("carr"))))
+        .as("cs"))
+      .localCheckpoint(eager = true)
+    val p = graft.queries.SimilarityQueries.kmUpdate(e,
+      graft.queries.SimilarityQueries.kmAssign(e, c0))
+      .queryExecution.executedPlan
+    // exactly 3 exchanges: (cluster, pos) — the ONE the corpus feeds,
+    // bounded by the map-side partial agg to ≤ K·64 rows per input
+    // partition; (cluster) re-pack over ≤ K·64 rows; SinglePartition
+    // over ≤ K rows. A 4th means the assignment started shuffling the
+    // corpus (the shuffle-free broadcast-argmin assignment broke).
+    assert(shuffles(p) == 3,
+      s"kmeans update: expected 3 exchanges (K·64 partial agg + K-row " +
+        s"re-packs), got ${shuffles(p)}:\n${p.toString.take(2000)}")
+    assert(count(p) { case _: SortMergeJoinExec => () } == 0,
+      s"kmeans update: a join stopped broadcasting:\n${p.toString.take(2000)}")
+    // the single nested-loop join is the INTENDED 1-row centroid-table
+    // cross join (the broadcast-argmin assignment)
+    assert(count(p) { case _: BroadcastNestedLoopJoinExec => () } <= 1,
+      s"kmeans update: more than the one 1-row centroid cross join:\n" +
+        p.toString.take(2000))
+    assert(count(p) { case _: CartesianProductExec => () } == 0,
+      s"kmeans update: cartesian product:\n${p.toString.take(2000)}")
+    }
+  }
+
+  test("q_text_logprob plan: one corpus shuffle reused by the unigram " +
+      "table — vocabulary never broadcast off its own scan") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_text_logprob")(spark, Dir)
+      .queryExecution.executedPlan
+    // the (doc_id, tok) counts shuffle is the only corpus-proportional
+    // exchange; the unigram table and the corpus total are aggregations
+    // over REUSED exchanges of it (ReusedExchangeExec ≥ 2), not second
+    // scans — the 100 TB property: the exploded token stream crosses
+    // the wire once
+    assert(count(p) { case _: ReusedExchangeExec => () } >= 2,
+      s"q_text_logprob: unigram/total stopped reusing the counts " +
+        s"shuffle:\n${p.toString.take(2000)}")
+    // 5 exchanges: counts (doc_id, tok), unigrams (tok), total (1 row),
+    // per-doc fold (doc_id), presentation sort
+    assert(shuffles(p) == 5,
+      s"q_text_logprob: expected 5 exchanges, got ${shuffles(p)}:\n" +
+        p.toString.take(2000))
+    assert(count(p) { case _: WindowExec => () } == 0,
+      s"q_text_logprob: window form crept in:\n${p.toString.take(2000)}")
+    // the 1-row corpus-total cross join is the only nested loop
+    assert(count(p) { case _: BroadcastNestedLoopJoinExec => () } <= 1,
+      s"q_text_logprob: more than the 1-row total cross join:\n" +
+        p.toString.take(2000))
+    assert(count(p) { case _: CartesianProductExec => () } == 0,
+      s"q_text_logprob: cartesian product:\n${p.toString.take(2000)}")
+    }
   }
 }
