@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{Bfs, Components, GraphCatalog, Hits, KCore, LinkGraph, PageRank, PageRankGraphX}
+import graft.graph.{Bfs, Components, GraphCatalog, Hits, KCore, LinkGraph, Lpa, PageRank, PageRankGraphX, Sssp}
 
 /** The reference's core surface — link graph + PageRank — as driver
   * queries over the TPC-H-ish tables (graph: customers cite suppliers
@@ -54,6 +54,34 @@ object GraphQueries {
          SELECT e.src, e.dst, e.w FROM wedges e
          WHERE EXISTS (SELECT 1 FROM pages p WHERE p.page = e.dst))"""
 
+  /** Oracle replay of [[triangleCounts]] over the l_quantity > 45
+    * co-occurrence projection: CTE chain ending at
+    * `tc(supplier, n_tri)` (plus `und`, the undirected edge view) —
+    * shared by the q_graph_triangles and q_graph_clustering oracles. */
+  private val triangleSqlCtes =
+    """li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+              WHERE l_quantity > 45),
+       e AS (SELECT DISTINCT x.l_suppkey AS s1, y.l_suppkey AS s2
+             FROM li x JOIN li y
+               ON x.l_orderkey = y.l_orderkey
+                  AND x.l_suppkey < y.l_suppkey),
+       und AS (SELECT s1, s2 FROM e UNION ALL SELECT s2, s1 FROM e),
+       deg AS (SELECT s1 AS v, COUNT(*) AS dg FROM und GROUP BY 1),
+       o AS (SELECT CASE WHEN (da.dg, e.s1) > (db.dg, e.s2)
+                         THEN e.s2 ELSE e.s1 END AS lo,
+                    CASE WHEN (da.dg, e.s1) > (db.dg, e.s2)
+                         THEN e.s1 ELSE e.s2 END AS hi
+             FROM e JOIN deg da ON da.v = e.s1
+                    JOIN deg db ON db.v = e.s2),
+       tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+               FROM o e1 JOIN o e2 ON e1.hi = e2.lo
+               JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+       x AS (SELECT a AS supplier FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri),
+       tc AS (SELECT supplier, COUNT(*) AS n_tri FROM x
+              GROUP BY supplier)"""
+
   /** q_pagerank_top threshold multiplier. The reference hard-codes 5.0
     * (PageRank.java:336,346) but on the TPC-H citation graph max rank
     * ≈ 2.3/N, so 5/N selects nothing at any SF (ADVICE r1 item 2) — the
@@ -76,6 +104,99 @@ object GraphQueries {
     * convergence state, see [[graft.graph.KCore]]). */
   private val KCoreK = 2
   private val KCoreRounds = 4
+
+  /** SSSP relaxation-round budget, shared by the engine loop and the
+    * oracle's unrolled round CTEs ([[graft.graph.Sssp]] fixed-round
+    * contract). */
+  private val SsspRounds = 6
+
+  /** LPA synchronous-round budget, shared engine/oracle
+    * ([[graft.graph.Lpa]] — exact at any oscillation state). */
+  private val LpaRounds = 3
+
+  /** Supplier co-occurrence edges (s1 < s2, distinct) above a quantity
+    * cut — the sparse undirected-graph projection shared by the
+    * triangle / k-core / clustering / LPA family (the cut keeps the
+    * per-order expansion bounded; see q_graph_triangles). */
+  private def coEdges(s: SparkSession, d: String, minQty: Int): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+      .filter(col("l_quantity") > minQty)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("s1"), col("y.l_suppkey").as("s2"))
+      .distinct()
+  }
+
+  /** Weighted undirected supplier co-occurrence view: w = number of
+    * distinct orders in which the pair co-occurs (the interaction
+    * multiplicity, [[graft.graph.LinkGraph.tpchWeightedEdges]]'s idiom
+    * on the co-occurrence projection). Both edge directions, so
+    * traversals see an undirected weighted graph. */
+  private def coWeightedUnd(s: SparkSession, d: String,
+      minQty: Int): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+      .filter(col("l_quantity") > minQty)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .distinct()
+    val w = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .groupBy(col("x.l_suppkey").as("s1"), col("y.l_suppkey").as("s2"))
+      .agg(count(lit(1)).as("w"))
+    w.select(col("s1").as("src"), col("s2").as("dst"), col("w"))
+      .unionAll(
+        w.select(col("s2").as("src"), col("s1").as("dst"), col("w")))
+  }
+
+  /** Per-vertex triangle counts with degree-ordered orientation (the
+    * classic MapReduce-era trick, Suri-Vassilvitskii'11): orient every
+    * edge from its (degree, id)-smaller endpoint to the larger, so each
+    * triangle is counted exactly once and — crucially at scale — the
+    * out-neighbor list used in the wedge join is bounded by the number
+    * of HIGHER-degree neighbors (≤ √(2·|E|)), bounding per-wedge
+    * expansion at the middle vertex (the in-degree side of a hub is
+    * not bounded, but each arriving edge fans out ≤ √(2·|E|) ways).
+    * Shared by q_graph_triangles and q_graph_clustering.
+    * @param e distinct undirected edges as DataFrame["s1","s2"], s1 < s2
+    * @return DataFrame["supplier","n_tri"], supplier-ordered */
+  private def triangleCounts(e: DataFrame): DataFrame = {
+    val und = e.unionAll(e.select(col("s2").as("s1"), col("s1").as("s2")))
+    val deg = und.groupBy(col("s1").as("v")).agg(count(lit(1)).as("dg"))
+    // deg is vertex-sized (data-scaled): no broadcast hint — AQE picks.
+    // Struct fields aliased identically on both sides: BinaryComparison
+    // requires sameType, which for structs has historically included
+    // field names (ADVICE r3 item 1 — (dg,s1) vs (dg,s2) was fragile).
+    val flip = struct(col("da.dg").as("d"), col("s1").as("v")) >
+      struct(col("db.dg").as("d"), col("s2").as("v"))
+    val oriented = e
+      .join(deg.as("da"), col("s1") === col("da.v"))
+      .join(deg.as("db"), col("s2") === col("db.v"))
+      .select(when(flip, col("s2")).otherwise(col("s1")).as("lo"),
+        when(flip, col("s1")).otherwise(col("s2")).as("hi"))
+      // cache, not localCheckpoint: all three self-join copies read the
+      // same InMemoryRelation (one computation), and — unlike a local
+      // checkpoint's RDD-level blocks, which Dataset.unpersist cannot
+      // reach — the cache CAN be dropped deterministically below
+      .persist()
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.hi") === col("e2.lo"))
+      .join(oriented.as("e3"),
+        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
+        col("e2.hi").as("c"))
+    // Materialize the (vertex-sized) result NOW so the |E|-sized
+    // oriented-edge cache can be dropped deterministically; the small
+    // checkpoint itself is registered as scratch so the harness frees
+    // it after the gate reads it (ADVICE r7 — the residual leak).
+    val counts = graft.plans.Lineage.scratchCheckpoint(tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("supplier"))
+      .groupBy("supplier").agg(count(lit(1)).as("n_tri"))
+      .orderBy("supplier"))
+    oriented.unpersist(blocking = true)
+    counts
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: red-link removal — edges surviving the existence semi-join.
@@ -209,14 +330,8 @@ object GraphQueries {
     // chain-shaped components are exactly the case where HashMin pays
     // one eager round per hop and contraction pays O(log²).
     "q_components_converged" -> ((s, d) => {
-      val li = graft.Tables.lineitem(s, d)
-        .filter(col("l_quantity") > 49)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val e = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-        .distinct()
+      val e = coEdges(s, d, 49)
+        .select(col("s1").as("src"), col("s2").as("dst"))
       val pages = graft.Tables.supplier(s, d)
         .select(col("s_suppkey").as("page"))
       Components.componentsStarContraction(pages, e).orderBy(col("page"))
@@ -229,15 +344,9 @@ object GraphQueries {
     // replays the identical rounds unrolled, so the gate is exact
     // whether or not the peel converged (q_graph_components philosophy).
     "q_graph_kcore" -> ((s, d) => {
-      val li = graft.Tables.lineitem(s, d)
-        .filter(col("l_quantity") > 45)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val e = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
-        .distinct()
-      KCore.peel(e, k = KCoreK, rounds = KCoreRounds)
+      KCore.peel(coEdges(s, d, 45)
+          .select(col("s1").as("src"), col("s2").as("dst")),
+          k = KCoreK, rounds = KCoreRounds)
         .select(col("page").as("supplier"), col("deg"))
         .orderBy(col("supplier"))
     }),
@@ -255,64 +364,69 @@ object GraphQueries {
         .orderBy("out_deg")
     }),
 
-    // Triangle counting with degree-ordered orientation (the classic
-    // MapReduce-era trick, Suri-Vassilvitskii'11): orient every edge
-    // from its (degree, id)-smaller endpoint to the larger, so each
-    // triangle is counted exactly once and — crucially at scale — the
-    // out-neighbor list used in the wedge join is bounded by the number
-    // of HIGHER-degree neighbors (≤ √(2·|E|)), bounding per-wedge
-    // expansion at the middle vertex (the in-degree side of a hub is
-    // not bounded, but each arriving edge fans out ≤ √(2·|E|) ways).
-    // Graph: suppliers co-occurring in an order with l_quantity > 45
-    // (the quantity cut keeps the co-occurrence projection sparse).
-    // Oriented edge list is localCheckpoint'ed before the triple
-    // self-join — Catalyst plans self-joins as independent subplan
-    // copies, which would re-run the projection three times.
-    "q_graph_triangles" -> ((s, d) => {
-      val li = graft.Tables.lineitem(s, d)
-        .filter(col("l_quantity") > 45)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val e = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_suppkey") < col("y.l_suppkey"))
-        .select(col("x.l_suppkey").as("s1"), col("y.l_suppkey").as("s2"))
-        .distinct()
+    // Triangle counting with degree-ordered orientation
+    // ([[triangleCounts]] — Suri-Vassilvitskii'11) on the supplier
+    // co-occurrence graph (the l_quantity > 45 cut keeps the
+    // per-order expansion sparse).
+    "q_graph_triangles" -> ((s, d) =>
+      triangleCounts(coEdges(s, d, 45)).orderBy(col("supplier"))),
+
+    // Local clustering coefficient — cc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)),
+    // the per-vertex "how clique-like is my neighborhood" signal next to
+    // the raw triangle counts (community cohesion, spam-ring detection).
+    // Composes [[triangleCounts]] (same oriented wedge join) with the
+    // undirected degree aggregation; vertices without triangles get 0 via
+    // the left join, deg < 2 is defined as 0. The double is ONE division
+    // over exactly-represented integers, so both engines compute the same
+    // value bit-for-bit (rounded anyway, the house float contract).
+    "q_graph_clustering" -> ((s, d) => {
+      val e = coEdges(s, d, 45)
       val und = e.unionAll(e.select(col("s2").as("s1"), col("s1").as("s2")))
-      val deg = und.groupBy(col("s1").as("v")).agg(count(lit(1)).as("dg"))
-      // deg is vertex-sized (data-scaled): no broadcast hint — AQE picks.
-      // Struct fields aliased identically on both sides: BinaryComparison
-      // requires sameType, which for structs has historically included
-      // field names (ADVICE r3 item 1 — (dg,s1) vs (dg,s2) was fragile).
-      val flip = struct(col("da.dg").as("d"), col("s1").as("v")) >
-        struct(col("db.dg").as("d"), col("s2").as("v"))
-      val oriented = e
-        .join(deg.as("da"), col("s1") === col("da.v"))
-        .join(deg.as("db"), col("s2") === col("db.v"))
-        .select(when(flip, col("s2")).otherwise(col("s1")).as("lo"),
-          when(flip, col("s1")).otherwise(col("s2")).as("hi"))
-        // cache, not localCheckpoint: all three self-join copies read the
-        // same InMemoryRelation (one computation), and — unlike a local
-        // checkpoint's RDD-level blocks, which Dataset.unpersist cannot
-        // reach — the cache CAN be dropped deterministically below
-        .persist()
-      val tri = oriented.as("e1")
-        .join(oriented.as("e2"), col("e1.hi") === col("e2.lo"))
-        .join(oriented.as("e3"),
-          col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
-        .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
-          col("e2.hi").as("c"))
-      // Materialize the (vertex-sized) result NOW so the |E|-sized
-      // oriented-edge cache can be dropped deterministically; the small
-      // checkpoint itself is registered as scratch so the harness frees
-      // it after the gate reads it (ADVICE r7 — the residual leak).
-      val counts = graft.plans.Lineage.scratchCheckpoint(tri
-        .select(explode(array(col("a"), col("b"), col("c"))).as("supplier"))
-        .groupBy("supplier").agg(count(lit(1)).as("n_tri"))
-        .orderBy("supplier"))
-      oriented.unpersist(blocking = true)
-      counts
+      val deg = und.groupBy(col("s1").as("supplier"))
+        .agg(count(lit(1)).as("deg"))
+      deg.join(triangleCounts(e), Seq("supplier"), "left")
+        .select(col("supplier"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(when(col("deg") >= 2,
+            lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+              (col("deg") * (col("deg") - 1)))
+            .otherwise(lit(0.0)), 6).as("cc"))
+        .orderBy(col("supplier"))
     }),
 
+    // Weighted single-source shortest paths ([[graft.graph.Sssp]]) —
+    // frontier Bellman-Ford over the weighted co-occurrence graph
+    // (w = co-purchase multiplicity), source = the deterministic
+    // MIN(src). Fixed SsspRounds relaxation rounds, oracle-unrolled;
+    // distances are exact long sums, no float anywhere. The weighted
+    // edge view is persisted for the loop (each round's relax join
+    // re-reads it) and released once the distance vector materializes.
+    "q_graph_sssp" -> ((s, d) => {
+      val und = coWeightedUnd(s, d, 45)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val src = und.agg(min(col("src"))).first().getLong(0)
+      val out = Sssp.distances(und, src, rounds = SsspRounds)
+        .select(col("page").as("supplier"), col("dist"))
+        .orderBy(col("supplier"))
+      und.unpersist()
+      out
+    }),
+
+    // Label-propagation communities ([[graft.graph.Lpa]]) — the
+    // MODE-label variant (most frequent neighbor label, ties to the
+    // smallest), vs q_graph_components' MIN-label flooding. Fixed
+    // LpaRounds synchronous rounds, oracle-unrolled — exact at any
+    // oscillation state. Isolated suppliers keep their own label.
+    "q_graph_lpa" -> ((s, d) => {
+      val pages = graft.Tables.supplier(s, d)
+        .select(col("s_suppkey").as("page"))
+      Lpa.communities(pages,
+          coEdges(s, d, 45)
+            .select(col("s1").as("src"), col("s2").as("dst")),
+          rounds = LpaRounds)
+        .select(col("page").as("supplier"), col("lbl").as("community"))
+        .orderBy(col("supplier"))
+    }),
     // HITS hubs & authorities (Kleinberg) — the companion link-analysis
     // score the reference's users would expect next to PageRank: on the
     // customer→supplier citation graph authorities are the suppliers
@@ -384,28 +498,72 @@ object GraphQueries {
          WHERE ROUND(pr, 6) > $TopMultiplier / (SELECT n FROM nn)
          ORDER BY ROUND(pr, 6) DESC, page"""),
     "q_graph_triangles" ->
-      """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
-                     WHERE l_quantity > 45),
+      s"""WITH $triangleSqlCtes
+          SELECT supplier, n_tri FROM tc ORDER BY supplier""",
+    "q_graph_clustering" ->
+      s"""WITH $triangleSqlCtes,
+          dv AS (SELECT s1 AS supplier, COUNT(*) AS deg FROM und
+                 GROUP BY 1)
+          SELECT dv.supplier, dv.deg,
+                 CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+                 ROUND(CASE WHEN dv.deg >= 2
+                            THEN 2.0 * COALESCE(tc.n_tri, 0) /
+                                 (dv.deg * (dv.deg - 1))
+                            ELSE 0.0 END, 6) AS cc
+          FROM dv LEFT JOIN tc ON tc.supplier = dv.supplier
+          ORDER BY dv.supplier""",
+    "q_graph_sssp" -> {
+      val roundCtes = (1 to SsspRounds).map { r =>
+        s"""d$r AS (SELECT page, MIN(dist) AS dist FROM (
+              SELECT page, dist FROM d${r - 1}
+              UNION ALL
+              SELECT u.dst AS page, p.dist + u.w AS dist
+              FROM d${r - 1} p JOIN und u ON u.src = p.page)
+            GROUP BY page)"""
+      }.mkString(",\n          ")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                      WHERE l_quantity > 45),
+          pw AS (SELECT x.l_suppkey AS s1, y.l_suppkey AS s2,
+                        COUNT(*) AS w
+                 FROM li x JOIN li y
+                   ON x.l_orderkey = y.l_orderkey
+                      AND x.l_suppkey < y.l_suppkey
+                 GROUP BY 1, 2),
+          und AS (SELECT s1 AS src, s2 AS dst, w FROM pw
+                  UNION ALL SELECT s2, s1, w FROM pw),
+          d0 AS (SELECT (SELECT MIN(src) FROM und) AS page,
+                        CAST(0 AS BIGINT) AS dist),
+          $roundCtes
+          SELECT page AS supplier, dist FROM d$SsspRounds
+          ORDER BY supplier"""
+    },
+    "q_graph_lpa" -> {
+      val roundCtes = (1 to LpaRounds).map { r =>
+        s"""n$r AS (SELECT u.src AS page, l.lbl, COUNT(*) AS cnt
+                    FROM und u JOIN l${r - 1} l ON l.page = u.dst
+                    GROUP BY 1, 2),
+            b$r AS (SELECT page, lbl FROM (
+                      SELECT page, lbl, ROW_NUMBER() OVER (
+                        PARTITION BY page
+                        ORDER BY cnt DESC, lbl ASC) AS rn
+                      FROM n$r) WHERE rn = 1),
+            l$r AS (SELECT l.page, COALESCE(b.lbl, l.lbl) AS lbl
+                    FROM l${r - 1} l LEFT JOIN b$r b ON b.page = l.page)"""
+      }.mkString(",\n          ")
+      s"""WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                      WHERE l_quantity > 45),
           e AS (SELECT DISTINCT x.l_suppkey AS s1, y.l_suppkey AS s2
                 FROM li x JOIN li y
                   ON x.l_orderkey = y.l_orderkey
                      AND x.l_suppkey < y.l_suppkey),
-          und AS (SELECT s1, s2 FROM e UNION ALL SELECT s2, s1 FROM e),
-          deg AS (SELECT s1 AS v, COUNT(*) AS dg FROM und GROUP BY 1),
-          o AS (SELECT CASE WHEN (da.dg, e.s1) > (db.dg, e.s2)
-                            THEN e.s2 ELSE e.s1 END AS lo,
-                       CASE WHEN (da.dg, e.s1) > (db.dg, e.s2)
-                            THEN e.s1 ELSE e.s2 END AS hi
-                FROM e JOIN deg da ON da.v = e.s1
-                       JOIN deg db ON db.v = e.s2),
-          tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
-                  FROM o e1 JOIN o e2 ON e1.hi = e2.lo
-                  JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
-          x AS (SELECT a AS supplier FROM tri
-                UNION ALL SELECT b FROM tri
-                UNION ALL SELECT c FROM tri)
-          SELECT supplier, COUNT(*) AS n_tri FROM x
-          GROUP BY supplier ORDER BY supplier""",
+          und AS (SELECT s1 AS src, s2 AS dst FROM e
+                  UNION ALL SELECT s2, s1 FROM e),
+          l0 AS (SELECT s_suppkey AS page, s_suppkey AS lbl
+                 FROM supplier),
+          $roundCtes
+          SELECT page AS supplier, lbl AS community FROM l$LpaRounds
+          ORDER BY supplier"""
+    },
     "q_graph_kcore" -> {
       val roundCtes = (1 to KCoreRounds).map { r =>
         val prev = if (r == 1) "v0" else s"v${r - 1}"
