@@ -312,6 +312,83 @@ object SimilarityQueries {
       .filter(col("cos") >= tau)
   }
 
+  // ---- greedy farthest-point (Gonzalez) k-center seeding ----
+
+  /** Center count for the GATE path only — the oracle unrolls the
+    * greedy recurrence with KcK inlined. Deployments choose k per
+    * corpus (k-means++-style seeding wants k = the cluster count,
+    * [[semanticK]]). */
+  private[graft] val KcK = 4
+
+  /** k within-cluster nearest neighbors kept per vector
+    * (q_embed_knn). */
+  private val KnnK = 3
+
+  /** Σ_{i=1..64} (x_i − c_i)² in index order between embedding column
+    * `x` and a plain array<double> column `c` — the [[kmDistExpr]]
+    * fold with the center read from a column instead of a lambda
+    * struct (same bit-equal-to-list_sum contract). */
+  private def d2Expr(x: String, c: String): String = {
+    val diff = s"(cast(element_at($x, i) as double) - element_at($c, i))"
+    s"aggregate(sequence(1, 64), 0D, (acc, i) -> acc + $diff * $diff)"
+  }
+
+  /** Greedy farthest-point traversal (Gonzalez'85 k-center, the
+    * deterministic alternative to k-means++ sampling): c₁ = the
+    * MIN(vec_id) vector; cₜ = the vector maximizing the distance to
+    * the chosen set (ties to the smallest vec_id). Returns every
+    * vector's assignment to its nearest chosen center.
+    *
+    * Scale design: the running min-distance-to-chosen-set column is
+    * updated INCREMENTALLY — one narrow broadcast pass per round
+    * (`least(m, d²(x, new center))`), so the whole seeding is k narrow
+    * passes + k 1-row partial-agg argmaxes, never a k×corpus shuffle;
+    * the corpus never shuffles at all (the argmax is
+    * `min(struct(-m, vec_id, emb))`, a partial agg carrying the winning
+    * vector's payload — ≤ 1 row per partition crosses the wire). Float
+    * determinism: distances are the index-order IEEE fold on doubles
+    * (bit-equal cross-engine by the kmeans contract), the argmax
+    * tie-breaks on vec_id, and `least` mirrors the oracle's LEAST. */
+  private[graft] def kcenterAssign(emb: DataFrame, k: Int = KcK): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val c1 = graft.plans.Lineage.scratchCheckpoint(
+      e.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id").as("cid"),
+          expr("transform(embedding, v -> cast(v as double))").as("carr")))
+    var cents = c1
+    var mind = e.crossJoin(broadcast(c1))
+      .select(col("vec_id"), col("embedding"),
+        expr(d2Expr("embedding", "carr")).as("m"))
+    val lazyMinds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 2 to k) {
+      val next = graft.plans.Lineage.scratchCheckpoint(
+        mind.agg(min(struct((-col("m")).as("nm"), col("vec_id").as("v"),
+            col("embedding").as("emb"))).as("b"))
+          .select(col("b.v").as("cid"),
+            expr("transform(b.emb, v -> cast(v as double))").as("carr")))
+      cents = cents.unionAll(next)
+      if (t < k) {
+        mind = mind.crossJoin(broadcast(next))
+          .select(col("vec_id"), col("embedding"),
+            least(col("m"), expr(d2Expr("embedding", "carr"))).as("m"))
+          .localCheckpoint(eager = false)
+        lazyMinds += mind
+      }
+    }
+    // every lazy mind checkpoint was materialized by a later argmax;
+    // the final assignment below depends only on the (eager) centers
+    lazyMinds.foreach(graft.plans.Lineage.freeLocalCheckpoint)
+    val centsRow = cents
+      .agg(sort_array(collect_list(struct(col("cid"), col("carr"))))
+        .as("cs"))
+    e.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"),
+        expr("array_min(transform(cs, cc -> " +
+          s"named_struct('d', ${d2Expr("embedding", "cc.carr")}, " +
+          "'c', cc.cid)))").as("b"))
+      .select(col("vec_id"), col("b.c").as("center"), col("b.d").as("d2"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-space k-means — the clustering step of diversity-aware
     // sampling / SemDeDup-style semantic curation (Abbas et al. 2023):
@@ -327,6 +404,44 @@ object SimilarityQueries {
     // nest.
     "q_embed_kmeans" -> ((s, d) =>
       kmAssignments(s, d).orderBy(col("vec_id"))),
+
+    // Greedy farthest-point (Gonzalez) k-center seeding — the
+    // deterministic init for k-means / coreset selection: pick the
+    // most-spread KcK vectors, assign everyone to the nearest. The
+    // 2-approximation guarantee of the greedy traversal is exactly the
+    // "maximally diverse exemplars" rule diversity-aware curation
+    // wants. k narrow passes, zero corpus shuffles ([[kcenterAssign]]);
+    // d2 ships unrounded (index-order IEEE fold, bit-equal
+    // cross-engine by the kmeans contract).
+    "q_embed_kcenter" -> ((s, d) =>
+      kcenterAssign(Tables.embeddings(s, d)).orderBy(col("vec_id"))),
+
+    // Within-cluster kNN graph — each vector's KnnK nearest neighbors
+    // searched only inside its learned k-means cluster (the SemDeDup
+    // blocking applied to graph construction): the kNN-graph build
+    // behind dedup-by-components, diversity sampling, and
+    // graph-propagated quality labels. Candidates are a cluster
+    // equi-join, never corpus²; a deployment scales K via
+    // [[semanticK]] so per-cluster candidate counts stay bounded.
+    // Shares the memoized Lloyd assignment with the other
+    // kmeans-family gates; cosines ship unrounded (ANN contract).
+    "q_embed_knn" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      val ec = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .join(kmAssignments(s, d), Seq("vec_id"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nb"))
+      ec.as("x").join(ec.as("y"),
+          col("x.cluster") === col("y.cluster") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nb"),
+          call_function("cosine_sim",
+            col("x.embedding"), col("y.embedding")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= KnnK)
+        .orderBy(col("vec_id"), col("rank"))
+    }),
 
     // SemDeDup proper (Abbas et al. 2023): near-duplicate pairs found
     // only WITHIN the learned k-means clusters — the unsupervised
@@ -725,8 +840,72 @@ object SimilarityQueries {
         ${assign(s"a$KmIters", s"c$KmIters")}"""
   }
 
+  /** Unrolled replay of the greedy k-center recurrence
+    * ([[kcenterAssign]]): cₜ = ORDER BY m DESC, vec_id ASC LIMIT 1 over
+    * the running min-distance (the engine's min(struct(-m, vec_id))),
+    * m updated by LEAST — same index-order folds, same doubles. */
+  private lazy val kcenterOracle: String = {
+    def d2(v: String, c: String) =
+      s"""list_sum(list_transform(range(1, 65), i ->
+            ($v[i] - $c[i]) * ($v[i] - $c[i])))"""
+    val rounds = (2 to KcK).map { t =>
+      val m = if (t < KcK)
+        s""",
+        m$t AS (SELECT m.vec_id, m.v,
+                       LEAST(m.m, ${d2("m.v", "c.cv")}) AS m
+                FROM m${t - 1} m CROSS JOIN c$t c)"""
+      else ""
+      s"""c$t AS (SELECT vec_id AS cid, v AS cv FROM m${t - 1}
+                  ORDER BY m DESC, vec_id ASC LIMIT 1)$m"""
+    }.mkString(",\n        ")
+    val centUnion = (2 to KcK)
+      .map(t => s"UNION ALL SELECT cid, cv FROM c$t").mkString(" ")
+    s"""WITH e AS (SELECT vec_id,
+                          list_transform(embedding, v -> CAST(v AS DOUBLE))
+                            AS v
+                   FROM embeddings),
+        c1 AS (SELECT vec_id AS cid, v AS cv FROM e
+               ORDER BY vec_id LIMIT 1),
+        m1 AS (SELECT e.vec_id, e.v, ${d2("e.v", "c.cv")} AS m
+               FROM e CROSS JOIN c1 c),
+        $rounds,
+        cents AS (SELECT cid, cv FROM c1 $centUnion),
+        asg AS (SELECT e.vec_id, c.cid, ${d2("e.v", "c.cv")} AS d2,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${d2("e.v", "c.cv")} ASC, c.cid ASC)
+                         AS rn
+                FROM e CROSS JOIN cents c)
+        SELECT vec_id, cid AS center, d2 FROM asg WHERE rn = 1
+        ORDER BY vec_id"""
+  }
+
+  /** kmeansOracle's CTE chain + the within-cluster pair join ranked to
+    * the top KnnK per vector — the q_embed_knn replay (semanticOracle's
+    * cosine idiom without the threshold). */
+  private lazy val knnGraphOracle: String = kmeansCtes + s""",
+        en AS (SELECT e.vec_id, a$KmIters.cluster,
+                      list_transform(e.embedding, v -> CAST(v AS DOUBLE))
+                        AS v,
+                      sqrt(list_sum(list_transform(e.embedding,
+                        c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE))))
+                        AS nrm
+               FROM e JOIN a$KmIters USING (vec_id)),
+        p AS (SELECT x.vec_id, y.vec_id AS nb,
+                     list_sum(list_transform(range(1, 65), i ->
+                       x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS cos
+              FROM en x JOIN en y
+                ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
+        r AS (SELECT vec_id, nb, cos,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, nb ASC) AS rank
+              FROM p)
+        SELECT vec_id, nb, cos, rank FROM r WHERE rank <= $KnnK
+        ORDER BY vec_id, rank"""
+
   def oracles: Map[String, String] = Map(
     "q_embed_kmeans" -> kmeansOracle,
+    "q_embed_kcenter" -> kcenterOracle,
+    "q_embed_knn" -> knnGraphOracle,
     "q_dedup_semantic" -> semanticOracle,
     "q_dedup_semantic_cluster" -> semanticClusterOracle,
     "q_ann_bruteforce" ->

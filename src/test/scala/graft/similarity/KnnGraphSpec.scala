@@ -1,0 +1,67 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+/** `q_embed_knn`: the within-cluster kNN graph agrees with a
+  * driver-side replay (same cluster blocking, same cosine ranking), and
+  * its structural invariants hold — neighbors share the vector's
+  * cluster, ranks are dense from 1, cosines are non-increasing. */
+class KnnGraphSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(): Seq[(Long, Long, Double, Int)] =
+    graft.SparkEntry.queries("q_embed_knn")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+
+  private def clusters(): Map[Long, Long] =
+    graft.SparkEntry.queries("q_embed_kmeans")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("every neighbor edge stays inside the learned cluster") {
+    val a = clusters()
+    val r = rows()
+    assert(r.nonEmpty)
+    assert(r.forall { case (v, nb, _, _) => a(v) == a(nb) })
+  }
+
+  test("neighbor lists equal the driver-side within-cluster top-3 replay") {
+    val a = clusters()
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < 64) {
+        d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val expect = a.keys.toSeq.sorted.flatMap { v =>
+      a.keys.toSeq
+        .filter(nb => nb != v && a(nb) == a(v))
+        .map(nb => (nb, cos(vecs(v), vecs(nb))))
+        .sortBy { case (nb, c) => (-c, nb) }
+        .take(3)
+        .zipWithIndex
+        .map { case ((nb, _), i) => (v, nb, i + 1) }
+    }
+    val got = rows().map { case (v, nb, _, rk) => (v, nb, rk) }
+    assert(got == expect)
+  }
+
+  test("ranks are dense from 1 and cosines non-increasing per vector") {
+    rows().groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4) == (1 to sorted.size))
+      assert(sorted.map(_._3).sliding(2).forall {
+        case Seq(x, y) => x >= y
+        case _ => true
+      })
+    }
+  }
+}
