@@ -32,6 +32,11 @@ object TextQueries {
 
   private def toks: Column = TextFunctions.tokens(col("text"))
 
+  /** DSIR hashed-feature bucket count (q_text_dsir): both distribution
+    * tables are ≤ this many rows at ANY corpus scale — the paper's
+    * hashed n-gram trick. Shared engine/oracle. */
+  private val DsirBuckets = 256
+
   /** Symbol terminator for the BPE pass — see
     * [[graft.functions.BpeSymbolsUtil.Sep]]. */
   private val BpeSep = graft.functions.BpeSymbolsUtil.Sep.toString
@@ -575,6 +580,58 @@ object TextQueries {
           round(expr("aggregate(ts, CAST(0.0 AS DOUBLE), " +
             "(acc, x) -> acc + x.term)") / col("n_tok"), 6).as("logprob"))
       out.orderBy(col("doc_id"))
+    }),
+
+    // DSIR data-selection importance weights (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"):
+    // log w(doc) = Σ_b m_doc[b] · (ln p̂_target[b] − ln p̂_raw[b]) over
+    // B = DsirBuckets HASHED n-gram buckets (unigrams + bigrams,
+    // md5-derived), target = the lang = 'en' slice (the "trusted
+    // corpus" stand-in), raw = the whole corpus, add-1 smoothing on
+    // both. A selection pipeline then keeps docs ∝ exp(log w) — the
+    // weight is the operator's output.
+    // Scale shape: feature HASHING is what makes this 100 TB-safe —
+    // both distribution tables are ≤ B rows regardless of vocabulary
+    // size (vs q_text_logprob's corpus-sized unigram table), so the
+    // λ[b] log-ratio table broadcasts back into the per-doc pass, and
+    // per-(doc, bucket) counts partial-agg before any shuffle (a hub
+    // bucket collapses map-side). Float determinism: the per-doc Σ
+    // folds over the bucket-sorted (b, term) list; round(·, 6) absorbs
+    // the libm ln() ulp (the entropy/logprob contract).
+    "q_text_dsir" -> ((s, d) => {
+      val B = DsirBuckets
+      // unigrams + adjacent bigrams; the size guard keeps the sequence
+      // ascending (sequence(1, 0) would be the descending [1, 0])
+      val grams = expr(
+        "concat(toks, IF(size(toks) < 2, cast(array() as array<string>), " +
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))))")
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), toks.as("toks"))
+        .select(col("doc_id"), col("lang"), explode(grams).as("g"))
+        .select(col("doc_id"), col("lang"),
+          (TextFunctions.hash32(col("g")) % B).as("b"))
+        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("m"))
+      val raw = perDoc.groupBy("b").agg(sum("m").as("cr"))
+      val tgt = perDoc.filter(col("lang") === "en")
+        .groupBy("b").agg(sum("m").as("ct"))
+      val totr = raw.agg(sum("cr").as("nr"))
+      val tott = tgt.agg(sum("ct").as("nt"))
+      val lam = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(totr)).crossJoin(broadcast(tott))
+        .select(col("b"),
+          (log((coalesce(col("ct"), lit(0L)) + 1) / (col("nt") + B)) -
+            log((col("cr") + 1) / (col("nr") + B))).as("lam"))
+      perDoc.join(broadcast(lam), "b")
+        .select(col("doc_id"), col("m"),
+          struct(col("b"), (col("m") * col("lam")).as("term")).as("bt"))
+        .groupBy("doc_id")
+        .agg(sum("m").as("n_feat"),
+          sort_array(collect_list(col("bt"))).as("ts"))
+        .select(col("doc_id"), col("n_feat"),
+          round(expr("aggregate(ts, CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc + x.term)"), 6).as("dsir_logw"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -940,6 +997,40 @@ object TextQueries {
                    list_sum(list(term ORDER BY tok)) AS s
                  FROM terms GROUP BY doc_id)
            SELECT doc_id, n_tok, round(s / n_tok, 6) AS logprob
+           FROM f ORDER BY doc_id""",
+      // same md5 bucket hash, same add-1 smoothed log-ratio with
+      // identical parenthesization, same bucket-sorted fold order
+      "q_text_dsir" ->
+        s"""WITH t AS (SELECT doc_id, lang,
+                         string_split_regex(text, '\\s+') AS toks
+                       FROM documents),
+           g AS (SELECT doc_id, lang,
+                   unnest(toks || [toks[i] || ' ' || toks[i + 1]
+                                   for i in range(1, len(toks))]) AS gm
+                 FROM t),
+           pb AS (SELECT doc_id, lang,
+                    CAST(('0x' || substring(md5(gm), 1, 8)) AS BIGINT)
+                      % $DsirBuckets AS b
+                  FROM g),
+           pd AS (SELECT doc_id, lang, b, count(*) AS m FROM pb
+                  GROUP BY 1, 2, 3),
+           r AS (SELECT b, CAST(sum(m) AS BIGINT) AS cr FROM pd
+                 GROUP BY b),
+           tg AS (SELECT b, CAST(sum(m) AS BIGINT) AS ct FROM pd
+                  WHERE lang = 'en' GROUP BY b),
+           nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM r),
+           nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tg),
+           lam AS (SELECT r.b,
+                     ln((COALESCE(tg.ct, 0) + 1) /
+                        ((SELECT nt FROM nt) + $DsirBuckets)) -
+                     ln((r.cr + 1) /
+                        ((SELECT nr FROM nr) + $DsirBuckets)) AS lam
+                   FROM r LEFT JOIN tg ON tg.b = r.b),
+           f AS (SELECT pd.doc_id, CAST(sum(pd.m) AS BIGINT) AS n_feat,
+                   list_sum(list(pd.m * lam.lam ORDER BY pd.b)) AS sw
+                 FROM pd JOIN lam ON lam.b = pd.b
+                 GROUP BY pd.doc_id)
+           SELECT doc_id, n_feat, round(sw, 6) AS dsir_logw
            FROM f ORDER BY doc_id"""
     )
   }
