@@ -389,6 +389,27 @@ object SimilarityQueries {
       .select(col("vec_id"), col("b.c").as("center"), col("b.d").as("d2"))
   }
 
+  /** The within-cluster kNN graph (q_embed_knn's engine body, shared
+    * with q_embed_label_clean): each vector's KnnK nearest neighbors
+    * by cosine, searched only inside its learned k-means cluster —
+    * DataFrame["vec_id","nb","cos","rank"], unordered. */
+  private def knnTop(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val ec = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .join(kmAssignments(s, d), Seq("vec_id"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nb"))
+    ec.as("x").join(ec.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nb"),
+        call_function("cosine_sim",
+          col("x.embedding"), col("y.embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-space k-means — the clustering step of diversity-aware
     // sampling / SemDeDup-style semantic curation (Abbas et al. 2023):
@@ -425,22 +446,35 @@ object SimilarityQueries {
     // [[semanticK]] so per-cluster candidate counts stay bounded.
     // Shares the memoized Lloyd assignment with the other
     // kmeans-family gates; cosines ship unrounded (ANN contract).
-    "q_embed_knn" -> ((s, d) => {
-      graft.GraftFunctions.register(s)
-      val ec = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-        .join(kmAssignments(s, d), Seq("vec_id"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("nb"))
-      ec.as("x").join(ec.as("y"),
-          col("x.cluster") === col("y.cluster") &&
-            col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nb"),
-          call_function("cosine_sim",
-            col("x.embedding"), col("y.embedding")).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= KnnK)
-        .orderBy(col("vec_id"), col("rank"))
+    "q_embed_knn" -> ((s, d) =>
+      knnTop(s, d).orderBy(col("vec_id"), col("rank"))),
+
+    // kNN label cleaning (the classic Wilson'72 edited-NN rule, the
+    // confident-learning-lite of modern curation): each vector's label
+    // is voted on by its KnnK within-cluster nearest neighbors —
+    // nn_label = the majority neighbor label (ties to the smallest),
+    // clean = whether the vector's own label agrees. Disagreements
+    // mark probable annotation noise for review or down-weighting.
+    // Composes [[knnTop]] (same memoized Lloyd blocking); the vote is
+    // the LPA argmax idiom (min(struct(-count, label)), a partial agg
+    // over ≤ KnnK rows per vector); vectors with no cluster-mates keep
+    // their own label via the left join.
+    "q_embed_label_clean" -> ((s, d) => {
+      val labels = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"))
+      val votes = knnTop(s, d)
+        .join(labels.select(col("vec_id").as("nb"), col("label").as("nl")),
+          Seq("nb"))
+        .groupBy(col("vec_id"), col("nl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("nl").as("l"))).as("b"))
+        .select(col("vec_id"), col("b.l").as("vote"))
+      labels.join(votes, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("vote"), col("label")).as("nn_label"),
+          (col("label") === coalesce(col("vote"), col("label")))
+            .as("clean"))
+        .orderBy(col("vec_id"))
     }),
 
     // SemDeDup proper (Abbas et al. 2023): near-duplicate pairs found
@@ -881,8 +915,9 @@ object SimilarityQueries {
 
   /** kmeansOracle's CTE chain + the within-cluster pair join ranked to
     * the top KnnK per vector — the q_embed_knn replay (semanticOracle's
-    * cosine idiom without the threshold). */
-  private lazy val knnGraphOracle: String = kmeansCtes + s""",
+    * cosine idiom without the threshold); CTE chain ends at
+    * `knn(vec_id, nb, cos, rank)`, shared with q_embed_label_clean. */
+  private lazy val knnCtes: String = kmeansCtes + s""",
         en AS (SELECT e.vec_id, a$KmIters.cluster,
                       list_transform(e.embedding, v -> CAST(v AS DOUBLE))
                         AS v,
@@ -895,17 +930,38 @@ object SimilarityQueries {
                        x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS cos
               FROM en x JOIN en y
                 ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
-        r AS (SELECT vec_id, nb, cos,
-                     ROW_NUMBER() OVER (PARTITION BY vec_id
-                       ORDER BY cos DESC, nb ASC) AS rank
-              FROM p)
-        SELECT vec_id, nb, cos, rank FROM r WHERE rank <= $KnnK
-        ORDER BY vec_id, rank"""
+        knn AS (SELECT vec_id, nb, cos, rank FROM (
+                  SELECT vec_id, nb, cos,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, nb ASC) AS rank
+                  FROM p) WHERE rank <= $KnnK)"""
+
+  private lazy val knnGraphOracle: String = knnCtes + """
+        SELECT vec_id, nb, cos, rank FROM knn ORDER BY vec_id, rank"""
+
+  /** knnCtes + the Wilson edited-NN majority vote — same
+    * (cnt DESC, label ASC) argmax as the engine's min(struct(-cnt, l));
+    * vectors without cluster-mates keep their own label. */
+  private lazy val labelCleanOracle: String = knnCtes + """,
+        v AS (SELECT k.vec_id, e2.label AS nl, count(*) AS cnt
+              FROM knn k JOIN embeddings e2 ON e2.vec_id = k.nb
+              GROUP BY 1, 2),
+        b AS (SELECT vec_id, nl FROM (
+                SELECT vec_id, nl, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY cnt DESC, nl ASC) AS rn
+                FROM v) WHERE rn = 1)
+        SELECT l.vec_id, l.label,
+               COALESCE(b.nl, l.label) AS nn_label,
+               l.label = COALESCE(b.nl, l.label) AS clean
+        FROM embeddings l LEFT JOIN b ON b.vec_id = l.vec_id
+        ORDER BY l.vec_id"""
 
   def oracles: Map[String, String] = Map(
     "q_embed_kmeans" -> kmeansOracle,
     "q_embed_kcenter" -> kcenterOracle,
     "q_embed_knn" -> knnGraphOracle,
+    "q_embed_label_clean" -> labelCleanOracle,
     "q_dedup_semantic" -> semanticOracle,
     "q_dedup_semantic_cluster" -> semanticClusterOracle,
     "q_ann_bruteforce" ->

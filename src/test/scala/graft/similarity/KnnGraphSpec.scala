@@ -54,6 +54,30 @@ class KnnGraphSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("label cleaning equals the majority vote over the kNN lists") {
+    val labels = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byVec = rows().groupBy(_._1)
+    val expect = labels.keys.toSeq.sorted.map { v =>
+      val nn = byVec.get(v) match {
+        case Some(g) =>
+          g.map(t => labels(t._2)).groupBy(identity).toSeq
+            .map { case (l, c) => (-c.size, l) }.min._2
+        case None => labels(v)
+      }
+      (v, labels(v), nn, labels(v) == nn)
+    }
+    val got = graft.SparkEntry.queries("q_embed_label_clean")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == expect)
+    // the gate is non-vacuous only if some label actually disagrees
+    assert(got.exists(!_._4))
+    assert(got.exists(_._4))
+  }
+
   test("ranks are dense from 1 and cosines non-increasing per vector") {
     rows().groupBy(_._1).foreach { case (_, g) =>
       val sorted = g.sortBy(_._4)
