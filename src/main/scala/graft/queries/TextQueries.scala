@@ -606,12 +606,18 @@ object TextQueries {
         "concat(toks, IF(size(toks) < 2, cast(array() as array<string>), " +
           "transform(sequence(1, size(toks) - 1), " +
           "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))))")
-      val perDoc = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), toks.as("toks"))
-        .select(col("doc_id"), col("lang"), explode(grams).as("g"))
-        .select(col("doc_id"), col("lang"),
-          (TextFunctions.hash32(col("g")) % B).as("b"))
-        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("m"))
+      // checkpointed: perDoc feeds the raw table, the target table and
+      // the final weight pass — without materialization Catalyst plans
+      // three independent subplan copies, re-exploding the corpus three
+      // times (the triangles-pattern rationale; the (doc, bucket) frame
+      // is ≤ 256 rows per doc, far smaller than the gram stream)
+      val perDoc = graft.plans.Lineage.scratchCheckpoint(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), toks.as("toks"))
+          .select(col("doc_id"), col("lang"), explode(grams).as("g"))
+          .select(col("doc_id"), col("lang"),
+            (TextFunctions.hash32(col("g")) % B).as("b"))
+          .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("m")))
       val raw = perDoc.groupBy("b").agg(sum("m").as("cr"))
       val tgt = perDoc.filter(col("lang") === "en")
         .groupBy("b").agg(sum("m").as("ct"))

@@ -251,6 +251,141 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  // ---- round-13 operator families ----
+
+  import org.apache.spark.sql.functions.{col, count => cnt, lit, min => mn}
+
+  /** The q_graph_sssp / q_graph_lpa co-occurrence projections (the
+    * catalog queries' exact construction, rebuilt here because the
+    * catalog entries don't expose their loop hooks). */
+  private def coEdges(minQty: Int): DataFrame = {
+    val li = graft.Tables.lineitem(spark, Dir)
+      .filter(col("l_quantity") > minQty)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("s1"), col("y.l_suppkey").as("s2"))
+      .distinct()
+  }
+
+  test("q_graph_sssp round plan: 1 shuffle (the min-agg) — the frontier " +
+      "relax join never shuffles the edge list") {
+    withStaticPlans {
+    val li = graft.Tables.lineitem(spark, Dir)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val w = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .groupBy(col("x.l_suppkey").as("s1"), col("y.l_suppkey").as("s2"))
+      .agg(cnt(lit(1)).as("w"))
+    val und = w.select(col("s1").as("src"), col("s2").as("dst"), col("w"))
+      .unionAll(
+        w.select(col("s2").as("src"), col("s1").as("dst"), col("w")))
+      .persist()
+    val src = und.agg(mn(col("src"))).first().getLong(0)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[(Int, SparkPlan)]
+    graft.graph.Sssp.distances(und, src, rounds = 3,
+      onRoundPlan = (r, df) => plans += ((r, df.queryExecution.executedPlan)))
+    und.unpersist()
+    assert(plans.size == 3)
+    for ((r, p) <- plans) {
+      // the per-vertex min-aggregation is the round's ONLY shuffle: the
+      // relax join broadcasts the frontier against the cached edge view
+      // and the union with the previous vector is map-side input
+      assert(shuffles(p) == 1,
+        s"sssp round $r: expected 1 shuffle (the min agg), got " +
+          s"${shuffles(p)}:\n${p.toString.take(2000)}")
+      assert(count(p) { case _: SortMergeJoinExec => () } == 0,
+        s"sssp round $r: the relax join stopped broadcasting:\n" +
+          p.toString.take(2000))
+      assert(count(p) { case _: CartesianProductExec => () } == 0,
+        s"sssp round $r: cartesian product:\n${p.toString.take(2000)}")
+      // round 1's frontier is the literal source row — its relax join
+      // may plan as the 1-row nested loop; later rounds must hash-join
+      assert(count(p) { case _: BroadcastNestedLoopJoinExec => () } <=
+        (if (r == 1) 1 else 0),
+        s"sssp round $r: nested-loop relax join:\n${p.toString.take(2000)}")
+    }
+    }
+  }
+
+  test("q_graph_lpa round plan: 3 shuffles (votes join + 2 partial aggs)" +
+      ", never all-pairs") {
+    withStaticPlans {
+    val pages = graft.Tables.supplier(spark, Dir)
+      .select(col("s_suppkey").as("page"))
+    val e = coEdges(45)
+      .select(col("s1").as("src"), col("s2").as("dst"))
+    val plans = scala.collection.mutable.ArrayBuffer.empty[(Int, SparkPlan)]
+    graft.graph.Lpa.communities(pages, e, rounds = 2,
+      onRoundPlan = (r, df) => plans += ((r, df.queryExecution.executedPlan)))
+    assert(plans.size == 2)
+    for ((r, p) <- plans) {
+      // votes join on dst (1) + the (vertex, label) count agg (2) + the
+      // per-vertex argmax agg (3); the keep-own-label left join rides
+      // the argmax's exchange. All frames are vertex/edge-sized, so
+      // sort-merge strategies are legitimate — the guard is the shuffle
+      // COUNT and the absence of any all-pairs degeneration.
+      assert(shuffles(p) == 3,
+        s"lpa round $r: expected 3 shuffles, got ${shuffles(p)}:\n" +
+          p.toString.take(2000))
+      assertNoAllPairs(s"q_graph_lpa round $r", p)
+    }
+    }
+  }
+
+  test("q_embed_kcenter assignment plan: the corpus never shuffles — " +
+      "one tiny center re-pack exchange, one 1-row broadcast cross join") {
+    withStaticPlans {
+    val p = graft.queries.SimilarityQueries
+      .kcenterAssign(graft.Tables.embeddings(spark, Dir))
+      .queryExecution.executedPlan
+    // at most one exchange — the ≤ k-row center collect_list re-pack
+    // (0 when the checkpointed 1-row center frames land single-
+    // partition); more means the corpus started shuffling
+    assert(shuffles(p) <= 1,
+      s"kcenter: expected ≤ 1 exchange (the k-row center re-pack), got " +
+        s"${shuffles(p)}:\n${p.toString.take(2000)}")
+    // the single nested loop is the INTENDED 1-row centroid cross join
+    assert(count(p) { case _: BroadcastNestedLoopJoinExec => () } == 1,
+      s"kcenter: expected exactly the 1-row centroid cross join:\n" +
+        p.toString.take(2000))
+    assert(count(p) { case _: SortMergeJoinExec => () } == 0 &&
+      count(p) { case _: CartesianProductExec => () } == 0,
+      s"kcenter: unexpected join strategy:\n${p.toString.take(2000)}")
+    }
+  }
+
+  test("q_text_dsir plan: corpus crosses the wire once (the checkpointed " +
+      "per-doc bucket agg); the λ table joins back as a broadcast") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_text_dsir")(spark, Dir)
+      .queryExecution.executedPlan
+    // 8 exchanges, all over the ≤ B-row bucket tables or the
+    // checkpointed (doc, bucket) frame: raw(b), target(b), the two
+    // 1-row totals, the λ join's bucket-side exchanges, the per-doc
+    // fold (doc_id), and the presentation sort. The corpus-sized gram
+    // explosion happened ONCE, inside the eager checkpoint — more
+    // exchanges here means perDoc stopped being materialized and the
+    // corpus is being re-exploded per consumer.
+    assert(shuffles(p) == 8,
+      s"q_text_dsir: expected 8 post-checkpoint exchanges, got " +
+        s"${shuffles(p)}:\n${p.toString.take(2000)}")
+    // λ (≤ B rows) must come back as a broadcast-hash join, and the
+    // only nested loops are the two 1-row total cross joins
+    assert(count(p) { case _: BroadcastHashJoinExec => () } >= 1,
+      s"q_text_dsir: λ stopped broadcasting:\n${p.toString.take(2000)}")
+    assert(count(p) { case _: BroadcastNestedLoopJoinExec => () } <= 2,
+      s"q_text_dsir: more than the two 1-row total cross joins:\n" +
+        p.toString.take(2000))
+    assert(count(p) { case _: WindowExec => () } == 0 &&
+      count(p) { case _: CartesianProductExec => () } == 0,
+      s"q_text_dsir: unexpected operator:\n${p.toString.take(2000)}")
+    }
+  }
+
   test("q_text_logprob plan: one corpus shuffle reused by the unigram " +
       "table — vocabulary never broadcast off its own scan") {
     withStaticPlans {
