@@ -370,6 +370,40 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // HyperLogLog distinct count ([[graft.functions.HllAgg]]) — the
+    // register-array companion to q_distinct_kmv: CONSTANT 256 bytes
+    // per group per partition cross the shuffle regardless of both the
+    // distinct count and the accuracy knob's k (KMV's state grows with
+    // k). Hash is the 60-bit md5 idiom, bucket = low 8 bits,
+    // rho = 53 − bitlength of the remaining window — all integer
+    // functions of the data, so the register array is bit-replicated
+    // by the oracle and regs_csv pins the ENTIRE sketch, not just the
+    // estimate. The estimate (alpha·m²/Σ2^−reg, linear counting below
+    // 2.5m with empty buckets) is one fixed float expression shared
+    // textually with the oracle: the Σ folds register-index order —
+    // powers of two are exact but their 61-bit span rounds, so order
+    // is part of the contract.
+    "q_distinct_hll" -> ((s, d) => {
+      val hll = udaf(new graft.functions.HllAgg(8))
+      val eRaw = expr("(0.7213 / (1.0 + 1.079 / 256)) * 65536 / " +
+        "aggregate(regs, CAST(0.0 AS DOUBLE), " +
+        "(acc, r) -> acc + power(0.5, r))")
+      val nZero = expr("size(filter(regs, r -> r = 0))").cast("long")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+        .groupBy(col("l_returnflag"))
+        .agg(hll(col("hv")).as("regs"))
+        .select(col("l_returnflag"),
+          expr("array_join(regs, ',')").as("regs_csv"),
+          nZero.as("n_zero"),
+          round(when(eRaw <= 640.0 && nZero > 0,
+            lit(256.0) * log(lit(256.0) / nZero)).otherwise(eRaw), 2)
+            .as("est_distinct"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Date/time handling + filter pushdown to the parquet scan.
     "q_date_filter" -> ((s, d) => {
       Tables.orders(s, d)
@@ -569,6 +603,36 @@ object RelationalQueries {
                            ELSE 63.0 * 4294967296.0 / sk[64] END, 2)
                   AS est_distinct
          FROM k ORDER BY l_returnflag""",
+    "q_distinct_hll" ->
+      """WITH h AS (SELECT l_returnflag,
+                      CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS hv
+                    FROM lineitem),
+          w AS (SELECT l_returnflag, hv % 256 AS b, hv // 256 AS wv FROM h),
+          r AS (SELECT l_returnflag, b,
+                       MAX(CASE WHEN wv = 0 THEN 53
+                                ELSE 53 - length(bin(wv)) END) AS rho
+                FROM w GROUP BY 1, 2),
+          grid AS (SELECT DISTINCT h.l_returnflag, mr.range AS b
+                   FROM h CROSS JOIN range(0, 256) mr),
+          regs AS (SELECT g.l_returnflag, g.b, COALESCE(r.rho, 0) AS rho
+                   FROM grid g LEFT JOIN r
+                     ON r.l_returnflag = g.l_returnflag AND r.b = g.b),
+          s AS (SELECT l_returnflag, list(rho ORDER BY b) AS rl
+                FROM regs GROUP BY 1),
+          e AS (SELECT l_returnflag,
+                       array_to_string(rl, ',') AS regs_csv,
+                       CAST(len(list_filter(rl, x -> x = 0)) AS BIGINT)
+                         AS n_zero,
+                       (0.7213 / (1.0 + 1.079 / 256)) * 65536 /
+                         list_sum(list_transform(rl, x -> power(0.5, x)))
+                         AS e_raw
+                FROM s)
+          SELECT l_returnflag, regs_csv, n_zero,
+                 ROUND(CASE WHEN e_raw <= 640.0 AND n_zero > 0
+                            THEN 256.0 * ln(256.0 / n_zero)
+                            ELSE e_raw END, 2) AS est_distinct
+          FROM e ORDER BY l_returnflag""",
     "q_date_filter" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
          COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total

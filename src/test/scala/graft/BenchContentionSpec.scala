@@ -30,7 +30,19 @@ class BenchContentionSpec extends AnyFunSuite {
   test("mid-run probe drift flags even when launch was quiet") {
     // contention arriving mid-run: start probes clean, end probes moved
     assert(Bench.contendedFlag("0.50 0.40 0.30", 0.80, 1.30, 0.20, 0.21))
-    assert(Bench.contendedFlag("0.50 0.40 0.30", 0.80, 0.81, 0.20, 0.35))
+    // corroborated spark drift: cpu moved 12%, spark doubled
+    assert(Bench.contendedFlag("0.50 0.40 0.30", 0.80, 0.90, 0.20, 0.41))
+  }
+
+  test("uncorroborated spark-probe drift is engine self-state, not " +
+      "contention (round 13)") {
+    // the REAL r13 false positive: two runs under different machine
+    // conditions both ended at spark 0.409x off a 0.18-0.20 start with
+    // the cpu probe flat — deterministic post-catalog JVM state; must
+    // NOT flag
+    assert(!Bench.contendedFlag("1.30 3.03 3.95", 0.7685, 0.7487,
+      0.1984, 0.4094))
+    assert(!Bench.contendedFlag("0.50 0.40 0.30", 0.80, 0.81, 0.20, 0.35))
   }
 
   test("unparseable loadavg falls back to probe drift only") {
