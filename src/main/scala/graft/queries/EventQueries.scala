@@ -257,6 +257,30 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // STREAMING anomaly detection under the gate
+    // ([[EventStreams.anomalyStream]]): each user's hourly count
+    // z-scored against the user's RUNNING profile — the hours strictly
+    // before it — because a stream cannot see the future (the batch
+    // q_events_anomaly scores against the full history; the two
+    // deliberately differ). An hour is emitted when it CLOSES with
+    // |z| > 2 over ≥ 2 profile hours; each user's final open hour
+    // never closes, and the oracle replays the same prefix moments +
+    // last-hour exclusion with the identical fixed IEEE z expression
+    // (exact long moments → z bit-identical, the q_events_anomaly
+    // contract). Reuses the memoized (user_id, ts) chronological feed.
+    "q_stream_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val chunks = cachedChunks(s, d, "running")(
+        sortedFeed(Tables.events(s, d)
+          .select(col("user_id"), col("ts"))
+          .as[(Long, java.sql.Timestamp)], "ts"))
+      replayToTable(s, chunks)(stream =>
+        EventStreams.anomalyStream(stream.toDS()).toDF())
+        .select(col("user_id"), date_format(col("hour"), Fmt).as("hour"),
+          col("cnt"), round(col("z"), 6).as("z"))
+        .orderBy(col("user_id"), col("hour"))
+    }),
+
     // Tumbling 6h windows per event type.
     "q_events_tumbling" -> ((s, d) => {
       EventStreams.tumbling(Tables.events(s, d), "6 hours")
@@ -523,6 +547,31 @@ object EventQueries {
          SELECT l.user_id, l.n, CAST(s.island_n AS BIGINT) AS streak
          FROM l JOIN s ON s.user_id = l.user_id AND s.sid = l.ls
          ORDER BY l.user_id""",
+    // prefix (strictly-preceding-hours) moments + last-hour exclusion =
+    // exactly the hours the replay closes; same fixed IEEE z expression
+    "q_stream_anomaly" ->
+      """WITH hc AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                       count(*) AS cnt
+                     FROM events GROUP BY 1, 2),
+          o AS (SELECT user_id, hour, cnt,
+                  COUNT(*) OVER wpre AS nb,
+                  SUM(cnt) OVER wpre AS s1,
+                  SUM(cnt * cnt) OVER wpre AS s2,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY hour DESC) AS rdesc
+                FROM hc
+                WINDOW wpre AS (PARTITION BY user_id ORDER BY hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          f AS (SELECT user_id, hour, cnt,
+                  CAST(s1 AS DOUBLE) / nb AS m,
+                  (CAST(s2 AS DOUBLE) -
+                   CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nb) /
+                    (nb - 1) AS varr
+                FROM o WHERE rdesc > 1 AND nb >= 2)
+         SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, cnt,
+                round((cnt - m) / sqrt(varr), 6) AS z
+         FROM f WHERE varr > 0 AND abs((cnt - m) / sqrt(varr)) > 2.0
+         ORDER BY user_id, hour""",
     "q_events_sliding" ->
       """SELECT strftime(time_bucket(INTERVAL '6 hours', ts)
                            - o.range * INTERVAL '6 hours',

@@ -178,4 +178,67 @@ object EventStreams {
           closed.result().iterator
       }
   }
+
+  /** STREAMING event-rate anomaly detection — the flatMapGroupsWithState
+    * form of q_events_anomaly, with the causality a stream forces: each
+    * user's hourly count is z-scored against that user's RUNNING profile
+    * (the hours strictly BEFORE it), not the batch query's full-history
+    * profile — a stream cannot see the future, and an alerting pipeline
+    * wouldn't want it to. An hour is scored when it CLOSES (a later
+    * event arrives in a newer hour); each user's final open hour never
+    * closes and is deliberately not emitted (the oracle excludes it the
+    * same way).
+    *
+    * State per user = exact integer moments of the closed hours
+    * (n, Σcnt, Σcnt²) + the open hour — a handful of longs, bounded by
+    * the user population, chunking-invariant because the per-batch fold
+    * (events sorted by ts) composes across batches into the same
+    * chronological fold. z is the identical fixed IEEE expression as
+    * the batch gate and the oracle (+,·,/,sqrt all correctly rounded →
+    * bit-identical; the \|z\| > threshold cut can never flip on an ulp).
+    */
+  final case class HourProfile(nb: Long, s1: Long, s2: Long,
+                               openHourMs: Long, openCnt: Long)
+  final case class HourAnomaly(user_id: Long, hour: java.sql.Timestamp,
+                               cnt: Long, z: Double)
+
+  def anomalyStream(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+                    threshold: Double = 2.0): org.apache.spark.sql.Dataset[HourAnomaly] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val HourMs = 3600000L
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[HourProfile, HourAnomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val out = Seq.newBuilder[HourAnomaly]
+          var st = state.getOption
+            .getOrElse(HourProfile(0L, 0L, 0L, Long.MinValue, 0L))
+          def closeOpenHour(): Unit = if (st.openHourMs != Long.MinValue) {
+            val cnt = st.openCnt
+            if (st.nb >= 2) {
+              val m = st.s1.toDouble / st.nb
+              val varr = (st.s2.toDouble -
+                st.s1.toDouble * st.s1.toDouble / st.nb) / (st.nb - 1)
+              if (varr > 0) {
+                val z = (cnt - m) / math.sqrt(varr)
+                if (math.abs(z) > threshold)
+                  out += HourAnomaly(user,
+                    new java.sql.Timestamp(st.openHourMs), cnt, z)
+              }
+            }
+            st = HourProfile(st.nb + 1, st.s1 + cnt, st.s2 + cnt * cnt,
+              Long.MinValue, 0L)
+          }
+          rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+            val h = Math.floorDiv(t, HourMs) * HourMs
+            if (h != st.openHourMs) {
+              closeOpenHour()
+              st = st.copy(openHourMs = h, openCnt = 1L)
+            } else st = st.copy(openCnt = st.openCnt + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -167,6 +167,68 @@ class EventStreamsSpec extends SparkSpec {
     assert(oneBatch.values.map(_._1).sum == 40L)
   }
 
+  test("anomalyStream: a zero-variance profile never emits; the final " +
+      "open hour is never emitted even when anomalous") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def at(hour: Int, minute: Int) = ts(hour * 60 + minute)
+    // hours 0-2 all carry count 2 (variance 0 → closing hour 3 can't
+    // score), and the 9-count spike in hour 3 NEVER closes (no later
+    // event) — so nothing at all is emitted
+    val calm = for (h <- 0 to 2; m <- Seq(1, 2)) yield (1L, at(h, m))
+    val spike = (0 until 9).map(m => (1L, at(3, m)))
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anom_test")
+      .outputMode("append").start()
+    try {
+      input.addData(calm)
+      q.processAllAvailable()
+      input.addData(spike)
+      q.processAllAvailable()
+      assert(s.table("anom_test").isEmpty)
+    } finally q.stop()
+  }
+
+  test("anomalyStream: z equals the prefix-moment replay and is " +
+      "chunking-invariant") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def at(hour: Int, minute: Int) = ts(hour * 60 + minute)
+    // counts 1, 2, 3 over hours 0-2 (nonzero variance), spike 9 in
+    // hour 3, closer in hour 4
+    val events = (Seq((1L, at(0, 1))) ++
+      Seq(1, 2).map(m => (1L, at(1, m))) ++
+      Seq(1, 2, 3).map(m => (1L, at(2, m))) ++
+      (0 until 9).map(m => (1L, at(3, m))) ++
+      Seq((1L, at(4, 0)))).sortBy(_._2.getTime)
+    def run(chunks: Seq[Seq[(Long, Timestamp)]], name: String) = {
+      val input = MemoryStream[(Long, Timestamp)]
+      val q = EventStreams.anomalyStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      val out = s.table(name).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      s.catalog.dropTempView(name)
+      out
+    }
+    val one = run(Seq(events), "anom_one")
+    val many = run(events.grouped(3).toSeq, "anom_many")
+    assert(one == many, s"$one vs $many")
+    // hour 2 closes against {1,2}: m=1.5, var=0.5, z=(3-1.5)/sqrt(.5)
+    // ≈ 2.12 > 2 → emitted; hour 3 against {1,2,3}: m=2, var=1, z=7
+    val m23 = 3.0 / 2
+    val v23 = (5.0 - 3.0 * 3.0 / 2) / 1
+    assert(one.map(t => (t._3, t._4)) ==
+      Seq((3L, (3 - m23) / math.sqrt(v23)), (9L, (9 - 2.0) / 1.0)))
+  }
+
   test("mergeable CMS sketch aggregates identically in batch and streaming") {
     // the sketch Aggregators are the scale path BECAUSE they're
     // mergeable; streaming incremental state maintenance is the same
