@@ -368,6 +368,35 @@ object EventQueries {
         .orderBy(col("err_id"))
     }),
 
+    // As-of join, FORWARD direction: each error paired with the same
+    // user's NEXT signup at or after it — the "what re-engagement /
+    // release followed the failure" question the backward join can't
+    // answer. Identical scale shape (one shuffle on user_id, union
+    // tagged streams, never a per-row probe): FIRST over the FOLLOWING
+    // frame mirrors the backward LAST-over-PRECEDING; errors with no
+    // later signup keep NULLs (the open side of the join).
+    "q_events_asof_fwd" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("error", "signup"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("signup_id",
+          first(when(col("event_type") === "signup", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("signup_ts",
+          first(when(col("event_type") === "signup", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("signup_id"),
+          ((unix_micros(col("signup_ts")) - unix_micros(col("ts")))
+            / lit(1000000L)).cast("long").as("wait_sec"))
+        .orderBy(col("err_id"))
+    }),
+
     // Range join: each error event joined to the same user's clicks in
     // the preceding 3 days — equi on user_id (the shuffle key), range
     // predicate applied within the join.
@@ -636,6 +665,27 @@ object EventQueries {
          SELECT user_id, event_id AS err_id, signup_id,
                 CAST((epoch_us(ts) - epoch_us(signup_ts)) // 1000000 AS BIGINT)
                   AS gap_sec
+         FROM m WHERE event_type = 'error' ORDER BY err_id""",
+    // FIRST over the FOLLOWING frame — the forward mirror of the
+    // backward oracle directly above
+    "q_events_asof_fwd" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events
+                     WHERE event_type IN ('error', 'signup')),
+          m AS (SELECT user_id, event_id, ts, event_type,
+                 FIRST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS signup_id,
+                 FIRST_VALUE(CASE WHEN event_type = 'signup' THEN ts END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS signup_ts
+                FROM ev)
+         SELECT user_id, event_id AS err_id, signup_id,
+                CAST((epoch_us(signup_ts) - epoch_us(ts)) // 1000000 AS BIGINT)
+                  AS wait_sec
          FROM m WHERE event_type = 'error' ORDER BY err_id""",
     "q_events_range" ->
       """SELECT e.event_id AS err_id, COUNT(c.ts) AS n_clicks

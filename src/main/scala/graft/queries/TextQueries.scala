@@ -256,6 +256,52 @@ object TextQueries {
         .orderBy(col("source"), col("cum_tok"), col("doc_id"))
     }),
 
+    // TEMPERATURE-weighted mixture (the T5/mT5 α-sampling rule): one
+    // GLOBAL token budget split across sources ∝ tot^α, α = 0.5 —
+    // upweighting small sources relative to proportional sampling
+    // (α = 1) without flattening to uniform (α = 0), the standard
+    // low-resource-language rebalance. α = 0.5 is deliberate: sqrt is
+    // the one power IEEE requires correctly rounded on both engines,
+    // so the per-source budgets are bit-identical cross-engine with no
+    // rounding shim (a general pow is libm-ulp territory INSIDE an
+    // integer floor — exactly where engines drift). The source-weight
+    // Σ folds source-sorted (the logprob contract); the per-source
+    // fill is q_text_mixture's machinery with the computed budget
+    // riding the broadcast totals join.
+    "q_text_mixture_temp" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.GraftFunctions.register(s)
+      val totalBudget = 8000L
+      val sym = bpeSymbols(col("text"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (length(sym) - length(replace(sym, lit(BpeSep), lit(""))))
+            .cast("long").as("n_tok"),
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+            .as("h"))
+      val totals = docs.groupBy("source").agg(sum(col("n_tok")).as("tot"))
+      val wsum = totals
+        .agg(sort_array(collect_list(struct(col("source"),
+          sqrt(col("tot")).as("wt")))).as("sw"))
+        .select(expr("aggregate(sw, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x.wt)").as("ws"))
+      val budgets = totals.crossJoin(broadcast(wsum))
+        .select(col("source"), col("tot"),
+          floor(lit(totalBudget) * sqrt(col("tot")) / col("ws"))
+            .cast("long").as("b"))
+      val pruned = docs.join(broadcast(budgets), "source")
+        .filter(col("h") / lit(4294967296.0) <
+          least(lit(1.0), lit(3.0) * col("b") / col("tot")))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pruned.withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= col("b") ||
+          col("cum_tok") - col("n_tok") === 0)
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          col("b").as("src_budget"), col("cum_tok"))
+        .orderBy(col("source"), col("cum_tok"), col("doc_id"))
+    }),
+
     // PII detection + redaction — the mandatory privacy pass of a
     // training-data pipeline: count and mask emails / IPv4 addresses /
     // phone numbers in one narrow codegen'd pass (regexp_extract_all +
@@ -830,6 +876,35 @@ object TextQueries {
                  FROM p)
            SELECT source, doc_id, n_tok, cum_tok FROM c
            WHERE cum_tok <= 1000 OR cum_tok - n_tok = 0
+           ORDER BY source, cum_tok, doc_id""",
+      // same sqrt temperature weights (source-sorted fold), same floor'd
+      // per-source budgets, same fill rule
+      "q_text_mixture_temp" ->
+        s"""WITH d AS (SELECT doc_id, source,
+                    CAST(len(sym) - len(replace(sym, chr(1), '')) AS BIGINT)
+                      AS n_tok,
+                    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) AS h
+                FROM (SELECT doc_id, source, $bpeSymbolsSql AS sym
+                      FROM documents)),
+           t AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot
+                 FROM d GROUP BY source),
+           ws AS (SELECT list_sum(list(sqrt(tot) ORDER BY source)) AS ws
+                  FROM t),
+           b AS (SELECT source, tot,
+                   CAST(FLOOR(8000 * sqrt(tot) / (SELECT ws FROM ws))
+                     AS BIGINT) AS b
+                 FROM t),
+           p AS (SELECT d.source, d.doc_id, d.n_tok, d.h, b.b
+                 FROM d JOIN b USING (source)
+                 WHERE d.h / 4294967296.0 < least(1.0, 3.0 * b.b / b.tot)),
+           c AS (SELECT source, doc_id, n_tok, b,
+                        CAST(SUM(n_tok) OVER (PARTITION BY source
+                          ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum_tok
+                 FROM p)
+           SELECT source, doc_id, n_tok, b AS src_budget, cum_tok FROM c
+           WHERE cum_tok <= b OR cum_tok - n_tok = 0
            ORDER BY source, cum_tok, doc_id""",
       "q_text_sample_stratified" ->
         """WITH r AS (SELECT doc_id, lang,
