@@ -555,6 +555,49 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher quality rules (Rae et al. 2021, Table A1) — the published
+    // rule-based pretraining filter, adapted to the rules this corpus
+    // can express (it has no line structure): word count ∈ [50, 100000],
+    // mean word length ∈ [3, 10], ≥ 80% of words contain an alphabetic
+    // character, ≥ 2 distinct English stopwords, and the repetition
+    // screens dup-2-gram ≤ 0.20 / dup-3-gram ≤ 0.18. Emits the
+    // per-rule booleans — a curation pipeline needs to know WHY a doc
+    // dropped, not just that it did — plus the conjunction. One narrow
+    // pass; every fraction is exact-integer arithmetic in the same
+    // expression order as the oracle, so no boolean cut can flip on an
+    // ulp.
+    "q_text_gopher" -> ((s, d) => {
+      val en = StopLists.head._2
+      def dupFrac(w: Int): Column = {
+        val ng = expr(
+          s"transform(sequence(1, size(toks) - ${w - 1})," +
+            s" i -> concat_ws(' ', slice(toks, i, $w)))")
+        when(size(col("toks")) < w, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(ng)).cast("double") / size(ng).cast("double"))
+      }
+      val nTok = size(col("toks"))
+      val meanLen = expr("aggregate(toks, 0L, (a, t) -> a + length(t))")
+        .cast("double") / nTok.cast("double")
+      val alphaFrac = size(filter(col("toks"),
+        t => t.rlike("[A-Za-z]"))).cast("double") / nTok.cast("double")
+      val nStops = size(array_distinct(filter(col("toks"),
+        t => t.isin(en: _*))))
+      val rules = Seq(
+        "r_wordcount" -> (nTok >= 50 && nTok <= 100000),
+        "r_meanlen" -> (meanLen >= 3.0 && meanLen <= 10.0),
+        "r_alpha" -> (alphaFrac >= 0.8),
+        "r_stopwords" -> (nStops >= 2),
+        "r_dup2" -> (dupFrac(2) <= 0.20),
+        "r_dup3" -> (dupFrac(3) <= 0.18))
+      Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .select(col("doc_id") +:
+          rules.map { case (n, c) => c.as(n) } :+
+          rules.map(_._2).reduce(_ && _).as("keep"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL BPE token counting (VERDICT r7 item 7 + r8 item 5): the
     // q_text_tokens n_subword column is a regex heuristic; this applies
     // the TRAINED 1200-rule merge table
@@ -1040,6 +1083,45 @@ object TextQueries {
                        ELSE 1.0 - CAST(len(list_distinct(ng3)) AS DOUBLE)
                                   / CAST(len(ng3) AS DOUBLE) END AS dup3_frac
            FROM g ORDER BY doc_id""",
+      // same exact-integer fractions (identical expression order), same
+      // thresholds — no boolean cut can flip cross-engine
+      "q_text_gopher" ->
+        s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+')
+                         AS toks
+                      FROM documents),
+           g AS (SELECT doc_id, toks, len(toks) AS n,
+                   [array_to_string(toks[i:i+1], ' ')
+                    for i in range(1, len(toks))] AS ng2,
+                   [array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)] AS ng3
+                 FROM t),
+           m AS (SELECT doc_id, n,
+                   CAST(list_sum(list_transform(toks, x -> length(x)))
+                     AS DOUBLE) / CAST(n AS DOUBLE) AS ml,
+                   CAST(len(list_filter(toks,
+                     x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS af,
+                   len(list_distinct(list_filter(toks,
+                     x -> x IN ${sqlStopList(StopLists.head._2)
+                       .replace("[", "(").replace("]", ")")}))) AS stp,
+                   CASE WHEN n < 2 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(ng2)) AS DOUBLE)
+                                   / CAST(len(ng2) AS DOUBLE) END AS d2,
+                   CASE WHEN n < 3 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(ng3)) AS DOUBLE)
+                                   / CAST(len(ng3) AS DOUBLE) END AS d3
+                 FROM g)
+           SELECT doc_id,
+                  n >= 50 AND n <= 100000 AS r_wordcount,
+                  ml >= 3.0 AND ml <= 10.0 AS r_meanlen,
+                  af >= 0.8 AS r_alpha,
+                  stp >= 2 AS r_stopwords,
+                  d2 <= 0.20 AS r_dup2,
+                  d3 <= 0.18 AS r_dup3,
+                  n >= 50 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
+                    AND af >= 0.8 AND stp >= 2 AND d2 <= 0.20
+                    AND d3 <= 0.18 AS keep
+           FROM m ORDER BY doc_id""",
       // ascending-char fold order and ln(x)/ln(2) mirror the native
       // expression exactly (CharEntropyUtil); LEFT JOIN keeps empty
       // documents at entropy 0.0
