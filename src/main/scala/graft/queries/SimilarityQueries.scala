@@ -449,6 +449,40 @@ object SimilarityQueries {
     "q_embed_knn" -> ((s, d) =>
       knnTop(s, d).orderBy(col("vec_id"), col("rank"))),
 
+    // kNN feature smoothing — graph-regularized embeddings: each
+    // vector's embedding is replaced by the mean over {itself} ∪ its
+    // KnnK within-cluster nearest neighbors, the 1-hop message-passing
+    // step of feature propagation (smooths annotation noise before
+    // clustering; the GNN aggregate without the learned weights).
+    // Float-free BY CONSTRUCTION (the kmUpdate discipline): components
+    // accumulate as floor(x·2²⁰) longs — exact, order-independent,
+    // partial-agg'd to ≤ 64 rows per (vector, position) — and the mean
+    // ships as floor(Σfix / n) LONGS rendered to CSV, so the compare
+    // payload is integer text with zero cross-engine float-formatting
+    // risk. Same memoized Lloyd blocking as the rest of the kNN family.
+    "q_embed_smooth" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val members = knnTop(s, d).select(col("vec_id"), col("nb"))
+        .unionAll(emb.select(col("vec_id"), col("vec_id").as("nb")))
+      members.join(emb.select(col("vec_id").as("nb"), col("embedding")),
+          Seq("nb"))
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"),
+          floor(col("v").cast("double") * expr(KmQ)).cast("long").as("fix"))
+        .groupBy("vec_id", "pos")
+        .agg(sum("fix").as("sfix"), count(lit(1)).as("n"))
+        .groupBy("vec_id")
+        .agg(max("n").as("n_members"),
+          sort_array(collect_list(struct(col("pos"),
+            floor(col("sfix").cast("double") / col("n")).cast("long")
+              .as("m")))).as("pm"))
+        .select(col("vec_id"), col("n_members"),
+          expr("array_join(transform(pm, x -> x.m), ',')")
+            .as("smooth_fix_csv"))
+        .orderBy(col("vec_id"))
+    }),
+
     // kNN label cleaning (the classic Wilson'72 edited-NN rule, the
     // confident-learning-lite of modern curation): each vector's label
     // is voted on by its KnnK within-cluster nearest neighbors —
@@ -939,6 +973,28 @@ object SimilarityQueries {
   private lazy val knnGraphOracle: String = knnCtes + """
         SELECT vec_id, nb, cos, rank FROM knn ORDER BY vec_id, rank"""
 
+  /** knnCtes + the {self} ∪ neighbors fixed-point mean — the same
+    * floor(x·2²⁰) long accumulation and floor(Σ/n) mean as the engine
+    * (integer CSV output: no float formatting anywhere). */
+  private lazy val smoothOracle: String = knnCtes + s""",
+        mem AS (SELECT vec_id, nb FROM knn
+                UNION ALL SELECT vec_id, vec_id AS nb FROM e),
+        x AS (SELECT m.vec_id, u.i AS pos,
+                CAST(FLOOR(CAST(u.v AS DOUBLE) * $KmQ) AS BIGINT) AS fix
+              FROM mem m JOIN (SELECT vec_id, unnest(embedding) AS v,
+                                      unnest(range(1, 65)) AS i
+                               FROM e) u ON u.vec_id = m.nb),
+        g AS (SELECT vec_id, pos, CAST(SUM(fix) AS BIGINT) AS sfix,
+                     COUNT(*) AS n
+              FROM x GROUP BY 1, 2),
+        f AS (SELECT vec_id, CAST(MAX(n) AS BIGINT) AS n_members,
+                     array_to_string(list(
+                       CAST(FLOOR(CAST(sfix AS DOUBLE) / n) AS BIGINT)
+                       ORDER BY pos), ',') AS smooth_fix_csv
+              FROM g GROUP BY vec_id)
+        SELECT vec_id, n_members, smooth_fix_csv FROM f
+        ORDER BY vec_id"""
+
   /** knnCtes + the Wilson edited-NN majority vote — same
     * (cnt DESC, label ASC) argmax as the engine's min(struct(-cnt, l));
     * vectors without cluster-mates keep their own label. */
@@ -962,6 +1018,7 @@ object SimilarityQueries {
     "q_embed_kcenter" -> kcenterOracle,
     "q_embed_knn" -> knnGraphOracle,
     "q_embed_label_clean" -> labelCleanOracle,
+    "q_embed_smooth" -> smoothOracle,
     "q_dedup_semantic" -> semanticOracle,
     "q_dedup_semantic_cluster" -> semanticClusterOracle,
     "q_ann_bruteforce" ->
