@@ -29,4 +29,31 @@ class MixtureSpec extends SparkSpec {
       }
     }
   }
+
+  test("temperature mixture: budgets are the sqrt-share split of the " +
+      "global budget and each source's fill respects its own budget") {
+    val s = spark
+    import s.implicits._
+    val TotalBudget = 8000L
+    val out = queries.TextQueries.queries("q_text_mixture_temp")(
+      s, "/root/testdata/sf0.001")
+      .select("source", "doc_id", "n_tok", "src_budget", "cum_tok")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // one budget per source; the sqrt split can never exceed the global
+    // budget in total (floors only lose tokens)
+    val budgets = out.groupBy(_._1).view.mapValues(_.map(_._4).distinct).toMap
+    assert(budgets.values.forall(_.size == 1))
+    assert(budgets.values.map(_.head).sum <= TotalBudget)
+    // upweighting property: the sqrt split gives every participating
+    // source a budget, and no source hogs the proportional share it
+    // would get under alpha = 1 unless it is small
+    assert(budgets.values.forall(_.head > 0))
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val b = rows.head._4
+      rows.sortBy(_._5).zipWithIndex.foreach { case ((_, _, n, _, cum), i) =>
+        assert(cum <= b || (i == 0 && cum === n), s"$src over budget")
+      }
+    }
+  }
 }

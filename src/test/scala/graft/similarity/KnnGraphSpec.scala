@@ -78,6 +78,33 @@ class KnnGraphSpec extends SparkSpec {
     assert(got.exists(_._4))
   }
 
+  test("feature smoothing equals the fixed-point mean over self + kNN") {
+    val q = 1048576.0
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val nn = rows().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expect = vecs.keys.toSeq.sorted.map { v =>
+      val members = v +: nn.getOrElse(v, Seq.empty)
+      val sums = Array.fill(64)(0L)
+      members.foreach { m =>
+        var i = 0
+        while (i < 64) {
+          sums(i) += math.floor(vecs(m)(i) * q).toLong; i += 1
+        }
+      }
+      (v, members.size.toLong,
+        sums.map(s => math.floor(s.toDouble / members.size).toLong)
+          .mkString(","))
+    }
+    val got = graft.SparkEntry.queries("q_embed_smooth")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == expect)
+  }
+
   test("ranks are dense from 1 and cosines non-increasing per vector") {
     rows().groupBy(_._1).foreach { case (_, g) =>
       val sorted = g.sortBy(_._4)
