@@ -20,15 +20,28 @@ class KnnGraphSpec extends SparkSpec {
     graft.SparkEntry.queries("q_embed_kmeans")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("every neighbor edge stays inside the learned cluster") {
+  /** The engine's memoized top-2 multiprobe assignment (its row-1
+    * equality with the argmin assignment is pinned below; the argmin
+    * itself is pinned against a full driver replay by KmeansSpec). */
+  private def probes(): Map[Long, Set[Long]] =
+    graft.queries.SimilarityQueries.kmAssignments2(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("every neighbor edge lands in one of the query's two probed " +
+      "cells, and probe 1 is exactly the argmin cluster") {
     val a = clusters()
+    val p = probes()
+    assert(p.values.forall(s => s.nonEmpty && s.size <= 2))
+    assert(a.forall { case (v, c) => p(v).contains(c) })
     val r = rows()
     assert(r.nonEmpty)
-    assert(r.forall { case (v, nb, _, _) => a(v) == a(nb) })
+    assert(r.forall { case (v, nb, _, _) => p(v).contains(a(nb)) })
   }
 
-  test("neighbor lists equal the driver-side within-cluster top-3 replay") {
+  test("neighbor lists equal the driver-side multiprobe top-3 replay") {
     val a = clusters()
+    val p = probes()
     val vecs = graft.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding")
       .collect()
@@ -43,7 +56,7 @@ class KnnGraphSpec extends SparkSpec {
     }
     val expect = a.keys.toSeq.sorted.flatMap { v =>
       a.keys.toSeq
-        .filter(nb => nb != v && a(nb) == a(v))
+        .filter(nb => nb != v && p(v).contains(a(nb)))
         .map(nb => (nb, cos(vecs(v), vecs(nb))))
         .sortBy { case (nb, c) => (-c, nb) }
         .take(3)
@@ -52,6 +65,36 @@ class KnnGraphSpec extends SparkSpec {
     }
     val got = rows().map { case (v, nb, _, rk) => (v, nb, rk) }
     assert(got == expect)
+  }
+
+  test("multiprobe recall@3 vs global brute force clears the floor") {
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < 64) {
+        d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val global = vecs.keys.map { v =>
+      v -> vecs.keys.filter(_ != v)
+        .map(n => (n, cos(vecs(v), vecs(n)))).toSeq
+        .sortBy(t => (-t._2, t._1)).take(3).map(_._1).toSet
+    }.toMap
+    val knn = rows().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = global.keys.toSeq.map { v =>
+      knn.getOrElse(v, Set.empty[Long]).intersect(global(v)).size / 3.0
+    }
+    val mean = recall.sum / recall.size
+    // measured 0.515 at nprobe=2 on this near-orthogonal corpus (the
+    // adversarial case for any blocked index — AnnRecallSpec's story);
+    // single-probe measured 0.31, so the floor also proves the second
+    // probe is actually wired in
+    assert(mean >= 0.45, f"recall@3 $mean%.3f below floor")
   }
 
   test("label cleaning equals the majority vote over the kNN lists") {
