@@ -358,6 +358,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_embed_knn plan: multiprobe candidates stay a cluster " +
+      "equi-join — never all-pairs") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_embed_knn")(spark, Dir)
+      .queryExecution.executedPlan
+    // 4 exchanges: the two cluster-keyed join sides (query multiprobe ×
+    // corpus argmin cell), the top-k window repartition, and the
+    // presentation sort — each corpus-proportional stream crosses once
+    assert(shuffles(p) == 4,
+      s"q_embed_knn: expected 4 exchanges, got ${shuffles(p)}:\n" +
+        p.toString.take(2000))
+    // the candidate generator must remain an equi-join on the cluster
+    // key; a nested-loop/cartesian here is the corpus² the blocking
+    // exists to avoid
+    assert(equiJoins(p) >= 1,
+      s"q_embed_knn: cluster equi-join missing:\n${p.toString.take(2000)}")
+    assertNoAllPairs("q_embed_knn", p)
+    }
+  }
+
   test("q_text_dsir plan: corpus crosses the wire once (the checkpointed " +
       "per-doc bucket agg); the λ table joins back as a broadcast") {
     withStaticPlans {
