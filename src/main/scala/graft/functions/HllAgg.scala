@@ -33,11 +33,16 @@ class HllAgg(p: Int)
 
   private val m = 1 << p
 
-  /** rho of the 52-bit window above the bucket bits: 53 − bitlength;
-    * the hash is < 2^60 so the window is < 2^(60−p) ≤ 2^52 when
-    * p ≥ 8 — callers hand 15-hex-char md5 values, never full longs. */
+  /** Width of the rank window above the p bucket bits: the hash is
+    * < 2^60 (15 md5 hex chars), so h >>> p is < 2^(60−p). */
+  private val windowBits = 60 - p
+
+  /** rho = leading zeros of the window + 1 = (windowBits − bitlength)
+    * + 1; an all-zero window scores windowBits + 1 (p = 8: the 53 the
+    * q_distinct_hll oracle replays as 53 − length(bin(w))). */
   private def rho(w: Long): Int =
-    if (w == 0L) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    if (w == 0L) windowBits + 1
+    else windowBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
 
   override def zero: Array[Byte] = new Array[Byte](m)
 

@@ -65,10 +65,14 @@ object Sssp {
         .groupBy("page").agg(min("dist").as("dist"))
       onRoundPlan(r, newDist)
       val next = newDist.localCheckpoint(eager = r == rounds)
-      // changed rows only: the next round's relax frontier
-      frontier = next.join(dist, Seq("page", "dist"), "left_anti")
-        .localCheckpoint(eager = false)
-      if (r < rounds) { scratch += next; scratch += frontier }
+      if (r < rounds) {
+        // changed rows only: the next round's relax frontier (the final
+        // round needs none — building one would be dead work)
+        frontier = next.join(dist, Seq("page", "dist"), "left_anti")
+          .localCheckpoint(eager = false)
+        scratch += next
+        scratch += frontier
+      }
       dist = next
     }
     // the final eager checkpoint materialized the lazy chain; only the

@@ -198,6 +198,26 @@ object GraphQueries {
     counts
   }
 
+  private val triCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), DataFrame]
+
+  /** Memoized [[triangleCounts]] per (session, dir, quantity cut) —
+    * the most expensive join in the graph family feeds BOTH
+    * q_graph_triangles and q_graph_clustering; without memoization the
+    * 3-way wedge join runs end-to-end once per consumer (the kmMemo
+    * rationale, code-review r13). The internal checkpoint is PINNED so
+    * harness scratch-freeing after the first consumer can't poison the
+    * second's read. */
+  private def triangleCountsMemo(s: SparkSession, d: String,
+      minQty: Int): DataFrame = {
+    graft.plans.Lineage.sweepStoppedKeys(triCache)(_._1)
+    triCache.getOrElseUpdate((s, d, minQty), {
+      val t = triangleCounts(coEdges(s, d, minQty))
+      graft.plans.Lineage.pin(t)
+      t
+    })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: red-link removal — edges surviving the existence semi-join.
     "q_graph_edges" -> ((s, d) => {
@@ -369,7 +389,7 @@ object GraphQueries {
     // co-occurrence graph (the l_quantity > 45 cut keeps the
     // per-order expansion sparse).
     "q_graph_triangles" -> ((s, d) =>
-      triangleCounts(coEdges(s, d, 45)).orderBy(col("supplier"))),
+      triangleCountsMemo(s, d, 45).orderBy(col("supplier"))),
 
     // Local clustering coefficient — cc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)),
     // the per-vertex "how clique-like is my neighborhood" signal next to
@@ -384,7 +404,7 @@ object GraphQueries {
       val und = e.unionAll(e.select(col("s2").as("s1"), col("s1").as("s2")))
       val deg = und.groupBy(col("s1").as("supplier"))
         .agg(count(lit(1)).as("deg"))
-      deg.join(triangleCounts(e), Seq("supplier"), "left")
+      deg.join(triangleCountsMemo(s, d, 45), Seq("supplier"), "left")
         .select(col("supplier"), col("deg"),
           coalesce(col("n_tri"), lit(0L)).as("n_tri"),
           round(when(col("deg") >= 2,
@@ -404,10 +424,18 @@ object GraphQueries {
     "q_graph_sssp" -> ((s, d) => {
       val und = coWeightedUnd(s, d, 45)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val src = und.agg(min(col("src"))).first().getLong(0)
-      val out = Sssp.distances(und, src, rounds = SsspRounds)
-        .select(col("page").as("supplier"), col("dist"))
-        .orderBy(col("supplier"))
+      // totality: an empty co-occurrence projection has no source —
+      // return the empty distance table instead of NPE-ing on the NULL
+      // min (the oracle's IS NOT NULL filter states the same)
+      val srcRow = und.agg(min(col("src"))).first()
+      val out =
+        if (srcRow.isNullAt(0))
+          und.select(col("src").as("supplier"),
+            col("w").cast("long").as("dist")).limit(0)
+        else
+          Sssp.distances(und, srcRow.getLong(0), rounds = SsspRounds)
+            .select(col("page").as("supplier"), col("dist"))
+            .orderBy(col("supplier"))
       und.unpersist()
       out
     }),
@@ -535,6 +563,7 @@ object GraphQueries {
                         CAST(0 AS BIGINT) AS dist),
           $roundCtes
           SELECT page AS supplier, dist FROM d$SsspRounds
+          WHERE page IS NOT NULL
           ORDER BY supplier"""
     },
     "q_graph_lpa" -> {

@@ -19,6 +19,24 @@ class HllAggSpec extends SparkSpec {
     assert(buf.count(_ != 0) == 3)
   }
 
+  test("rho generalizes to non-default p (code-review r13: the window " +
+      "width follows p, not a hard-wired 52)") {
+    // p = 4: window is 56 bits; a full-width (bitlength-56) value has
+    // rho 1 — under the old hard-wired 53 it would have been -2 and
+    // silently dropped
+    val a4 = new HllAgg(4)
+    var b4 = a4.zero
+    b4 = a4.reduce(b4, (1L << 55) << 4 | 3L)
+    assert(b4(3) == 1)
+    b4 = a4.reduce(b4, 5L) // zero window in bucket 5 -> 57
+    assert(b4(5) == 57)
+    // p = 16: window is 44 bits; bitlength 44 -> rho 1
+    val a16 = new HllAgg(16)
+    var b16 = a16.zero
+    b16 = a16.reduce(b16, (1L << 43) << 16 | 9L)
+    assert(b16(9) == 1)
+  }
+
   test("a bucket keeps its maximum rank; merge is elementwise max") {
     val a = new HllAgg(8)
     var x = a.zero

@@ -47,4 +47,12 @@ class SsspSpec extends SparkSpec {
   test("a source with no edges yields exactly its own zero row") {
     assert(run(99L, 4) == Map(99L -> 0L))
   }
+
+  test("an empty edge list is total: the source row, nothing else") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    val got = Sssp.distances(empty, 7L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 0L))
+  }
 }
