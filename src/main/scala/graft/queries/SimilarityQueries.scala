@@ -751,7 +751,41 @@ object SimilarityQueries {
     // steady-state query path, exactly like q_pagerank's memoized rank
     // vector.
     "q_ann_pq" -> ((s, d) =>
-      pqSearch(Tables.embeddings(s, d), pqIndex(s, d)))
+      pqSearch(Tables.embeddings(s, d), pqIndex(s, d))),
+
+    // Scalar int8 quantization — the storage/bandwidth path every
+    // embedding store ships (FAISS SQ8, Milvus/Lance int8): per-vector
+    // max-abs scale, code_i = round(127·x_i/scale) ∈ [-127, 127],
+    // reconstruction x̂_i = code_i·scale/127 bounds the element error
+    // by scale/254. Cuts vector bytes 4× before any ANN index is
+    // built. Emits the scale, exact integer code sums (order-free,
+    // overflow-free: |Σ| ≤ 127·d) and the code-array digest — the
+    // columns a writer materializes.
+    // Scale shape: one narrow codegen'd pass, zero joins, zero
+    // shuffles besides the driver-compare ORDER BY; nothing here
+    // changes at 1000 executors.
+    // Float determinism: float→double widening is exact, 127·x/m is
+    // the same left-assoc double expression both engines evaluate, and
+    // rounding is half-away-from-zero in both; ±max elements hit ±127
+    // exactly (127·m/m). All-zero vectors (m = 0) code to all-zeros
+    // instead of dividing by zero.
+    "q_embed_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          expr("array_max(transform(embedding, x -> abs(cast(x as double))))")
+            .as("m"))
+        .select(col("vec_id"), col("m"),
+          expr("transform(embedding, x -> IF(m <= cast(0 as double), 0, " +
+            "cast(round(cast(127 as double) * cast(x as double) / m) as int)))")
+            .as("codes"))
+        .select(col("vec_id"),
+          round(col("m"), 6).as("scale"),
+          size(col("codes")).cast("long").as("n_dims"),
+          expr("aggregate(codes, 0L, (a, x) -> a + x)").as("sum_codes"),
+          expr("aggregate(codes, 0L, (a, x) -> a + abs(x))").as("sum_abs"),
+          md5(expr("array_join(transform(codes, x -> cast(x as string)), ',')"))
+            .as("codes_md5"))
+        .orderBy(col("vec_id")))
   )
 
   private val pqIndexCache =
@@ -1302,6 +1336,28 @@ object SimilarityQueries {
                 FROM rr)
           SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
           ORDER BY qid, rank"""
-    }
+    },
+    // same float→double widening, same left-assoc 127·x/m double
+    // expression, same half-away-from-zero rounding; integer sums are
+    // order-free so the list_sum needs no ordered fold
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS m
+                    FROM embeddings),
+          c AS (SELECT vec_id, m,
+                  list_transform(embedding,
+                    x -> CASE WHEN m <= CAST(0 AS DOUBLE) THEN 0
+                         ELSE CAST(round(CAST(127 AS DOUBLE) *
+                                         CAST(x AS DOUBLE) / m) AS INT)
+                         END) AS codes
+                FROM e)
+          SELECT vec_id, round(m, 6) AS scale,
+                 CAST(len(codes) AS BIGINT) AS n_dims,
+                 CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+                 CAST(list_sum(list_transform(codes, x -> abs(x)))
+                      AS BIGINT) AS sum_abs,
+                 md5(array_to_string(codes, ',')) AS codes_md5
+          FROM c ORDER BY vec_id"""
   )
 }

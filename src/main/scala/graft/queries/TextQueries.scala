@@ -32,10 +32,41 @@ object TextQueries {
 
   private def toks: Column = TextFunctions.tokens(col("text"))
 
+  /** Per-doc unigram-LM mean log-probability — the corpus-as-LM score
+    * shared by q_text_logprob (raw scores) and q_text_ppl_bucket
+    * (CCNet tertile buckets). Unordered; callers add their ORDER BY.
+    * Scale/float notes live on the q_text_logprob entry. */
+  private def logprobPerDoc(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+    val unigrams = perDoc.groupBy("tok").agg(sum("m").as("c"))
+    val total = unigrams.agg(sum("c").as("n"))
+    perDoc.join(unigrams, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tok"), col("m"),
+        (col("m") * log(col("c") / col("n"))).as("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_tok"),
+        sort_array(collect_list(struct(col("tok"), col("term"))))
+          .as("ts"))
+      .select(col("doc_id"), col("n_tok"),
+        round(expr("aggregate(ts, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x.term)") / col("n_tok"), 6).as("logprob"))
+  }
+
   /** DSIR hashed-feature bucket count (q_text_dsir): both distribution
     * tables are ≤ this many rows at ANY corpus scale — the paper's
     * hashed n-gram trick. Shared engine/oracle. */
   private val DsirBuckets = 256
+
+  /** Boilerplate pass (q_text_boilerplate): segment width in words and
+    * the distinct-document recurrence threshold. W-word NON-overlapping
+    * chunks stand in for the lines/paragraphs this corpus doesn't have
+    * (one doc = one line); T is CCNet's "appears in more than one
+    * shard" rule generalized. Shared engine/oracle. */
+  private val BoilerW = 3
+  private val BoilerT = 3
 
   /** Symbol terminator for the BPE pass — see
     * [[graft.functions.BpeSymbolsUtil.Sep]]. */
@@ -651,24 +682,31 @@ object TextQueries {
     // sorted fold is not — and the oracle folds list(term ORDER BY tok)
     // the same way (the char_entropy contract: the only cross-engine
     // wiggle is libm ln(), absorbed by round(…, 6)).
-    "q_text_logprob" -> ((s, d) => {
-      val perDoc = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
-      val unigrams = perDoc.groupBy("tok").agg(sum("m").as("c"))
-      val total = unigrams.agg(sum("c").as("n"))
-      val out = perDoc.join(unigrams, Seq("tok"))
-        .crossJoin(broadcast(total))
-        .select(col("doc_id"), col("tok"), col("m"),
-          (col("m") * log(col("c") / col("n"))).as("term"))
-        .groupBy("doc_id")
-        .agg(sum(col("m")).as("n_tok"),
-          sort_array(collect_list(struct(col("tok"), col("term"))))
-            .as("ts"))
-        .select(col("doc_id"), col("n_tok"),
-          round(expr("aggregate(ts, CAST(0.0 AS DOUBLE), " +
-            "(acc, x) -> acc + x.term)") / col("n_tok"), 6).as("logprob"))
-      out.orderBy(col("doc_id"))
+    "q_text_logprob" -> ((s, d) => logprobPerDoc(s, d).orderBy(col("doc_id"))),
+
+    // CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    // §4.4): partition the corpus into thirds by LM score — "head"
+    // (most fluent) is what the paper keeps for pretraining. Buckets
+    // come from exact tertile CUTPOINTS of the logprob distribution,
+    // NOT a global ntile window: a total-order window is a
+    // single-partition sort at 100 TB, while the cutpoints are one
+    // tiny aggregate broadcast back into a narrow comparison pass.
+    // The per-doc score frame is checkpointed so the corpus-sized
+    // logprob plan runs once, not once per consumer (the DSIR
+    // rationale). Ties at a cutpoint fall to the lower bucket in both
+    // engines (strict >); the cut arithmetic is the q_percentiles
+    // exact-interpolation contract, bit-identical cross-engine.
+    "q_text_ppl_bucket" -> ((s, d) => {
+      val lp = graft.plans.Lineage.scratchCheckpoint(logprobPerDoc(s, d))
+      val cuts = lp.agg(
+        expr("percentile(logprob, cast(1 as double)/3)").as("c1"),
+        expr("percentile(logprob, cast(2 as double)/3)").as("c2"))
+      lp.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("logprob"),
+          when(col("logprob") > col("c2"), lit("head"))
+            .when(col("logprob") > col("c1"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy(col("doc_id"))
     }),
 
     // DSIR data-selection importance weights (Xie et al. 2023, "Data
@@ -727,8 +765,71 @@ object TextQueries {
           round(expr("aggregate(ts, CAST(0.0 AS DOUBLE), " +
             "(acc, x) -> acc + x.term)"), 6).as("dsir_logw"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Boilerplate / repeated-segment removal — CCNet §3.1's paragraph
+    // dedup and RefinedWeb's line-level dedup (Penedo'23 §3.3), the
+    // "strip the cookie banner from every page" pass: chunk each doc
+    // into BoilerW-word segments, count the DISTINCT documents each
+    // segment recurs in, and drop segments appearing in ≥ BoilerT
+    // docs; emit the per-doc kept-segment count and the cleaned-text
+    // digest (what a pipeline writes back).
+    // Scale shape: the recurrence count is keyed by the segment's md5
+    // DIGEST, so raw segment text never rides the counting shuffle
+    // (16 bytes/key regardless of segment width); the hot set is
+    // bounded by |corpus segments|/T and collapses far below that in
+    // practice (only recurring segments survive the filter), so the
+    // strip pass is a BROADCAST anti-join inside the corpus scan — the
+    // corpus itself shuffles exactly once (the per-doc reassembly agg).
+    // The segment frame is checkpointed: three consumers (recurrence
+    // count, per-doc totals, strip+reassemble) would otherwise each
+    // re-explode the corpus (the DSIR rationale).
+    "q_text_boilerplate" -> ((s, d) => {
+      val (w, t) = (BoilerW, BoilerT)
+      val segs = graft.plans.Lineage.scratchCheckpoint(
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("w"))
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(0, cast(ceil(size(w) / cast($w as double)) as int) - 1), " +
+              s"i -> array_join(slice(w, i * $w + 1, $w), ' '))"))
+            .as(Seq("pos", "seg")))
+          .withColumn("h", md5(col("seg"))))
+      val hot = segs.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= t).select(col("h"))
+      val tot = segs.groupBy("doc_id").agg(count(lit(1)).as("n_seg"))
+      val cleaned = segs.join(broadcast(hot), Seq("h"), "left_anti")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          sort_array(collect_list(struct(col("pos"), col("seg")))).as("ps"))
+        .select(col("doc_id"), col("n_kept"),
+          md5(expr("array_join(transform(ps, x -> x.seg), ' ')"))
+            .as("clean_md5"))
+      tot.join(cleaned, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_seg"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Shared oracle CTE chain for the unigram-LM score: `f(doc_id,
+    * n_tok, s)` where s is the token-sorted Σ m·ln(c/n) fold —
+    * consumed by the q_text_logprob and q_text_ppl_bucket oracles. */
+  private val logprobCtes: String =
+    """t AS (SELECT doc_id,
+                        unnest(string_split_regex(text, '\s+')) AS tok
+                      FROM documents),
+           pd AS (SELECT doc_id, tok, count(*) AS m FROM t
+                  GROUP BY doc_id, tok),
+           g AS (SELECT tok, CAST(sum(m) AS BIGINT) AS c FROM pd
+                 GROUP BY tok),
+           tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+           terms AS (SELECT doc_id, tok, m,
+                       m * ln(c / (SELECT n FROM tot)) AS term
+                     FROM pd JOIN g USING (tok)),
+           f AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tok,
+                   list_sum(list(term ORDER BY tok)) AS s
+                 FROM terms GROUP BY doc_id)"""
 
   private def sqlStopList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1145,22 +1246,52 @@ object TextQueries {
       // same token-sorted fold order as the Spark side; c and n are far
       // below 2^53, so the double division is exact-input identical
       "q_text_logprob" ->
-        """WITH t AS (SELECT doc_id,
-                        unnest(string_split_regex(text, '\s+')) AS tok
-                      FROM documents),
-           pd AS (SELECT doc_id, tok, count(*) AS m FROM t
-                  GROUP BY doc_id, tok),
-           g AS (SELECT tok, CAST(sum(m) AS BIGINT) AS c FROM pd
-                 GROUP BY tok),
-           tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
-           terms AS (SELECT doc_id, tok, m,
-                       m * ln(c / (SELECT n FROM tot)) AS term
-                     FROM pd JOIN g USING (tok)),
-           f AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tok,
-                   list_sum(list(term ORDER BY tok)) AS s
-                 FROM terms GROUP BY doc_id)
+        s"""WITH $logprobCtes
            SELECT doc_id, n_tok, round(s / n_tok, 6) AS logprob
            FROM f ORDER BY doc_id""",
+      // same exact-interpolation tertile cuts (quantile_cont ≡ Spark
+      // percentile, the q_percentiles contract) over the same
+      // rounded-6 scores; strict > on both sides so cut-ties fall to
+      // the lower bucket identically
+      "q_text_ppl_bucket" ->
+        s"""WITH $logprobCtes,
+           lp AS MATERIALIZED (SELECT doc_id, round(s / n_tok, 6) AS logprob
+                               FROM f),
+           cut AS (SELECT quantile_cont(logprob, CAST(1 AS DOUBLE)/3) AS c1,
+                          quantile_cont(logprob, CAST(2 AS DOUBLE)/3) AS c2
+                   FROM lp)
+           SELECT doc_id, logprob,
+                  CASE WHEN logprob > (SELECT c2 FROM cut) THEN 'head'
+                       WHEN logprob > (SELECT c1 FROM cut) THEN 'middle'
+                       ELSE 'tail' END AS bucket
+           FROM lp ORDER BY doc_id""",
+      // same tokenization, same W-word slicing, same md5 segment keys
+      // and doc-frequency threshold, same ORDER BY pos reassembly
+      "q_text_boilerplate" ->
+        s"""WITH t AS (SELECT doc_id,
+                         string_split_regex(text, '\\s+') AS w
+                       FROM documents),
+           seg AS (SELECT doc_id, i AS pos,
+                     array_to_string(w[(i*$BoilerW+1):(i*$BoilerW+$BoilerW)],
+                                     ' ') AS seg
+                   FROM t, UNNEST(generate_series(0,
+                     CAST(ceil(len(w) / CAST($BoilerW AS DOUBLE)) AS INT) - 1))
+                     AS u(i)),
+           sh AS MATERIALIZED (SELECT doc_id, pos, seg, md5(seg) AS h
+                               FROM seg),
+           hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+                                  FROM sh GROUP BY h)
+                   WHERE df >= $BoilerT),
+           tot AS (SELECT doc_id, count(*) AS n_seg FROM sh GROUP BY doc_id),
+           cln AS (SELECT doc_id, count(*) AS n_kept,
+                     md5(string_agg(seg, ' ' ORDER BY pos)) AS clean_md5
+                   FROM sh WHERE h NOT IN (SELECT h FROM hot)
+                   GROUP BY doc_id)
+           SELECT tot.doc_id, tot.n_seg,
+                  COALESCE(cln.n_kept, 0) AS n_kept,
+                  COALESCE(cln.clean_md5, md5('')) AS clean_md5
+           FROM tot LEFT JOIN cln ON cln.doc_id = tot.doc_id
+           ORDER BY tot.doc_id""",
       // same md5 bucket hash, same add-1 smoothed log-ratio with
       // identical parenthesization, same bucket-sorted fold order
       "q_text_dsir" ->

@@ -434,4 +434,77 @@ class PlanShapeSpec extends SparkSpec {
       s"q_text_logprob: cartesian product:\n${p.toString.take(2000)}")
     }
   }
+
+  test("q_text_boilerplate plan: hot set broadcast-anti inside the scan, " +
+      "segment frame checkpointed once, digest-keyed recurrence count") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_text_boilerplate")(spark, Dir)
+      .queryExecution.executedPlan
+    // the strip pass must be a BROADCAST anti-join (the hot set is
+    // bounded by |segments|/T); a shuffled anti or an all-pairs form
+    // is the scale killer
+    assert(p.toString.contains("LeftAnti"),
+      s"q_text_boilerplate: anti-join gone:\n${p.toString.take(2000)}")
+    assert(count(p) { case j: BroadcastHashJoinExec
+        if j.joinType.toString == "LeftAnti" => () } == 1,
+      s"q_text_boilerplate: hot-set strip is not a broadcast anti-join:\n" +
+        p.toString.take(2000))
+    // 5 exchanges: distinct (h, doc) partial, recurrence count (h),
+    // per-doc totals (doc_id), per-doc reassembly (doc_id),
+    // presentation sort — the corpus-sized segment frame itself is a
+    // checkpointed RDD scanned from memory, never a re-exploded scan
+    assert(shuffles(p) == 5,
+      s"q_text_boilerplate: expected 5 exchanges, got ${shuffles(p)}:\n" +
+        p.toString.take(2000))
+    assert(!p.toString.contains("FileScan"),
+      s"q_text_boilerplate: a consumer re-scanned parquet instead of " +
+        s"the checkpointed segment frame:\n${p.toString.take(2000)}")
+    assertNoAllPairs("q_text_boilerplate", p)
+    }
+  }
+
+  test("q_text_ppl_bucket plan: tertile cuts are a 1-row broadcast — " +
+      "no global sort/window over the corpus") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_text_ppl_bucket")(spark, Dir)
+      .queryExecution.executedPlan
+    // the whole point vs ntile: bucketing must NOT be a
+    // single-partition window over the corpus
+    assert(count(p) { case _: WindowExec => () } == 0,
+      s"q_text_ppl_bucket: window form crept in:\n${p.toString.take(2000)}")
+    // 2 exchanges: the percentile agg's SinglePartition gather (input
+    // is one rounded double per DOC, not per token) + presentation
+    // sort; the score frame is the checkpointed logprob RDD, scanned
+    // twice from memory
+    assert(shuffles(p) == 2,
+      s"q_text_ppl_bucket: expected 2 exchanges, got ${shuffles(p)}:\n" +
+        p.toString.take(2000))
+    // the 1-row cuts cross join is the only nested loop
+    assert(count(p) { case _: BroadcastNestedLoopJoinExec => () } == 1,
+      s"q_text_ppl_bucket: expected exactly the 1-row cuts broadcast:\n" +
+        p.toString.take(2000))
+    assert(!p.toString.contains("FileScan"),
+      s"q_text_ppl_bucket: a consumer re-scanned parquet instead of " +
+        s"the checkpointed score frame:\n${p.toString.take(2000)}")
+    }
+  }
+
+  test("q_embed_quantize plan: one narrow pass — no joins, no exchange " +
+      "but the presentation sort, scan pruned to (vec_id, embedding)") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_embed_quantize")(spark, Dir)
+      .queryExecution.executedPlan
+    assert(equiJoins(p) == 0 &&
+      count(p) { case _: BroadcastNestedLoopJoinExec => () } == 0,
+      s"q_embed_quantize: a join appeared:\n${p.toString.take(2000)}")
+    assert(shuffles(p) == 1,
+      s"q_embed_quantize: expected only the presentation sort, got " +
+        s"${shuffles(p)} exchanges:\n${p.toString.take(2000)}")
+    val scans = p.toString.linesIterator
+      .filter(_.contains("FileScan")).mkString("\n")
+    assert(scans.contains("vec_id") && scans.contains("embedding") &&
+      !scans.contains("label"),
+      s"q_embed_quantize: scan not pruned to (vec_id, embedding):\n$scans")
+    }
+  }
 }
