@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{Bfs, Components, GraphCatalog, Hits, KCore, LinkGraph, Lpa, PageRank, PageRankGraphX, Sssp}
+import graft.graph.{Bfs, Components, GraphCatalog, Hits, KCore, LinkGraph, Lpa, PageRank, PageRankGraphX, Sssp, Walks}
 
 /** The reference's core surface — link graph + PageRank — as driver
   * queries over the TPC-H-ish tables (graph: customers cite suppliers
@@ -98,6 +98,11 @@ object GraphQueries {
     * both engines (the graph's undirected diameter is ~6 at every SF,
     * so both converge well under the cap and it never binds). */
   private val BfsMaxRounds = 16
+
+  /** Walk length for q_graph_walks, shared by the engine loop and the
+    * oracle's unrolled step CTEs. 3 steps crosses the bipartite
+    * customer→supplier graph twice — every walk that can move does. */
+  private val WalkSteps = 3
 
   /** k-core gate parameters, shared by the engine loop and the oracle's
     * unrolled round CTEs (fixed-round contract — exact at any
@@ -476,6 +481,17 @@ object GraphQueries {
         .select(col("page"), round(col("rank"), 6).as("pr"))
         .filter(col("pr") > lit(TopMultiplier) / lit(g.n.toDouble))
         .orderBy(col("pr").desc, col("page"))
+    }),
+
+    // Deterministic hash-greedy random walks ([[graft.graph.Walks]]) —
+    // the DeepWalk/node2vec sampling primitive: one WalkSteps-step walk
+    // per vertex over the undirected view, the "random" neighbor at
+    // step t drawn by md5-argmin over (start, t, neighbor). The oracle
+    // unrolls the identical draw per step (ROW_NUMBER over (h, nxt)).
+    "q_graph_walks" -> ((s, d) => {
+      val g = GraphCatalog.tpch(s, d)
+      Walks.hashGreedy(g.pages, g.edges, steps = WalkSteps)
+        .orderBy(col("start"))
     })
   )
 
@@ -657,6 +673,39 @@ object GraphQueries {
           l0 AS (SELECT page, page AS lbl FROM pages),
           $roundCtes
           SELECT page, lbl AS comp FROM l3 ORDER BY page"""
+    },
+    // same md5 draw per (start, step, neighbor), same (h, nxt) order,
+    // same dead-end freeze and '>' path digest
+    "q_graph_walks" -> {
+      val stepCtes = (1 to WalkSteps).map { t =>
+        s"""c$t AS (SELECT w.start, w.cur, w.steps, w.path, u.dst,
+              CASE WHEN u.dst IS NULL THEN 9223372036854775807
+                   ELSE CAST(('0x' || substring(md5(
+                     w.start || ':$t:' || u.dst), 1, 8)) AS BIGINT)
+              END AS h,
+              COALESCE(u.dst, w.cur) AS nxt,
+              CASE WHEN u.dst IS NULL THEN 0 ELSE 1 END AS inc
+            FROM w${t - 1} w LEFT JOIN und u ON u.src = w.cur),
+          p$t AS (SELECT start, steps, path, nxt, inc,
+                    ROW_NUMBER() OVER (PARTITION BY start
+                      ORDER BY h, nxt) AS rn
+                  FROM c$t),
+          w$t AS (SELECT start, nxt AS cur, steps + inc AS steps,
+                    CASE WHEN inc = 1 THEN path || '>' || nxt
+                         ELSE path END AS path
+                  FROM p$t WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH $graphCtes,
+          und AS MATERIALIZED (SELECT src, dst FROM good
+                               UNION SELECT dst AS src, src AS dst
+                               FROM good),
+          w0 AS (SELECT page AS start, page AS cur, 0 AS steps,
+                        page AS path
+                 FROM pages),
+          $stepCtes
+          SELECT start, cur AS dest, CAST(steps AS BIGINT) AS steps,
+                 md5(path) AS path_md5
+          FROM w$WalkSteps ORDER BY start"""
     }
   )
 }

@@ -381,17 +381,20 @@ class PlanShapeSpec extends SparkSpec {
   test("q_text_dsir plan: corpus crosses the wire once (the checkpointed " +
       "per-doc bucket agg); the λ table joins back as a broadcast") {
     withStaticPlans {
-    val p = graft.SparkEntry.queries("q_text_dsir")(spark, Dir)
+    // drive the BUILD pipeline directly: the gate query reads the
+    // memoized weight table (kmMemo pattern), so its own plan is just
+    // an in-memory scan + sort — the shape under pin is the build's
+    val p = graft.queries.TextQueries.dsirLogwBuild(spark, Dir)
       .queryExecution.executedPlan
-    // 8 exchanges, all over the ≤ B-row bucket tables or the
+    // 7 exchanges, all over the ≤ B-row bucket tables or the
     // checkpointed (doc, bucket) frame: raw(b), target(b), the two
-    // 1-row totals, the λ join's bucket-side exchanges, the per-doc
-    // fold (doc_id), and the presentation sort. The corpus-sized gram
-    // explosion happened ONCE, inside the eager checkpoint — more
-    // exchanges here means perDoc stopped being materialized and the
-    // corpus is being re-exploded per consumer.
-    assert(shuffles(p) == 8,
-      s"q_text_dsir: expected 8 post-checkpoint exchanges, got " +
+    // 1-row totals, the λ join's bucket-side exchanges, and the
+    // per-doc fold (doc_id). The corpus-sized gram explosion happened
+    // ONCE, inside the eager checkpoint — more exchanges here means
+    // perDoc stopped being materialized and the corpus is being
+    // re-exploded per consumer.
+    assert(shuffles(p) == 7,
+      s"q_text_dsir: expected 7 post-checkpoint exchanges, got " +
         s"${shuffles(p)}:\n${p.toString.take(2000)}")
     // λ (≤ B rows) must come back as a broadcast-hash join, and the
     // only nested loops are the two 1-row total cross joins
@@ -409,7 +412,10 @@ class PlanShapeSpec extends SparkSpec {
   test("q_text_logprob plan: one corpus shuffle reused by the unigram " +
       "table — vocabulary never broadcast off its own scan") {
     withStaticPlans {
-    val p = graft.SparkEntry.queries("q_text_logprob")(spark, Dir)
+    // drive the BUILD pipeline directly: the gate query reads the
+    // memoized score table (kmMemo pattern), so its own plan is just
+    // an in-memory scan + sort — the shape under pin is the build's
+    val p = graft.queries.TextQueries.logprobPerDocBuild(spark, Dir)
       .queryExecution.executedPlan
     // the (doc_id, tok) counts shuffle is the only corpus-proportional
     // exchange; the unigram table and the corpus total are aggregations
@@ -419,10 +425,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p) { case _: ReusedExchangeExec => () } >= 2,
       s"q_text_logprob: unigram/total stopped reusing the counts " +
         s"shuffle:\n${p.toString.take(2000)}")
-    // 5 exchanges: counts (doc_id, tok), unigrams (tok), total (1 row),
-    // per-doc fold (doc_id), presentation sort
-    assert(shuffles(p) == 5,
-      s"q_text_logprob: expected 5 exchanges, got ${shuffles(p)}:\n" +
+    // 4 exchanges: counts (doc_id, tok), unigrams (tok), total (1 row),
+    // per-doc fold (doc_id)
+    assert(shuffles(p) == 4,
+      s"q_text_logprob: expected 4 exchanges, got ${shuffles(p)}:\n" +
         p.toString.take(2000))
     assert(count(p) { case _: WindowExec => () } == 0,
       s"q_text_logprob: window form crept in:\n${p.toString.take(2000)}")
@@ -474,8 +480,8 @@ class PlanShapeSpec extends SparkSpec {
       s"q_text_ppl_bucket: window form crept in:\n${p.toString.take(2000)}")
     // 2 exchanges: the percentile agg's SinglePartition gather (input
     // is one rounded double per DOC, not per token) + presentation
-    // sort; the score frame is the checkpointed logprob RDD, scanned
-    // twice from memory
+    // sort; the score frame is the memoized in-memory logprob table,
+    // scanned twice from the block store
     assert(shuffles(p) == 2,
       s"q_text_ppl_bucket: expected 2 exchanges, got ${shuffles(p)}:\n" +
         p.toString.take(2000))
@@ -483,9 +489,68 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p) { case _: BroadcastNestedLoopJoinExec => () } == 1,
       s"q_text_ppl_bucket: expected exactly the 1-row cuts broadcast:\n" +
         p.toString.take(2000))
-    assert(!p.toString.contains("FileScan"),
-      s"q_text_ppl_bucket: a consumer re-scanned parquet instead of " +
-        s"the checkpointed score frame:\n${p.toString.take(2000)}")
+    assert(p.toString.contains("InMemoryTableScan"),
+      s"q_text_ppl_bucket: the memoized score table stopped serving " +
+        s"this gate:\n${p.toString.take(2000)}")
+    }
+  }
+
+  test("q_text_dsir_sample plan: global top-k is TakeOrderedAndProject " +
+      "— per-partition top-k + driver merge, never a total sort") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_text_dsir_sample")(spark, Dir)
+      .queryExecution.executedPlan
+    assert(p.toString.linesIterator.next().startsWith("TakeOrderedAndProject"),
+      s"q_text_dsir_sample: the draw stopped planning as " +
+        s"TakeOrderedAndProject:\n${p.toString.take(2000)}")
+    assert(!p.toString.contains("rangepartitioning"),
+      s"q_text_dsir_sample: a global sort exchange appeared:\n" +
+        p.toString.take(2000))
+    // the draw reads the memoized weight table (one narrow keying pass
+    // over it); the weight pipeline's own shape is pinned on the
+    // q_text_dsir build test
+    assert(p.toString.contains("InMemoryTableScan"),
+      s"q_text_dsir_sample: the memoized weight table stopped serving " +
+        s"this gate:\n${p.toString.take(2000)}")
+    }
+  }
+
+  test("q_graph_walks plan: the edge list crosses the wire ONCE — later " +
+      "steps reuse step 1's exchange; one frontier join + argmin per step") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_graph_walks")(spark, Dir)
+      .queryExecution.executedPlan
+    val steps = 3 // GraphQueries.WalkSteps
+    // one left-outer frontier⋈edges join per step, nothing degenerate
+    val frontierJoins = count(p) {
+      case j: SortMergeJoinExec if j.joinType.toString == "LeftOuter" => ()
+      case j: BroadcastHashJoinExec if j.joinType.toString == "LeftOuter" => ()
+      case j: ShuffledHashJoinExec if j.joinType.toString == "LeftOuter" => ()
+    }
+    assert(frontierJoins == steps,
+      s"q_graph_walks: expected $steps frontier joins:\n" +
+        p.toString.take(2000))
+    assertNoAllPairs("q_graph_walks", p)
+    val smjSteps = count(p) { case j: SortMergeJoinExec
+      if j.joinType.toString == "LeftOuter" => () }
+    if (smjSteps == steps) {
+      // shuffle regime (a big edge list): steps 2..L must REUSE step
+      // 1's edge exchange — the edge list crosses the wire once; per
+      // step the frontier re-keys (cur) and the argmin aggs (start)
+      assert(count(p) { case _: ReusedExchangeExec => () } == steps - 1,
+        s"q_graph_walks: edge-exchange reuse broken (expected " +
+          s"${steps - 1} ReusedExchange):\n${p.toString.take(2000)}")
+      assert(shuffles(p) == 2 * steps + 2,
+        s"q_graph_walks: expected ${2 * steps + 2} exchanges, got " +
+          s"${shuffles(p)}:\n${p.toString.take(2000)}")
+    } else {
+      // broadcast regime (edge list under the threshold): the joins
+      // preserve the first argmin's (start) partitioning, so later
+      // aggs add NO exchange — first agg + presentation sort only
+      assert(shuffles(p) <= 2,
+        s"q_graph_walks (broadcast regime): expected ≤ 2 exchanges, " +
+          s"got ${shuffles(p)}:\n${p.toString.take(2000)}")
+    }
     }
   }
 
