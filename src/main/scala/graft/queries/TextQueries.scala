@@ -32,6 +32,20 @@ object TextQueries {
 
   private def toks: Column = TextFunctions.tokens(col("text"))
 
+  /** The composite quality score of q_text_quality — length saturation
+    * + stopword density + type/token ratio, all per-row arithmetic on
+    * exact integers (bit-equal cross-engine, see the q_text_quality
+    * rounding note). Shared with the per-source percentile cut. */
+  private def qualityScore: Column = {
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks,
+      t => t.isin(StopLists.head._2: _*))).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = stopHits / nTok
+    least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
+      stopRatio * lit(0.3) + ttr * lit(0.3)
+  }
+
   /** Per-doc unigram-LM mean log-probability — the corpus-as-LM score
     * shared by q_text_logprob (raw scores) and q_text_ppl_bucket
     * (CCNet tertile buckets). Memoized per (session, dir) with the
@@ -135,8 +149,6 @@ object TextQueries {
         "aggregate(split(text, '\\\\s+'), 0L, (a, t) -> a + length(t))")
         .cast("double") / nTok
       val stopRatio = stopHits / nTok
-      val score = least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
-        stopRatio * lit(0.3) + ttr * lit(0.3)
       // UNROUNDED on purpose: every metric is per-row arithmetic on
       // exact integers with the identical operation order in the oracle,
       // so the doubles are bit-equal by construction. Rounding would
@@ -149,7 +161,34 @@ object TextQueries {
           stopRatio.as("stop_ratio"),
           ttr.as("ttr"),
           meanLen.as("mean_tok_len"),
-          score.as("quality"))
+          qualityScore.as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-SOURCE quality threshold — the FineWeb/RefinedWeb practice
+    // of cutting each dump/domain at its own score percentile instead
+    // of one global bar (a global cut silently drops entire weak
+    // domains and keeps every doc of strong ones): keep a doc iff its
+    // quality clears its source's p75. Scale shape: the scored frame
+    // is checkpointed (two consumers — the cut agg and the keep pass);
+    // the cut table is one row per source (broadcast back); exact
+    // per-group percentile buffers each group's values on one reducer,
+    // the documented exact-percentile trade — the histogram-sketch
+    // path (q_percentiles_sketch) is the drop-in when a single source
+    // outgrows a reducer. Strict > like the CCNet buckets: cut-ties
+    // drop identically on both engines; quality doubles are bit-equal
+    // by construction (the q_text_quality contract), so the flag can
+    // never flip on an ulp.
+    "q_text_quality_cut" -> ((s, d) => {
+      val scored = graft.plans.Lineage.scratchCheckpoint(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            qualityScore.as("quality")))
+      val cuts = scored.groupBy("source")
+        .agg(expr("percentile(quality, cast(3 as double)/4)").as("cut"))
+      scored.join(broadcast(cuts), Seq("source"))
+        .select(col("doc_id"), col("source"), col("quality"),
+          (col("quality") > col("cut")).as("kept"))
         .orderBy(col("doc_id"))
     }),
 
@@ -998,6 +1037,29 @@ object TextQueries {
                          (stop_hits / n_tok) * 0.3 +
                          (n_types / n_tok) * 0.3 AS quality
             FROM m ORDER BY doc_id""",
+      // same bit-equal score, same exact-interpolation per-source p75
+      // (quantile_cont ≡ Spark percentile), same strict > keep rule
+      "q_text_quality_cut" ->
+        s"""WITH t AS (SELECT doc_id, source,
+                              string_split_regex(text, '\\s+') AS toks
+                       FROM documents),
+            m AS (SELECT doc_id, source,
+                   CAST(len(toks) AS DOUBLE) AS n_tok,
+                   CAST(len(list_filter(toks, t -> list_contains($en, t))) AS DOUBLE)
+                     AS stop_hits,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) AS n_types
+                  FROM t),
+            q AS MATERIALIZED (SELECT doc_id, source,
+                   LEAST(n_tok / 50.0, 1.0) * 0.4 +
+                         (stop_hits / n_tok) * 0.3 +
+                         (n_types / n_tok) * 0.3 AS quality
+                 FROM m),
+            c AS (SELECT source,
+                   quantile_cont(quality, CAST(3 AS DOUBLE)/4) AS cut
+                  FROM q GROUP BY source)
+            SELECT q.doc_id, q.source, q.quality, q.quality > c.cut AS kept
+            FROM q JOIN c ON c.source = q.source
+            ORDER BY q.doc_id""",
       "q_text_langid" ->
         s"""WITH t AS (SELECT doc_id, lang AS labeled,
                               string_split_regex(text, '\\s+') AS toks
