@@ -41,6 +41,28 @@ object EventStreams {
                      lateness: String): DataFrame =
     tumbling(events.withWatermark("ts", lateness), width)
 
+  /** Tumbling-window approx-distinct users — the sketch family running
+    * UNDER the streaming engine: per-window state is the FIXED
+    * 2^p-byte HLL register array ([[graft.functions.HllAgg]],
+    * mergeable, so micro-batches partial-agg before the keyed state
+    * store), regardless of user cardinality. An exact streaming
+    * distinct would buffer every user id per open window — the state
+    * blow-up this sketch exists to avoid. The emitted value is the
+    * raw register array; callers derive the estimate with the fixed
+    * float expression (the q_distinct_hll shared-float-path contract),
+    * so the stream's output stays an exact integer function of the
+    * data. */
+  def distinctStream(events: DataFrame, width: String,
+                     lateness: String): DataFrame = {
+    val hll = udaf(new graft.functions.HllAgg(8))
+    events.withWatermark("ts", lateness)
+      .withColumn("hv",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(hll(col("hv")).as("regs"))
+  }
+
   def sessionsStream(events: DataFrame, gap: String,
                      lateness: String): DataFrame =
     sessions(events.withWatermark("ts", lateness), gap)

@@ -439,4 +439,47 @@ class EventStreamsSpec extends SparkSpec {
       assert(got == Seq((1L, ts(0), 2L), (1L, ts(60), 1L), (2L, ts(10), 1L)))
     } finally q.stop()
   }
+
+  test("distinctStream registers equal the batch HLL over the same data " +
+      "and estimate exact small cardinalities") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // window 1: users 1,2,3 (one duplicate); window 2: users 1,4
+    val ev = Seq(
+      (ts(0), 1L), (ts(2), 2L), (ts(4), 3L), (ts(6), 1L),
+      (ts(12), 1L), (ts(14), 4L))
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = EventStreams.distinctStream(
+        input.toDF().toDF("ts", "user_id"), "10 minutes", "5 minutes")
+      .select(col("w.start").as("wstart"), col("regs"))
+      .writeStream.format("memory").queryName("distinct_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(ev)
+      q.processAllAvailable()
+      val streamed = s.table("distinct_test")
+        .orderBy("wstart")
+        .collect().map(r => (r.getTimestamp(0), r.getSeq[Int](1))).toSeq
+      // batch path: same hash, same aggregator, same windows
+      val hll = udaf(new graft.functions.HllAgg(8))
+      val batch = ev.toDF("ts", "user_id")
+        .withColumn("hv",
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"))
+        .groupBy(window(col("ts"), "10 minutes").as("w"))
+        .agg(hll(col("hv")).as("regs"))
+        .select(col("w.start").as("wstart"), col("regs"))
+        .orderBy("wstart")
+        .collect().map(r => (r.getTimestamp(0), r.getSeq[Int](1))).toSeq
+      assert(streamed == batch)
+      // tiny cardinalities sit in the linear-counting regime — exact
+      val ests = streamed.map { case (_, regs) =>
+        val nz = regs.count(_ == 0)
+        math.round(256.0 * math.log(256.0 / nz))
+      }
+      assert(ests == Seq(3L, 2L), s"estimates $ests")
+    } finally q.stop()
+  }
 }
