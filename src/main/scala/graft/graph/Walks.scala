@@ -49,11 +49,15 @@ object Walks {
     var wk = pages.select(col("page").as("start"), col("page").as("cur"),
       lit(0L).as("steps"), col("page").as("path"))
     for (t <- 1 to steps) {
+      // the dead-end (NULL dst) sentinel must be an explicit when():
+      // concat_ws SKIPS null args (yielding "start:t", not NULL), so a
+      // coalesce over the hash would never fire — the oracle assigns
+      // Long.MaxValue to exactly this row
       val cand = wk.join(und.withColumnRenamed("src", "cur"), Seq("cur"), "left")
         .select(col("start"), col("steps"), col("path"),
-          coalesce(TextFunctions.hash32(
-            concat_ws(":", col("start"), lit(t), col("dst"))),
-            lit(Long.MaxValue)).as("h"),
+          when(col("dst").isNotNull, TextFunctions.hash32(
+            concat_ws(":", col("start"), lit(t), col("dst"))))
+            .otherwise(lit(Long.MaxValue)).as("h"),
           coalesce(col("dst"), col("cur")).as("nxt"),
           when(col("dst").isNotNull, lit(1L)).otherwise(lit(0L)).as("inc"))
       // carried fields are constant per start (one walk per start), so

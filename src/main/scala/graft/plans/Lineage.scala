@@ -7,6 +7,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Block-store hygiene for iterative loops that truncate lineage with
   * `localCheckpoint(eager = true)` per round.
@@ -106,6 +107,25 @@ object Lineage {
     val out = df.localCheckpoint(eager = true)
     registerScratch(out)
     out
+  }
+
+  /** Session-keyed build-once memoizer — ONE implementation of the
+    * sweep → getOrElseUpdate → persist → materialize → pin sequence
+    * that the k-means/PQ/DSIR/logprob catalogs each need (the
+    * [[sweepStoppedKeys]] story again: four hand-rolled copies had
+    * already drifted on whether they pinned). The pin exempts any
+    * checkpointed leaves the build reads through from [[freeScratch]]
+    * (no-op when there are none); the persisted frame itself lives in
+    * the block store until its session stops. */
+  def memo[K](cache: TrieMap[(SparkSession, K), DataFrame],
+              s: SparkSession, key: K)(build: => DataFrame): DataFrame = {
+    sweepStoppedKeys(cache)(_._1)
+    cache.getOrElseUpdate((s, key), {
+      val a = build.persist(StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      pin(a)
+      a
+    })
   }
 
   /** Exempt a memoized, session-shared result (a GraphCatalog entry)

@@ -167,31 +167,16 @@ object EventQueries {
         sortedFeed(Tables.events(s, d)
           .select(col("ts"), col("user_id"))
           .as[(java.sql.Timestamp, Long)], "ts"))
-      // alpha is forced to DOUBLE on both engines: bare 0.7213/1.079
-      // literals are DECIMALs whose division rules differ between
-      // Spark and DuckDB, and the constant's last ulps survive into
-      // the estimate (seen at sf0.1: one window at a decimal boundary)
-      val eRaw = expr("(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
-        "CAST(1.079 AS DOUBLE) / 256)) * 65536 / " +
-        "aggregate(regs, CAST(0.0 AS DOUBLE), " +
-        "(acc, r) -> acc + power(0.5, r))")
-      val nZero = expr("size(filter(regs, r -> r = 0))").cast("long")
-      // floor(x·100 + 0.5)/100, NOT round(x, 2): eRaw is a fixed
-      // double divided by a dyadic-rational register sum, which can
-      // land exactly on a decimal .5 boundary where Spark's HALF_UP
-      // and DuckDB's round disagree (seen at sf0.1: 689.355 → .35 vs
-      // .36). The floor form is one identical-order double expression
-      // on both engines — bit-equal wherever the value lands.
-      val est = when(eRaw <= 640.0 && nZero > 0,
-        lit(256.0) * log(lit(256.0) / nZero)).otherwise(eRaw)
+      // estimate path shared with q_distinct_hll (HllShared — the
+      // DOUBLE-cast alpha + floor-form presentation both cross-engine
+      // float traps were found on THIS query at sf0.1)
       replayToTable(s, chunks)(stream =>
         EventStreams.distinctStream(
           stream.toDF.toDF("ts", "user_id"), "6 hours", "1 hour"))
         .select(date_format(col("w.start"), Fmt).as("wstart"),
           expr("array_join(regs, ',')").as("regs_csv"),
-          nZero.as("n_zero"),
-          (floor(est * lit(100.0) + lit(0.5)) / lit(100.0))
-            .as("est_distinct"))
+          HllShared.nZero.as("n_zero"),
+          HllShared.est2.as("est_distinct"))
         .orderBy(col("wstart"))
     }),
 
@@ -581,39 +566,17 @@ object EventQueries {
     // fixed float estimate, same closed-window filter as the tumbling
     // gate
     "q_stream_distinct" ->
-      """WITH src AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS ws,
+      s"""WITH src AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS ws,
                         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
                           AS BIGINT) AS hv
                       FROM events),
           closed AS (SELECT * FROM src
                      WHERE ws + INTERVAL '6 hours' <=
                            (SELECT max(ts) - INTERVAL '1 hour' FROM events)),
-          w AS (SELECT ws, hv % 256 AS b, hv // 256 AS wv FROM closed),
-          r AS (SELECT ws, b,
-                       MAX(CASE WHEN wv = 0 THEN 53
-                                ELSE 53 - length(bin(wv)) END) AS rho
-                FROM w GROUP BY 1, 2),
-          grid AS (SELECT DISTINCT c.ws, mr.range AS b
-                   FROM closed c CROSS JOIN range(0, 256) mr),
-          regs AS (SELECT g.ws, g.b, COALESCE(r.rho, 0) AS rho
-                   FROM grid g LEFT JOIN r ON r.ws = g.ws AND r.b = g.b),
-          s AS (SELECT ws, list(rho ORDER BY b) AS rl
-                FROM regs GROUP BY 1),
-          e AS (SELECT ws,
-                       array_to_string(rl, ',') AS regs_csv,
-                       CAST(len(list_filter(rl, x -> x = 0)) AS BIGINT)
-                         AS n_zero,
-                       (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
-                          CAST(1.079 AS DOUBLE) / 256)) * 65536 /
-                         list_sum(list_transform(rl, x -> power(0.5, x)))
-                         AS e_raw
-                FROM s)
+          ${graft.queries.HllShared.oracleCtes("ws", "closed")}
           SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart,
                  regs_csv, n_zero,
-                 floor((CASE WHEN e_raw <= 640.0 AND n_zero > 0
-                             THEN 256.0 * ln(256.0 / n_zero)
-                             ELSE e_raw END) * 100.0 + 0.5) / 100.0
-                   AS est_distinct
+                 ${graft.queries.HllShared.estSql} AS est_distinct
           FROM e ORDER BY wstart""",
     // the inner interval join emits exactly the batch join pairs; note
     // the stream condition is cts <= ets (inclusive), unlike

@@ -385,10 +385,9 @@ object RelationalQueries {
     // is part of the contract.
     "q_distinct_hll" -> ((s, d) => {
       val hll = udaf(new graft.functions.HllAgg(8))
-      val eRaw = expr("(0.7213 / (1.0 + 1.079 / 256)) * 65536 / " +
-        "aggregate(regs, CAST(0.0 AS DOUBLE), " +
-        "(acc, r) -> acc + power(0.5, r))")
-      val nZero = expr("size(filter(regs, r -> r = 0))").cast("long")
+      // estimate path shared with q_stream_distinct (HllShared): the
+      // DOUBLE-cast alpha and floor-form presentation close two
+      // cross-engine float traps that data luck was covering here
       Tables.lineitem(s, d)
         .select(col("l_returnflag"),
           conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
@@ -397,10 +396,8 @@ object RelationalQueries {
         .agg(hll(col("hv")).as("regs"))
         .select(col("l_returnflag"),
           expr("array_join(regs, ',')").as("regs_csv"),
-          nZero.as("n_zero"),
-          round(when(eRaw <= 640.0 && nZero > 0,
-            lit(256.0) * log(lit(256.0) / nZero)).otherwise(eRaw), 2)
-            .as("est_distinct"))
+          HllShared.nZero.as("n_zero"),
+          HllShared.est2.as("est_distinct"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -604,34 +601,13 @@ object RelationalQueries {
                   AS est_distinct
          FROM k ORDER BY l_returnflag""",
     "q_distinct_hll" ->
-      """WITH h AS (SELECT l_returnflag,
+      s"""WITH h AS (SELECT l_returnflag,
                       CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
                         AS BIGINT) AS hv
                     FROM lineitem),
-          w AS (SELECT l_returnflag, hv % 256 AS b, hv // 256 AS wv FROM h),
-          r AS (SELECT l_returnflag, b,
-                       MAX(CASE WHEN wv = 0 THEN 53
-                                ELSE 53 - length(bin(wv)) END) AS rho
-                FROM w GROUP BY 1, 2),
-          grid AS (SELECT DISTINCT h.l_returnflag, mr.range AS b
-                   FROM h CROSS JOIN range(0, 256) mr),
-          regs AS (SELECT g.l_returnflag, g.b, COALESCE(r.rho, 0) AS rho
-                   FROM grid g LEFT JOIN r
-                     ON r.l_returnflag = g.l_returnflag AND r.b = g.b),
-          s AS (SELECT l_returnflag, list(rho ORDER BY b) AS rl
-                FROM regs GROUP BY 1),
-          e AS (SELECT l_returnflag,
-                       array_to_string(rl, ',') AS regs_csv,
-                       CAST(len(list_filter(rl, x -> x = 0)) AS BIGINT)
-                         AS n_zero,
-                       (0.7213 / (1.0 + 1.079 / 256)) * 65536 /
-                         list_sum(list_transform(rl, x -> power(0.5, x)))
-                         AS e_raw
-                FROM s)
+          ${HllShared.oracleCtes("l_returnflag", "h")}
           SELECT l_returnflag, regs_csv, n_zero,
-                 ROUND(CASE WHEN e_raw <= 640.0 AND n_zero > 0
-                            THEN 256.0 * ln(256.0 / n_zero)
-                            ELSE e_raw END, 2) AS est_distinct
+                 ${HllShared.estSql} AS est_distinct
           FROM e ORDER BY l_returnflag""",
     "q_date_filter" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -293,7 +293,7 @@ object SimilarityQueries {
 
   private val kmCache =
     scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, Int, String), DataFrame]
+      .empty[(SparkSession, (String, Int, String)), DataFrame]
 
   /** Memoized model artifacts per (session, dir, k, kind) — the
     * k-means model is a build-once artifact like the PQ index
@@ -302,18 +302,11 @@ object SimilarityQueries {
     * training run instead of re-running the Lloyd loop per query
     * (ADVICE r12). The tiny result tables persist; the final centroid
     * checkpoint they read through is pinned so harness scratch-freeing
-    * can't poison a re-read after eviction. */
+    * can't poison a re-read after eviction ([[graft.plans.Lineage.memo]]
+    * — the shared sweep/persist/pin sequence). */
   private def kmMemo(s: SparkSession, d: String, k: Int, kind: String)(
-      build: => DataFrame): DataFrame = {
-    graft.plans.Lineage.sweepStoppedKeys(kmCache)(_._1)
-    kmCache.getOrElseUpdate((s, d, k, kind), {
-      val a = build
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      a.count()
-      graft.plans.Lineage.pin(a)
-      a
-    })
-  }
+      build: => DataFrame): DataFrame =
+    graft.plans.Lineage.memo(kmCache, s, (d, k, kind))(build)
 
   /** Memoized trained centroid row. */
   private def kmCents(s: SparkSession, d: String,
@@ -795,17 +788,9 @@ object SimilarityQueries {
   /** The memoized PQ codes table per (session, dir) — shared by
     * q_ann_pq and q_ann_ivfpq (one index, two search strategies, like
     * a stored FAISS artifact serving several probes). */
-  private def pqIndex(s: SparkSession, d: String): DataFrame = {
-    // stale-session sweep (the ADVICE-r8 feedCache leak class): a
-    // stopped session's persisted index died with its context
-    graft.plans.Lineage.sweepStoppedKeys(pqIndexCache)(_._1)
-    pqIndexCache.getOrElseUpdate((s, d), {
-      val x = pqEncode(Tables.embeddings(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      x.count()
-      x
-    })
-  }
+  private def pqIndex(s: SparkSession, d: String): DataFrame =
+    graft.plans.Lineage.memo(pqIndexCache, s, d)(
+      pqEncode(Tables.embeddings(s, d)))
 
   /** Conditional fan-out for CPU-heavy narrow passes: a small corpus
     * file scans as ONE partition, pinning the pass to a single core

@@ -53,16 +53,8 @@ object TextQueries {
     * a build-once artifact both gates consume. Unordered; callers add
     * their ORDER BY. Scale/float notes live on the q_text_logprob
     * entry. */
-  private def logprobPerDoc(s: SparkSession, d: String): DataFrame = {
-    graft.plans.Lineage.sweepStoppedKeys(logprobCache)(_._1)
-    logprobCache.getOrElseUpdate((s, d), {
-      val a = logprobPerDocBuild(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      a.count()
-      graft.plans.Lineage.pin(a)
-      a
-    })
-  }
+  private def logprobPerDoc(s: SparkSession, d: String): DataFrame =
+    graft.plans.Lineage.memo(logprobCache, s, d)(logprobPerDocBuild(s, d))
 
   private val logprobCache =
     scala.collection.concurrent.TrieMap
@@ -184,8 +176,15 @@ object TextQueries {
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             qualityScore.as("quality")))
+      // the cut snaps to the 1e-6 grid via the order-identical
+      // floor(x·1e6 + 0.5)/1e6 (the HllShared floor form): the
+      // interpolated percentile is the one value here NOT bit-equal by
+      // construction (Spark and DuckDB may differ by an ulp when two
+      // adjacent source scores are themselves ulp-close), and an
+      // unrounded comparison would let that ulp flip a keep flag
       val cuts = scored.groupBy("source")
-        .agg(expr("percentile(quality, cast(3 as double)/4)").as("cut"))
+        .agg((floor(expr("percentile(quality, cast(3 as double)/4)") *
+          lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("cut"))
       scored.join(broadcast(cuts), Seq("source"))
         .select(col("doc_id"), col("source"), col("quality"),
           (col("quality") > col("cut")).as("kept"))
@@ -866,16 +865,8 @@ object TextQueries {
     * (and repeated bench reps) measure one scoring run plus their own
     * pass. Unordered; callers add their ORDER BY/top-k. Scale/float
     * notes live on the q_text_dsir entry. */
-  private def dsirLogw(s: SparkSession, d: String): DataFrame = {
-    graft.plans.Lineage.sweepStoppedKeys(dsirCache)(_._1)
-    dsirCache.getOrElseUpdate((s, d), {
-      val a = dsirLogwBuild(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      a.count()
-      graft.plans.Lineage.pin(a)
-      a
-    })
-  }
+  private def dsirLogw(s: SparkSession, d: String): DataFrame =
+    graft.plans.Lineage.memo(dsirCache, s, d)(dsirLogwBuild(s, d))
 
   private val dsirCache =
     scala.collection.concurrent.TrieMap
@@ -1055,7 +1046,8 @@ object TextQueries {
                          (n_types / n_tok) * 0.3 AS quality
                  FROM m),
             c AS (SELECT source,
-                   quantile_cont(quality, CAST(3 AS DOUBLE)/4) AS cut
+                   floor(quantile_cont(quality, CAST(3 AS DOUBLE)/4)
+                         * 1.0e6 + 0.5) / 1.0e6 AS cut
                   FROM q GROUP BY source)
             SELECT q.doc_id, q.source, q.quality, q.quality > c.cut AS kept
             FROM q JOIN c ON c.source = q.source
