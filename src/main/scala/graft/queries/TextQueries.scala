@@ -393,6 +393,54 @@ object TextQueries {
         .orderBy(col("source"), col("cum_tok"), col("doc_id"))
     }),
 
+    // Data-constrained mixture with repetition caps (Muennighoff'23,
+    // "Scaling Data-Constrained Language Models"): distribute a total
+    // training budget of 2 corpus-epochs across sources by sqrt
+    // temperature (the q_text_mixture_temp upweighting), but CAP each
+    // source at R = 2 epochs of its unique tokens — the paper's rule
+    // that value decays with repetition — and redistribute the clamped
+    // surplus to uncapped sources in one pass (re-clamped; any residual
+    // stays unallocated, because beyond-R budget has nowhere useful to
+    // go). Output is the per-source allocation plan: unique tokens,
+    // raw temperature budget, final allocation, epochs.
+    // Scale shape: ONE corpus pass (the per-source token totals,
+    // partial-agg'd); everything after is arithmetic over n_sources
+    // rows with 1-row broadcasts. Float determinism: sqrt is the one
+    // power IEEE requires correctly rounded, weight Σs fold
+    // source-sorted (the logprob contract), budgets integer-floor, and
+    // epochs = exact-long / exact-long division — bit-equal with no
+    // rounding shim.
+    "q_text_mixture_epochs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), size(toks).cast("long").as("n_tok"))
+      val totals = docs.groupBy("source").agg(sum(col("n_tok")).as("tot"))
+      val wsFold = "aggregate(sort_array(collect_list(named_struct(" +
+        "'source', source, 'wt', sqrt(cast(tot as double))))), " +
+        "cast(0.0 as double), (acc, x) -> acc + x.wt)"
+      val tb = totals.agg(sum(col("tot")).as("corpus_tok"),
+        expr(wsFold).as("ws"))
+      val r = totals.crossJoin(broadcast(tb))
+        .select(col("source"), col("tot"),
+          expr("cast(floor(cast(2 * corpus_tok as double) * " +
+            "sqrt(cast(tot as double)) / ws) as bigint)").as("raw"))
+        .withColumn("cap", lit(2L) * col("tot"))
+        .withColumn("alloc1", least(col("raw"), col("cap")))
+        .withColumn("clamped", col("raw") > col("cap"))
+      val over = r.agg(sum(when(col("clamped"), col("raw") - col("cap"))
+        .otherwise(0L)).as("over"))
+      val wu = r.filter(!col("clamped")).agg(expr(wsFold).as("wu"))
+      r.crossJoin(broadcast(over)).crossJoin(broadcast(wu))
+        .withColumn("add", when(!col("clamped") && col("wu") > 0.0,
+          expr("cast(floor(cast(over as double) * " +
+            "sqrt(cast(tot as double)) / wu) as bigint)"))
+          .otherwise(lit(0L)))
+        .select(col("source"), col("tot"), col("raw").as("raw_budget"),
+          least(col("alloc1") + col("add"), col("cap")).as("alloc"))
+        .withColumn("epochs",
+          col("alloc").cast("double") / col("tot").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // PII detection + redaction — the mandatory privacy pass of a
     // training-data pipeline: count and mask emails / IPv4 addresses /
     // phone numbers in one narrow codegen'd pass (regexp_extract_all +
@@ -1175,6 +1223,46 @@ object TextQueries {
            SELECT source, doc_id, n_tok, b AS src_budget, cum_tok FROM c
            WHERE cum_tok <= b OR cum_tok - n_tok = 0
            ORDER BY source, cum_tok, doc_id""",
+      // same source-sorted sqrt-weight folds, same integer floors,
+      // same cap/redistribute/re-clamp rule, same exact-long epochs
+      // division
+      "q_text_mixture_epochs" ->
+        """WITH d AS (SELECT source,
+                        CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                          AS n_tok
+                      FROM documents),
+           t AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot
+                 FROM d GROUP BY source),
+           tb AS (SELECT CAST(SUM(tot) AS BIGINT) AS corpus_tok,
+                    list_sum(list(sqrt(CAST(tot AS DOUBLE))
+                             ORDER BY source)) AS ws
+                  FROM t),
+           r AS (SELECT source, tot,
+                   CAST(floor(CAST(2 * (SELECT corpus_tok FROM tb) AS DOUBLE)
+                        * sqrt(CAST(tot AS DOUBLE)) / (SELECT ws FROM tb))
+                     AS BIGINT) AS raw,
+                   2 * tot AS cap
+                 FROM t),
+           r2 AS (SELECT source, tot, raw, cap,
+                    LEAST(raw, cap) AS alloc1, raw > cap AS clamped
+                  FROM r),
+           pool AS (SELECT CAST(SUM(CASE WHEN clamped THEN raw - cap
+                                    ELSE 0 END) AS BIGINT) AS over,
+                      list_sum(list(sqrt(CAST(tot AS DOUBLE))
+                               ORDER BY source)
+                               FILTER (WHERE NOT clamped)) AS wu
+                    FROM r2),
+           f AS (SELECT source, tot, raw,
+                   LEAST(alloc1 + CASE WHEN NOT clamped AND
+                       (SELECT wu FROM pool) > 0.0
+                     THEN CAST(floor(CAST((SELECT over FROM pool) AS DOUBLE)
+                          * sqrt(CAST(tot AS DOUBLE)) /
+                          (SELECT wu FROM pool)) AS BIGINT)
+                     ELSE 0 END, cap) AS alloc
+                 FROM r2)
+           SELECT source, tot, raw AS raw_budget, alloc,
+                  CAST(alloc AS DOUBLE) / CAST(tot AS DOUBLE) AS epochs
+           FROM f ORDER BY source""",
       "q_text_sample_stratified" ->
         """WITH r AS (SELECT doc_id, lang,
                   ROW_NUMBER() OVER (PARTITION BY lang

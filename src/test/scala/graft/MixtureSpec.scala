@@ -56,4 +56,53 @@ class MixtureSpec extends SparkSpec {
       }
     }
   }
+
+  test("epochs mixture: replayed allocation, caps respected, clamp " +
+      "non-vacuous, surplus actually redistributed") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val got = queries.TextQueries.queries("q_text_mixture_epochs")(s, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+    // driver-side replay of the Muennighoff'23 rule on the raw corpus
+    val tots = Tables.documents(s, dir)
+      .selectExpr("source", "cast(size(split(text, '\\\\s+')) as long) n")
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val srcs = tots.keys.toSeq.sorted
+    val ws = srcs.map(src => math.sqrt(tots(src).toDouble)).sum
+    val b = 2L * tots.values.sum
+    val raw = srcs.map { src =>
+      src -> math.floor(
+        b.toDouble * math.sqrt(tots(src).toDouble) / ws).toLong
+    }.toMap
+    val cap = srcs.map(src => src -> 2L * tots(src)).toMap
+    val clamped = srcs.filter(src => raw(src) > cap(src)).toSet
+    val over = clamped.toSeq.map(src => raw(src) - cap(src)).sum
+    val wu = srcs.filterNot(clamped)
+      .map(src => math.sqrt(tots(src).toDouble)).sum
+    val ref = srcs.map { src =>
+      val alloc1 = math.min(raw(src), cap(src))
+      val add = if (!clamped(src) && wu > 0.0)
+        math.floor(over.toDouble * math.sqrt(tots(src).toDouble) / wu).toLong
+      else 0L
+      src -> math.min(alloc1 + add, cap(src))
+    }.toMap
+
+    assert(got.keySet == tots.keySet)
+    got.foreach { case (src, (tot, rawB, alloc, epochs)) =>
+      assert(tot == tots(src) && rawB == raw(src) && alloc == ref(src),
+        s"$src: got ($tot, $rawB, $alloc) want " +
+          s"(${tots(src)}, ${raw(src)}, ${ref(src)})")
+      assert(math.abs(epochs - alloc.toDouble / tot) < 1e-12)
+      assert(alloc <= 2L * tot, s"$src beyond the repetition cap")
+    }
+    // the rule must actually bite both ways on this corpus
+    assert(clamped.nonEmpty, "no source clamped — cap vacuous")
+    assert(clamped.size < srcs.size, "every source clamped — pool empty")
+    assert(srcs.exists(src => !clamped(src) && ref(src) > raw(src)),
+      "surplus never reached an uncapped source")
+  }
 }
