@@ -554,6 +554,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_text_mixture_epochs plan: ONE corpus scan — every post-totals " +
+      "consumer reuses the token-totals exchange") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_text_mixture_epochs")(spark, Dir)
+      .queryExecution.executedPlan
+    // the totals frame feeds raw budgets, the surplus pool AND the
+    // unclamped-weight fold; without exchange reuse each consumer
+    // would re-scan and re-aggregate the corpus
+    assert(p.toString.linesIterator.count(_.contains("FileScan")) == 1,
+      s"q_text_mixture_epochs: corpus scanned more than once:\n" +
+        p.toString.take(2000))
+    assert(count(p) { case _: ReusedExchangeExec => () } >= 1,
+      s"q_text_mixture_epochs: totals exchange no longer reused:\n" +
+        p.toString.take(2000))
+    // the 1-row broadcast cross joins (tb / over / wu — tb appearing
+    // once per reused totals consumer) are the only nested loops
+    assert(count(p) { case _: BroadcastNestedLoopJoinExec => () } <= 6 &&
+      count(p) { case _: CartesianProductExec => () } == 0,
+      s"q_text_mixture_epochs: unexpected join:\n${p.toString.take(2000)}")
+    }
+  }
+
   test("q_embed_quantize plan: one narrow pass — no joins, no exchange " +
       "but the presentation sort, scan pruned to (vec_id, embedding)") {
     withStaticPlans {
