@@ -176,7 +176,7 @@ object EventQueries {
         .select(date_format(col("w.start"), Fmt).as("wstart"),
           expr("array_join(regs, ',')").as("regs_csv"),
           HllShared.nZero.as("n_zero"),
-          HllShared.est2.as("est_distinct"))
+          HllShared.est2().as("est_distinct"))
         .orderBy(col("wstart"))
     }),
 
@@ -576,7 +576,7 @@ object EventQueries {
           ${graft.queries.HllShared.oracleCtes("ws", "closed")}
           SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart,
                  regs_csv, n_zero,
-                 ${graft.queries.HllShared.estSql} AS est_distinct
+                 ${graft.queries.HllShared.estSql()} AS est_distinct
           FROM e ORDER BY wstart""",
     // the inner interval join emits exactly the batch join pairs; note
     // the stream condition is cts <= ets (inclusive), unlike

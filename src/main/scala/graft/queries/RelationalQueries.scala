@@ -397,7 +397,7 @@ object RelationalQueries {
         .select(col("l_returnflag"),
           expr("array_join(regs, ',')").as("regs_csv"),
           HllShared.nZero.as("n_zero"),
-          HllShared.est2.as("est_distinct"))
+          HllShared.est2().as("est_distinct"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -607,7 +607,7 @@ object RelationalQueries {
                     FROM lineitem),
           ${HllShared.oracleCtes("l_returnflag", "h")}
           SELECT l_returnflag, regs_csv, n_zero,
-                 ${HllShared.estSql} AS est_distinct
+                 ${HllShared.estSql()} AS est_distinct
           FROM e ORDER BY l_returnflag""",
     "q_date_filter" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,

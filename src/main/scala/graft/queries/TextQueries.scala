@@ -88,6 +88,19 @@ object TextQueries {
     * of docs the Gumbel-top-k selection keeps. Shared engine/oracle. */
   private val DsirSampleK = 100
 
+  /** Source-sorted Σ sqrt(tot) temperature-weight fold over a
+    * (source, tot) frame — the ONE copy of the float-contract fold
+    * every mixture query uses (the HllShared lesson: textual copies of
+    * a float-sensitive expression drift). Spark expr form +
+    * the DuckDB twin below. */
+  private val sqrtWeightFold: String =
+    "aggregate(sort_array(collect_list(named_struct(" +
+      "'source', source, 'wt', sqrt(cast(tot as double))))), " +
+      "cast(0.0 as double), (acc, x) -> acc + x.wt)"
+
+  private def sqrtWeightFoldSql(filter: String = ""): String =
+    s"list_sum(list(sqrt(CAST(tot AS DOUBLE)) ORDER BY source)$filter)"
+
   /** Boilerplate pass (q_text_boilerplate): segment width in words and
     * the distinct-document recurrence threshold. W-word NON-overlapping
     * chunks stand in for the lines/paragraphs this corpus doesn't have
@@ -167,27 +180,28 @@ object TextQueries {
     // per-group percentile buffers each group's values on one reducer,
     // the documented exact-percentile trade — the histogram-sketch
     // path (q_percentiles_sketch) is the drop-in when a single source
-    // outgrows a reducer. Strict > like the CCNet buckets: cut-ties
-    // drop identically on both engines; quality doubles are bit-equal
-    // by construction (the q_text_quality contract), so the flag can
-    // never flip on an ulp.
+    // outgrows a reducer.
+    // Ulp contract (the q_text_ppl_bucket pattern): the comparison
+    // runs over scores QUANTIZED to the 1e-6 grid (the order-identical
+    // floor form — bit-equal since the raw scores are), so the
+    // interpolated cut — the one value here not bit-equal by
+    // construction — sits either exactly ON a doc's value (ties drop
+    // identically, strict >) or ≥ 0.25e-6 away from every doc (p = 3/4
+    // interpolates at quarter-fractions of the ≥ 1e-6 grid gap), and a
+    // cross-engine interpolation ulp can never flip a keep flag. The
+    // emitted quality stays raw (bit-equal already).
     "q_text_quality_cut" -> ((s, d) => {
       val scored = graft.plans.Lineage.scratchCheckpoint(
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
-            qualityScore.as("quality")))
-      // the cut snaps to the 1e-6 grid via the order-identical
-      // floor(x·1e6 + 0.5)/1e6 (the HllShared floor form): the
-      // interpolated percentile is the one value here NOT bit-equal by
-      // construction (Spark and DuckDB may differ by an ulp when two
-      // adjacent source scores are themselves ulp-close), and an
-      // unrounded comparison would let that ulp flip a keep flag
+            qualityScore.as("quality"))
+          .withColumn("qq",
+            floor(col("quality") * lit(1.0e6) + lit(0.5)) / lit(1.0e6)))
       val cuts = scored.groupBy("source")
-        .agg((floor(expr("percentile(quality, cast(3 as double)/4)") *
-          lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("cut"))
+        .agg(expr("percentile(qq, cast(3 as double)/4)").as("cut"))
       scored.join(broadcast(cuts), Seq("source"))
         .select(col("doc_id"), col("source"), col("quality"),
-          (col("quality") > col("cut")).as("kept"))
+          (col("qq") > col("cut")).as("kept"))
         .orderBy(col("doc_id"))
     }),
 
@@ -371,11 +385,7 @@ object TextQueries {
           expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
             .as("h"))
       val totals = docs.groupBy("source").agg(sum(col("n_tok")).as("tot"))
-      val wsum = totals
-        .agg(sort_array(collect_list(struct(col("source"),
-          sqrt(col("tot")).as("wt")))).as("sw"))
-        .select(expr("aggregate(sw, CAST(0.0 AS DOUBLE), " +
-          "(acc, x) -> acc + x.wt)").as("ws"))
+      val wsum = totals.agg(expr(sqrtWeightFold).as("ws"))
       val budgets = totals.crossJoin(broadcast(wsum))
         .select(col("source"), col("tot"),
           floor(lit(totalBudget) * sqrt(col("tot")) / col("ws"))
@@ -414,11 +424,8 @@ object TextQueries {
       val docs = Tables.documents(s, d)
         .select(col("source"), size(toks).cast("long").as("n_tok"))
       val totals = docs.groupBy("source").agg(sum(col("n_tok")).as("tot"))
-      val wsFold = "aggregate(sort_array(collect_list(named_struct(" +
-        "'source', source, 'wt', sqrt(cast(tot as double))))), " +
-        "cast(0.0 as double), (acc, x) -> acc + x.wt)"
       val tb = totals.agg(sum(col("tot")).as("corpus_tok"),
-        expr(wsFold).as("ws"))
+        expr(sqrtWeightFold).as("ws"))
       val r = totals.crossJoin(broadcast(tb))
         .select(col("source"), col("tot"),
           expr("cast(floor(cast(2 * corpus_tok as double) * " +
@@ -428,7 +435,7 @@ object TextQueries {
         .withColumn("clamped", col("raw") > col("cap"))
       val over = r.agg(sum(when(col("clamped"), col("raw") - col("cap"))
         .otherwise(0L)).as("over"))
-      val wu = r.filter(!col("clamped")).agg(expr(wsFold).as("wu"))
+      val wu = r.filter(!col("clamped")).agg(expr(sqrtWeightFold).as("wu"))
       r.crossJoin(broadcast(over)).crossJoin(broadcast(wu))
         .withColumn("add", when(!col("clamped") && col("wu") > 0.0,
           expr("cast(floor(cast(over as double) * " +
@@ -1088,16 +1095,17 @@ object TextQueries {
                      AS stop_hits,
                    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_types
                   FROM t),
-            q AS MATERIALIZED (SELECT doc_id, source,
-                   LEAST(n_tok / 50.0, 1.0) * 0.4 +
-                         (stop_hits / n_tok) * 0.3 +
-                         (n_types / n_tok) * 0.3 AS quality
-                 FROM m),
+            q AS MATERIALIZED (SELECT doc_id, source, quality,
+                   floor(quality * 1.0e6 + 0.5) / 1.0e6 AS qq
+                 FROM (SELECT doc_id, source,
+                         LEAST(n_tok / 50.0, 1.0) * 0.4 +
+                               (stop_hits / n_tok) * 0.3 +
+                               (n_types / n_tok) * 0.3 AS quality
+                       FROM m)),
             c AS (SELECT source,
-                   floor(quantile_cont(quality, CAST(3 AS DOUBLE)/4)
-                         * 1.0e6 + 0.5) / 1.0e6 AS cut
+                   quantile_cont(qq, CAST(3 AS DOUBLE)/4) AS cut
                   FROM q GROUP BY source)
-            SELECT q.doc_id, q.source, q.quality, q.quality > c.cut AS kept
+            SELECT q.doc_id, q.source, q.quality, q.qq > c.cut AS kept
             FROM q JOIN c ON c.source = q.source
             ORDER BY q.doc_id""",
       "q_text_langid" ->
@@ -1206,7 +1214,7 @@ object TextQueries {
                       FROM documents)),
            t AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot
                  FROM d GROUP BY source),
-           ws AS (SELECT list_sum(list(sqrt(tot) ORDER BY source)) AS ws
+           ws AS (SELECT ${sqrtWeightFoldSql()} AS ws
                   FROM t),
            b AS (SELECT source, tot,
                    CAST(FLOOR(8000 * sqrt(tot) / (SELECT ws FROM ws))
@@ -1227,15 +1235,14 @@ object TextQueries {
       // same cap/redistribute/re-clamp rule, same exact-long epochs
       // division
       "q_text_mixture_epochs" ->
-        """WITH d AS (SELECT source,
-                        CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        s"""WITH d AS (SELECT source,
+                        CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
                           AS n_tok
                       FROM documents),
            t AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot
                  FROM d GROUP BY source),
            tb AS (SELECT CAST(SUM(tot) AS BIGINT) AS corpus_tok,
-                    list_sum(list(sqrt(CAST(tot AS DOUBLE))
-                             ORDER BY source)) AS ws
+                    ${sqrtWeightFoldSql()} AS ws
                   FROM t),
            r AS (SELECT source, tot,
                    CAST(floor(CAST(2 * (SELECT corpus_tok FROM tb) AS DOUBLE)
@@ -1248,9 +1255,8 @@ object TextQueries {
                   FROM r),
            pool AS (SELECT CAST(SUM(CASE WHEN clamped THEN raw - cap
                                     ELSE 0 END) AS BIGINT) AS over,
-                      list_sum(list(sqrt(CAST(tot AS DOUBLE))
-                               ORDER BY source)
-                               FILTER (WHERE NOT clamped)) AS wu
+                      ${sqrtWeightFoldSql(
+                        " FILTER (WHERE NOT clamped)")} AS wu
                     FROM r2),
            f AS (SELECT source, tot, raw,
                    LEAST(alloc1 + CASE WHEN NOT clamped AND

@@ -3,12 +3,15 @@ package graft
 import org.apache.spark.sql.functions.col
 
 /** `q_text_quality_cut` against a driver-side replay: per-source p75
-  * by the same linear-interpolation rule Spark's `percentile` uses,
+  * over the 1e-6-QUANTIZED scores (the shipped semantics — the grid is
+  * what makes the interpolated cut ulp-safe, see the query scaladoc),
   * strict-> keep flags, and the property that motivates per-source
   * cuts at all — every source keeps some docs and drops some. */
 class TextQualityCutSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
+
+  private def snap(x: Double): Double = math.floor(x * 1.0e6 + 0.5) / 1.0e6
 
   // Spark Percentile: index = p·(n−1) over the sorted values,
   // result = lower + (higher − lower) · frac
@@ -20,22 +23,24 @@ class TextQualityCutSpec extends SparkSpec {
     lo + (hi - lo) * (pos - math.floor(pos))
   }
 
-  test("keep flags match the replayed per-source p75 cut") {
+  test("keep flags match the replayed per-source p75 over snapped scores") {
     val got = SparkEntry.queries("q_text_quality_cut")(spark, dir)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
-    // scores from the already-gated quality operator (bit-equal)
+    // raw scores from the already-gated quality operator (bit-equal)
     val q = SparkEntry.queries("q_text_quality")(spark, dir)
       .select(col("doc_id"), col("quality"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     val cuts = got.groupBy(_._2).view
-      .mapValues(rows => p75(rows.map(r => q(r._1)).toSeq)).toMap
+      .mapValues(rows => p75(rows.map(r => snap(q(r._1))).toSeq)).toMap
     assert(got.nonEmpty)
     got.foreach { case (id, src, quality, kept) =>
       assert(quality == q(id), s"doc $id score drifted from q_text_quality")
-      val cut = cuts(src)
-      if (math.abs(quality - cut) > 1e-9)
-        assert(kept == quality > cut, s"doc $id: kept=$kept q=$quality cut=$cut")
+      // the grid contract: every snapped score is exactly ON the cut
+      // (tie → dropped) or ≥ 0.25e-6 away, so replay-vs-engine
+      // interpolation ulps can never flip a flag — compare exactly
+      assert(kept == snap(quality) > cuts(src),
+        s"doc $id: kept=$kept qq=${snap(quality)} cut=${cuts(src)}")
     }
   }
 
