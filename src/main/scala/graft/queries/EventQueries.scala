@@ -16,6 +16,15 @@ object EventQueries {
 
   private val Fmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** Streaming count-min gate (q_stream_heavyhitters): sketch depth ×
+    * width — 4·64 longs = 2 KB of state per open window, sized so the
+    * handful of event types collide rarely but the matrix stays far
+    * smaller than the batch sketch's 4·256 (per-WINDOW state multiplies
+    * by open windows, the batch sketch is one global matrix). Shared
+    * engine/oracle. */
+  private val CmsD = 4
+  private val CmsW = 64
+
   /** Bounded-replay harness shared by the q_stream_* gates: feed the
     * pre-chunked, chronologically sorted `chunks` through a MemoryStream
     * into `build`'s streaming transform, run to completion against a
@@ -178,6 +187,46 @@ object EventQueries {
           HllShared.nZero.as("n_zero"),
           HllShared.est2().as("est_distinct"))
         .orderBy(col("wstart"))
+    }),
+
+    // The count-min sketch UNDER the streaming engine
+    // (q_text_heavyhitters × q_stream_tumbling): per-window approximate
+    // event-type frequencies from a FIXED CmsD·CmsW-counter state
+    // matrix — the streaming frequency table whose exact form keeps one
+    // counter per distinct key per open window. Append mode emits each
+    // matrix once the watermark closes its window (the distinct-gate
+    // filter); the probe set is the static distinct event_type table
+    // (stream-sketch → batch-probe, the CMS deployment shape: the
+    // sketch is key-oblivious, the watchlist arrives at query time).
+    // Every output is an exact integer function of the data — counters
+    // sum micro-batch partials, estimates are min-over-rows integer
+    // lookups — so the oracle rebuilds matrix and estimates with plain
+    // GROUP BYs; any merge defect shifts a probed counter (all sketch
+    // mass comes from the probed keys).
+    "q_stream_heavyhitters" -> ((s, d) => {
+      import s.implicits._
+      val chunks = cachedChunks(s, d, "heavyhitters")(
+        sortedFeed(Tables.events(s, d)
+          .select(col("ts"), col("event_type"))
+          .as[(java.sql.Timestamp, String)], "ts"))
+      val sketch = replayToTable(s, chunks)(stream =>
+        EventStreams.cmsStream(
+          stream.toDF.toDF("ts", "event_type"), "6 hours", "1 hour",
+          CmsD, CmsW))
+      val types = Tables.events(s, d).select(col("event_type")).distinct()
+        .withColumn("hv",
+          conv(substring(md5(col("event_type")), 1, 8), 16, 10)
+            .cast("long"))
+      sketch.crossJoin(broadcast(types))
+        .withColumn("est", expr(
+          s"""aggregate(sequence(0, ${CmsD - 1}), 9223372036854775807L,
+             |  (acc, j) -> least(acc, element_at(cms,
+             |    j * $CmsW + cast((((2*j+1) * hv + j * 2654435761)
+             |                   % 4294967296) % $CmsW as int) + 1)))"""
+            .stripMargin))
+        .select(date_format(col("w.start"), Fmt).as("wstart"),
+          col("event_type"), col("est"))
+        .orderBy(col("wstart"), col("event_type"))
     }),
 
     // flatMapGroupsWithState under the same gate: sessionCloseStream
@@ -565,6 +614,41 @@ object EventQueries {
     // same 60-bit md5 hash, same bucket/rho integer functions, same
     // fixed float estimate, same closed-window filter as the tumbling
     // gate
+    // closed-window filter as q_stream_distinct; counter matrix and
+    // min-over-rows estimates rebuilt with the batch CMS arithmetic
+    // (q_text_heavyhitters), per window; missing (window, bucket)
+    // counters are 0 — the engine's matrix materializes all d·w cells
+    "q_stream_heavyhitters" ->
+      s"""WITH src AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS ws,
+                        CAST(('0x' || substring(md5(event_type), 1, 8))
+                          AS BIGINT) AS hv
+                      FROM events),
+          closed AS (SELECT * FROM src
+                     WHERE ws + INTERVAL '6 hours' <=
+                           (SELECT max(ts) - INTERVAL '1 hour' FROM events)),
+          buckets AS (SELECT ws, j.range AS j,
+                        (((2*j.range+1) * hv + j.range * 2654435761)
+                         % 4294967296) % $CmsW AS b,
+                        COUNT(*) AS c
+                      FROM closed CROSS JOIN range(0, $CmsD) j
+                      GROUP BY 1, 2, 3),
+          types AS (SELECT DISTINCT event_type,
+                      CAST(('0x' || substring(md5(event_type), 1, 8))
+                        AS BIGINT) AS hv
+                    FROM events),
+          grid AS (SELECT DISTINCT c0.ws, t.event_type, t.hv, j.range AS j
+                   FROM closed c0 CROSS JOIN types t
+                   CROSS JOIN range(0, $CmsD) j),
+          est AS (SELECT g.ws, g.event_type,
+                    MIN(COALESCE(bk.c, 0)) AS est
+                  FROM grid g LEFT JOIN buckets bk
+                    ON bk.ws = g.ws AND bk.j = g.j
+                    AND bk.b = (((2*g.j+1) * g.hv + g.j * 2654435761)
+                                % 4294967296) % $CmsW
+                  GROUP BY 1, 2)
+          SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart,
+                 event_type, est
+          FROM est ORDER BY wstart, event_type""",
     "q_stream_distinct" ->
       s"""WITH src AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS ws,
                         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))

@@ -101,6 +101,21 @@ object TextQueries {
   private def sqrtWeightFoldSql(filter: String = ""): String =
     s"list_sum(list(sqrt(CAST(tot AS DOUBLE)) ORDER BY source)$filter)"
 
+  /** BPE merge training (q_text_bpe_train): how many merge rules the
+    * gate learns. Each rule is one pair-count shuffle over the
+    * vocabulary-sized word-frequency table; the production path runs
+    * the same loop to 10k+ rules. Shared engine/oracle. */
+  private val BpeTrainK = 6
+
+  /** All-pairs similarity join (q_text_allpairs): the frequent-feature
+    * cut (features in more than ApMaxDf docs leave the space — the
+    * Bayardo'07 prune that bounds per-key join fan-out) and the cosine
+    * keep threshold, which sits on the 1e-6 presentation grid and far
+    * from the measured pair distribution (near-dups ≥ 0.9, rest < 0.3).
+    * Shared engine/oracle. */
+  private val ApMaxDf = 5
+  private val ApTau = 0.5
+
   /** Boilerplate pass (q_text_boilerplate): segment width in words and
     * the distinct-document recurrence threshold. W-word NON-overlapping
     * chunks stand in for the lines/paragraphs this corpus doesn't have
@@ -221,6 +236,146 @@ object TextQueries {
           hits.map { case (l, c) => c.as(s"${l}_hits") } :+
           pred.as("pred"): _*)
         .orderBy(col("doc_id"))
+    }),
+
+    // DISTRIBUTED BPE MERGE TRAINING (Sennrich'16 §3.2) — the engine
+    // learns its own tokenizer instead of only applying the shipped
+    // trained table (q_text_tokens_bpe consumes
+    // resources/graft/bpe_merges.txt, trained OFFLINE by
+    // tools/train_bpe.py; this runs the same greedy loop in-engine).
+    // Scale design is the sentencepiece optimization: the corpus
+    // crosses ONCE into the (word, count) frequency table —
+    // vocabulary-sized, partial-agg'd — and every merge iteration
+    // runs on that table: one pair-count shuffle + a global top-1
+    // (TakeOrderedAndProject: per-partition top-1 + driver merge,
+    // never a sort), then a NARROW replace pass re-deriving the
+    // symbol strings. K iterations = K bounded shuffles; the corpus
+    // is never re-read. The one driver-side collect per iteration is
+    // a single row (the argmax rule — the N-count contract).
+    //
+    // Merge semantics are exactly the apply path's
+    // ([[graft.functions.BpeSymbolsUtil]]): symbols ride as a
+    // SEP-terminated string and applying rule (a, b) is the literal
+    // left-to-right non-overlapping replace(a·SEP·b·SEP → ab·SEP) on
+    // both engines (Spark UTF8String.replace ≡ DuckDB replace). Pair
+    // counts use the textbook naive overlap count ("aaa" counts (a,a)
+    // twice though one merge fires); argmax is total-ordered by
+    // (count DESC, a, b) so the learned table is deterministic.
+    "q_text_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val SEP = BpeSep
+      val vocab = graft.plans.Lineage.scratchCheckpoint(
+        Tables.documents(s, d)
+          .select(explode(toks).as("w")).filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .select(regexp_replace(col("w"), "(.)", "$1" + SEP).as("sym"),
+            col("c")))
+      val pairsOf =
+        "CASE WHEN size(ss) < 3 " +
+          "THEN cast(array() as array<struct<a:string,b:string>>) " +
+          "ELSE transform(sequence(1, size(ss) - 2), " +
+          "i -> struct(element_at(ss, i) AS a, element_at(ss, i + 1) AS b)) " +
+          "END"
+      var syms = vocab
+      val learned = (1 to BpeTrainK).map { r =>
+        val best = syms
+          .select(split(col("sym"), SEP).as("ss"), col("c"))
+          .select(explode(expr(pairsOf)).as("p"), col("c"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("c")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()(0)
+        val (a, b) = (best.getString(0), best.getString(1))
+        // narrow re-derivation on the checkpointed vocab: iteration r
+        // stacks r replaces — constant work per word, no new shuffle
+        syms = syms.select(
+          replace(col("sym"), lit(a + SEP + b + SEP), lit(a + b + SEP))
+            .as("sym"), col("c"))
+        (r, a, b, best.getLong(2))
+      }
+      learned.toDF("rk", "a", "b", "cnt").orderBy(col("rk"))
+    }),
+
+    // EXACT all-pairs similarity join (the SSJoin/APSS family —
+    // Bayardo'07 "All-Pairs", Chaudhuri'06): every document pair whose
+    // tf-idf WORD-3-SHINGLE cosine clears τ, via the inverted-index
+    // equi-join — the exact counterpart to the probabilistic
+    // minhash/LSH dedup path (q_dedup_lsh finds ~these pairs with
+    // recall < 1; this finds exactly them). Unigrams are useless as
+    // the feature space here (31-term dense vocabulary, every doc hits
+    // every term); 3-shingles give a sparse discriminative space
+    // (16k+ features, median df = 1 at sf0.01).
+    //
+    // Shape at scale (the APSS argument): features ride as 60-bit md5
+    // ids (8 B join keys, shingle text never shuffles); the corpus
+    // explodes once into (doc, hv) counts (partial-agg'd); the
+    // frequent-feature cut df ≤ ApMaxDf bounds the inverted-index
+    // self-join fan-out at ApMaxDf rows per key side — ≤ ApMaxDf·|feat|
+    // intermediate pairs and NO hot-key skew, the exact reason
+    // Bayardo prunes frequent features (a df-D term alone contributes
+    // D² pairs; ubiquitous shingles are boilerplate, not signal).
+    // Never a doc×doc cross join anywhere. At 100 TB the cut is the
+    // knob: D ~ corpus-fraction keeps the join linear in |feat|.
+    //
+    // Float contract: w = n_sh·(ln((N+1)/(df+1))+1) with N a
+    // driver-side exact integer (the bm25 contract; the tf/doclen
+    // factor of q_text_tfidf cancels in cosine, so tf stays raw);
+    // norms and dots fold hv-SORTED (the logprob contract); cosine is
+    // presented on the 1e-6 floor grid and τ sits far from any pair
+    // (measured gap: planted near-dups ≥ 0.9, everything else < 0.3).
+    "q_text_allpairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count() // driver-side exact integer
+      val shingles = expr(
+        "CASE WHEN size(toks) < 3 THEN cast(array() as array<string>) " +
+          "ELSE transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3))) END")
+      val tf = docs.select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(shingles).as("sh"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+            .as("hv"))
+        .groupBy("doc_id", "hv").agg(count(lit(1)).as("n_sh"))
+      // vocabulary-sized df table: no broadcast hint (the q_text_tfidf
+      // rationale — it scales with the corpus)
+      val dfr = tf.groupBy("hv").agg(count(lit(1)).as("df"))
+      // checkpointed: three consumers (norms + both self-join sides)
+      // would otherwise re-explode the corpus three times
+      val feat = graft.plans.Lineage.scratchCheckpoint(
+        tf.join(dfr, "hv").filter(col("df") <= ApMaxDf)
+          .select(col("doc_id"), col("hv"),
+            (col("n_sh").cast("double") *
+              (log((lit(n.toDouble) + 1) / (col("df") + 1)) + 1)).as("w")))
+      val nrm = feat
+        .select(col("doc_id"),
+          struct(col("hv"), (col("w") * col("w")).as("p")).as("t"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("t"))).as("ts"))
+        .select(col("doc_id"), sqrt(expr(
+          "aggregate(ts, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)"))
+          .as("nrm"))
+      val dots = feat.select(col("doc_id").as("doc_a"), col("hv"),
+          col("w").as("wa"))
+        .join(feat.select(col("doc_id").as("doc_b"), col("hv"),
+          col("w").as("wb")), Seq("hv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          struct(col("hv"), (col("wa") * col("wb")).as("p")).as("t"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sort_array(collect_list(col("t"))).as("ts"))
+        .select(col("doc_a"), col("doc_b"), expr(
+          "aggregate(ts, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)")
+          .as("dot"))
+      dots
+        .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+          "doc_a")
+        .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (floor((col("dot") / (col("na") * col("nb"))) * lit(1.0e6)
+            + lit(0.5)) / lit(1.0e6)).as("cos"))
+        .filter(col("cos") >= ApTau)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // TF-IDF: top-3 terms per document. tf = termcount/doclen;
@@ -1000,6 +1155,43 @@ object TextQueries {
     * to the rule list (list_reduce seeds from the first element).
     * Separator spelled chr(1) so the control char never appears raw in
     * the SQL text. */
+  /** Unrolled K-step replay of the BPE training loop — each step is
+    * the same three CTEs (pair counts over the current vocab, the
+    * total-ordered argmax, the literal-replace re-derivation), chained
+    * v0 → vK. MATERIALIZED on each vocab step: every v_r has two
+    * consumers (p_{r+1} and v_{r+1}) and DuckDB's CTE inlining would
+    * otherwise re-evaluate the whole prefix per step (the r9
+    * PageRankOracle lesson). */
+  private def bpeTrainSql: String = {
+    val steps = (1 to BpeTrainK).map { r =>
+      s"""p$r AS (SELECT p[1] AS a, p[2] AS b, CAST(SUM(c) AS BIGINT) AS cnt
+                  FROM (SELECT unnest(
+                          CASE WHEN len(ss) < 3 THEN CAST([] AS VARCHAR[][])
+                          ELSE [[ss[i], ss[i+1]]
+                                for i in range(1, len(ss) - 1)] END) AS p, c
+                        FROM (SELECT string_split(sym, chr(1)) AS ss, c
+                              FROM v${r - 1}))
+                  GROUP BY 1, 2),
+           b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+           v$r AS MATERIALIZED (SELECT
+                    replace(sym, a || chr(1) || b || chr(1),
+                            a || b || chr(1)) AS sym, c
+                  FROM v${r - 1} CROSS JOIN b$r)"""
+    }.mkString(",\n           ")
+    val sel = (1 to BpeTrainK)
+      .map(r => s"SELECT $r AS rk, a, b, cnt FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""WITH raw AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+                     FROM documents),
+        w AS (SELECT tok, COUNT(*) AS c FROM raw WHERE tok <> ''
+              GROUP BY tok),
+        v0 AS MATERIALIZED (SELECT
+               regexp_replace(tok, '(.)', '\\1' || chr(1), 'g') AS sym, c
+             FROM w),
+        $steps
+        SELECT * FROM ($sel) ORDER BY rk"""
+  }
+
   private def bpeSymbolsSql: String = {
     def q(s: String) = "'" + s.replace("'", "''") + "'"
     val rules = graft.functions.BpeSymbolsUtil.merges
@@ -1122,6 +1314,44 @@ object TextQueries {
                         WHEN es_hits >= fr_hits THEN 'es'
                         ELSE 'fr' END AS pred
             FROM h ORDER BY doc_id""",
+      "q_text_bpe_train" -> bpeTrainSql,
+      // 3-shingles via 1-based inclusive list slices (toks[i:i+2] is 3
+      // elements); feature ids are the same 60-bit md5 the engine
+      // shuffles; folds are hv-ordered list_sums (the logprob twin)
+      "q_text_allpairs" ->
+        s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                       FROM documents),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            g AS (SELECT doc_id,
+                    unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                           ELSE [array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks) - 1)] END) AS sh
+                  FROM t),
+            tf AS (SELECT doc_id,
+                     CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS hv,
+                     COUNT(*) AS n_sh
+                   FROM g GROUP BY 1, 2),
+            dfr AS (SELECT hv, COUNT(*) AS df FROM tf GROUP BY hv),
+            feat AS MATERIALIZED (SELECT doc_id, tf.hv,
+                     CAST(n_sh AS DOUBLE) *
+                       (ln(((SELECT n FROM nn) + 1) / (df + 1)) + 1) AS w
+                   FROM tf JOIN dfr ON dfr.hv = tf.hv
+                   WHERE df <= $ApMaxDf),
+            nrm AS (SELECT doc_id, sqrt(list_sum(list(w * w ORDER BY hv)))
+                      AS nrm
+                    FROM feat GROUP BY doc_id),
+            dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       list_sum(list(a.w * b.w ORDER BY a.hv)) AS dot
+                     FROM feat a JOIN feat b
+                       ON a.hv = b.hv AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2),
+            c AS (SELECT doc_a, doc_b,
+                    floor((dot / (na.nrm * nb.nrm)) * 1.0e6 + 0.5) / 1.0e6
+                      AS cos
+                  FROM dots JOIN nrm na ON na.doc_id = doc_a
+                            JOIN nrm nb ON nb.doc_id = doc_b)
+            SELECT doc_a, doc_b, cos FROM c WHERE cos >= $ApTau
+            ORDER BY doc_a, doc_b""",
       "q_text_tfidf" ->
         """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
                          FROM documents),

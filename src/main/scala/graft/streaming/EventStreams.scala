@@ -67,6 +67,26 @@ object EventStreams {
                      lateness: String): DataFrame =
     sessions(events.withWatermark("ts", lateness), gap)
 
+  /** Tumbling-window count-min frequency sketch — the second sketch
+    * running UNDER the streaming engine (the HLL rationale,
+    * [[distinctStream]]): per-window state is the FIXED d·w-counter
+    * matrix ([[graft.functions.CountMinAgg]], mergeable, so
+    * micro-batches partial-agg before the keyed state store),
+    * regardless of how many distinct keys the window sees — the
+    * streaming frequency table whose exact form buffers one counter
+    * PER KEY per open window. The emitted value is the raw counter
+    * matrix (an exact integer function of the data); callers probe it
+    * with the min-over-rows estimate, batch-identically. */
+  def cmsStream(events: DataFrame, width: String, lateness: String,
+                d: Int, w: Int): DataFrame = {
+    val cms = udaf(new graft.functions.CountMinAgg(d, w))
+    events.withWatermark("ts", lateness)
+      .withColumn("hv",
+        conv(substring(md5(col("event_type")), 1, 8), 16, 10).cast("long"))
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(cms(col("hv")).as("cms"))
+  }
+
   /** Semi-structured props: parse the JSON payload column. */
   def propsK(props: Column): Column =
     get_json_object(props, "$.k").cast("long")

@@ -1,0 +1,65 @@
+package graft
+
+/** `q_text_bpe_train` against an independent driver-side replay of the
+  * greedy BPE loop (Sennrich'16): plain Scala strings and hash maps,
+  * no Spark expressions — same (count DESC, a, b) argmax, same
+  * left-to-right non-overlapping merge semantics (String.replace).
+  * Also pins the property that makes training training: each learned
+  * rule strictly shrinks the corpus symbol count, and later rules may
+  * consume earlier merged symbols. */
+class TextBpeTrainSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private val Sep = graft.functions.BpeSymbolsUtil.Sep.toString
+
+  test("learned merge table matches the replayed greedy loop") {
+    val got = SparkEntry.queries("q_text_bpe_train")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+    // replay: word frequencies from the raw table
+    val words = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, dir).select("text").collect().foreach { r =>
+      r.getString(0).split("\\s+").filter(_.nonEmpty)
+        .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L)
+    }
+    var vocab: Map[String, Long] =
+      words.toMap.map { case (w, c) => (w.flatMap(ch => ch + Sep), c) }
+    val expected = (1 to got.size).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (sym, c) =>
+        val ss = sym.split(Sep, -1)
+        // trailing "" from the terminator: adjacent pairs exclude it
+        (0 until ss.length - 2).foreach { i =>
+          val k = (ss(i), ss(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+        }
+      }
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((a, b), c) =>
+        (-c, a, b)
+      }
+      vocab = vocab.map { case (sym, c) =>
+        (sym.replace(a + Sep + b + Sep, a + b + Sep), c)
+      }
+      (r, a, b, cnt)
+    }
+    assert(got == expected)
+  }
+
+  test("rules compose: merges shrink symbols and later rules may use " +
+      "earlier products") {
+    val got = SparkEntry.queries("q_text_bpe_train")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // every learned a/b is a single char OR a product of earlier rules
+    val products = scala.collection.mutable.Set.empty[String]
+    got.foreach { case (a, b) =>
+      assert(a.length == 1 || products.contains(a), s"unseen symbol $a")
+      assert(b.length == 1 || products.contains(b), s"unseen symbol $b")
+      products += (a + b)
+    }
+    // the gate corpus is big enough that some rule builds on another
+    assert(got.exists { case (a, b) => a.length > 1 || b.length > 1 },
+      "no rule consumed an earlier merge — K too small to pin composition")
+  }
+}

@@ -482,4 +482,56 @@ class EventStreamsSpec extends SparkSpec {
       assert(ests == Seq(3L, 2L), s"estimates $ests")
     } finally q.stop()
   }
+
+  test("cmsStream counter matrix equals the batch CMS over the same " +
+      "data and never under-counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // window 1: 3 clicks, 1 view; window 2: 1 click, 2 errors — fed in
+    // two chunks so the matrix must merge micro-batch partials
+    val ev = Seq(
+      (ts(0), "click"), (ts(2), "click"), (ts(4), "view"), (ts(6), "click"),
+      (ts(12), "click"), (ts(14), "error"), (ts(16), "error"))
+    val input = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.cmsStream(
+        input.toDF().toDF("ts", "event_type"), "10 minutes", "5 minutes",
+        d = 4, w = 64)
+      .select(col("w.start").as("wstart"), col("cms"))
+      .writeStream.format("memory").queryName("cms_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(ev.take(4))
+      q.processAllAvailable()
+      input.addData(ev.drop(4))
+      q.processAllAvailable()
+      val streamed = s.table("cms_test")
+        .orderBy("wstart")
+        .collect().map(r => (r.getTimestamp(0), r.getSeq[Long](1))).toSeq
+      val cms = udaf(new graft.functions.CountMinAgg(4, 64))
+      val batch = ev.toDF("ts", "event_type")
+        .withColumn("hv",
+          conv(substring(md5(col("event_type")), 1, 8), 16, 10).cast("long"))
+        .groupBy(window(col("ts"), "10 minutes").as("w"))
+        .agg(cms(col("hv")).as("cms"))
+        .select(col("w.start").as("wstart"), col("cms"))
+        .orderBy("wstart")
+        .collect().map(r => (r.getTimestamp(0), r.getSeq[Long](1))).toSeq
+      assert(streamed == batch)
+      // probe estimates against the true per-window counts
+      val exact = Map(ts(0) -> Map("click" -> 3L, "view" -> 1L),
+        ts(10) -> Map("click" -> 1L, "error" -> 2L))
+      streamed.foreach { case (w, mat) =>
+        exact(w).foreach { case (k, n) =>
+          val hv = java.lang.Long.parseLong(
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(k)
+              .substring(0, 8), 16)
+          val est = (0 until 4).map(j =>
+            mat(j * 64 + graft.functions.CountMinAgg.bucket(hv, j, 64))).min
+          assert(est >= n, s"CMS under-counted $k in $w: $est < $n")
+        }
+      }
+    } finally q.stop()
+  }
 }
