@@ -454,7 +454,123 @@ object SimilarityQueries {
       .filter(col("rank") <= KnnK)
   }
 
+  /** PCA gate (q_embed_pca): fixed-point scale (2²⁰ — the
+    * q_embed_smooth contract), power-iteration count, and the per-step
+    * eigenvector snap grid (1e-9 — absorbs any residual cross-engine
+    * fold ulp before it can compound across iterations, the
+    * ppl_bucket/quality_cut pattern). Shared engine/oracle. */
+  private val PcaF = 1048576L
+  private val PcaIters = 24
+  private val PcaDim = 64
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PCA top-component projection — the whitening/rotation pre-step of
+    // the OPQ/ITQ embedding-index family (Gong'11, Ge'13) and the
+    // classic corpus-drift diagnostic: project every vector onto the
+    // leading eigenvector of the corpus covariance. Scale design:
+    //   - moments in ONE pass: per-row the d and d² fixed-point
+    //     products (exact integer, order-free) partial-agg to d + d²
+    //     DECIMAL sums — the Gram-matrix accumulation; only d² = 4096
+    //     rows ever cross the shuffle, at ANY corpus size;
+    //   - the eigensolve runs DRIVER-SIDE on the collected d×d integer
+    //     moment matrix (a fixed-size aggregate, the N-count contract —
+    //     the corpus is NOT involved); 8 power iterations;
+    //   - the projection is one NARROW broadcast pass (eigenvector +
+    //     mean ride as 64-double literals).
+    // Float contract: covariance doubles derive from IDENTICAL exact
+    // integers via one fixed expression tree (n·P − S·S, then the same
+    // division chain; all moment integers < 2⁵³ here so even the
+    // int→double casts are exact); iteration folds run in index order
+    // on both engines and every normalized component snaps to the 1e-9
+    // grid per step; sign canonicalized on the snapped first component;
+    // projection folds index-ordered, presented on the 1e-6 grid.
+    "q_embed_pca" -> ((s, d) => {
+      val (dd, f) = (PcaDim, PcaF)
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val e = graft.plans.Lineage.scratchCheckpoint(
+        emb.select(col("vec_id"), expr(
+          s"transform(embedding, x -> cast(floor(cast(x as double) * $f) " +
+            "as long))").as("xf")))
+      val sArr = new Array[BigInt](dd)
+      e.select(posexplode(col("xf")).as(Seq("i", "xi")))
+        .groupBy("i").agg(sum(col("xi").cast("decimal(38,0)")).as("s"))
+        .collect().foreach(r =>
+          sArr(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+      val pArr = Array.ofDim[BigInt](dd, dd)
+      e.select(posexplode(expr(
+          "flatten(transform(xf, xi -> transform(xf, xj -> xi * xj)))"))
+          .as(Seq("k", "p")))
+        .groupBy("k").agg(sum(col("p").cast("decimal(38,0)")).as("sp"))
+        .collect().foreach(r =>
+          pArr(r.getInt(0) / dd)(r.getInt(0) % dd) =
+            BigInt(r.getDecimal(1).toBigInteger))
+      val nD = n.toDouble
+      val fD = f.toDouble
+      val cov = Array.tabulate(dd, dd)((i, j) =>
+        (BigInt(n) * pArr(i)(j) - sArr(i) * sArr(j)).toDouble /
+          nD / nD / fD / fD)
+      val mu = Array.tabulate(dd)(i => sArr(i).toDouble / nD / fD)
+      var v = Array.tabulate(dd)(i => if (i == 0) 1.0 else 0.0)
+      for (_ <- 1 to PcaIters) {
+        val raw = Array.tabulate(dd) { i =>
+          var acc = 0.0; var j = 0
+          while (j < dd) { acc += cov(i)(j) * v(j); j += 1 }
+          acc
+        }
+        var sq = 0.0; var i = 0
+        while (i < dd) { sq += raw(i) * raw(i); i += 1 }
+        val nrm = math.sqrt(sq)
+        v = raw.map(x => math.floor(x / nrm * 1.0e9 + 0.5) / 1.0e9)
+      }
+      if (v(0) < 0) v = v.map(x => -x)
+      e.withColumn("muv", typedLit(mu.toSeq))
+        .withColumn("vv", typedLit(v.toSeq))
+        .select(col("vec_id"),
+          (floor(expr(
+            s"aggregate(sequence(1, $dd), cast(0.0 as double), " +
+              s"(acc, i) -> acc + (cast(element_at(xf, i) as double) / $fD " +
+              "- element_at(muv, i)) * element_at(vv, i))")
+            * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("pc1"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Hard-negative mining — the contrastive-training data-prep step
+    // (triplet/InfoNCE hard negatives, Schroff'15 FaceNet §3.3): for
+    // every anchor, the closest-by-cosine vector with a DIFFERENT
+    // label among its multiprobe cluster candidates — the "closest
+    // imposter" a fine-tuning pipeline pairs with each anchor. Rides
+    // the SAME memoized Lloyd blocking as the whole kNN family (the
+    // candidate set is the q_embed_knn pair join with a label filter —
+    // one more consumer of the build-once model artifacts; anchors
+    // whose probed clusters hold no different-label vector drop out,
+    // exactly the vectors a curriculum would defer to a wider probe).
+    // Scale: candidates stay a cluster equi-join (never corpus²), the
+    // top-1 is a per-anchor window over ≤ cell-occupancy rows, and
+    // the label join is the corpus frame itself (no extra table).
+    "q_embed_hardneg" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val q = emb.join(kmAssignments2(s, d), Seq("vec_id"))
+      val c = emb.join(kmAssignments(s, d), Seq("vec_id"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neg_id"))
+      q.as("x").join(c.as("y"),
+          col("x.cluster") === col("y.cluster") &&
+            col("x.vec_id") =!= col("y.vec_id") &&
+            col("x.label") =!= col("y.label"))
+        .select(col("x.vec_id").as("vec_id"), col("x.label").as("label"),
+          col("y.vec_id").as("neg_id"), col("y.label").as("neg_label"),
+          call_function("cosine_sim",
+            col("x.embedding"), col("y.embedding")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("vec_id"), col("label"), col("neg_id"),
+          col("neg_label"), col("cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Embedding-space k-means — the clustering step of diversity-aware
     // sampling / SemDeDup-style semantic curation (Abbas et al. 2023):
     // cluster the corpus, then sample or dedup within clusters. Lloyd
@@ -1061,6 +1177,23 @@ object SimilarityQueries {
   private lazy val knnGraphOracle: String = knnCtes + """
         SELECT vec_id, nb, cos, rank FROM knn ORDER BY vec_id, rank"""
 
+  /** knnCtes' multiprobe pair join `p`, label-filtered and ranked to
+    * the per-anchor top-1 — the q_embed_hardneg replay. The WHERE runs
+    * before the window, so the rank is over different-label candidates
+    * only (the engine filters in the join condition). */
+  private lazy val hardnegOracle: String = knnCtes + """,
+        hn AS (SELECT vec_id, label, neg_id, neg_label, cos FROM (
+                 SELECT p.vec_id, lx.label AS label, p.nb AS neg_id,
+                        ly.label AS neg_label, p.cos,
+                        ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                          ORDER BY p.cos DESC, p.nb ASC) AS rn
+                 FROM p JOIN embeddings lx ON lx.vec_id = p.vec_id
+                        JOIN embeddings ly ON ly.vec_id = p.nb
+                 WHERE lx.label <> ly.label)
+               WHERE rn = 1)
+        SELECT vec_id, label, neg_id, neg_label, cos FROM hn
+        ORDER BY vec_id"""
+
   /** knnCtes + the {self} ∪ neighbors fixed-point mean — the same
     * floor(x·2²⁰) long accumulation and floor(Σ/n) mean as the engine
     * (integer CSV output: no float formatting anywhere). */
@@ -1101,7 +1234,66 @@ object SimilarityQueries {
         FROM embeddings l LEFT JOIN b ON b.vec_id = l.vec_id
         ORDER BY l.vec_id"""
 
+  /** Unrolled replay of the PCA gate: exact integer moments (HUGEINT
+    * sums of the same fixed-point products), the identical covariance
+    * expression tree, PcaIters power steps as chained CTEs — each step
+    * an index-ordered matrix-vector fold + norm + the 1e-9 component
+    * snap — then the snapped-sign flip and the index-ordered projection
+    * fold. MATERIALIZED per step (the CTE-inlining lesson). */
+  private def pcaOracle: String = {
+    val (dd, f) = (PcaDim, PcaF)
+    val steps = (1 to PcaIters).map { k =>
+      s"""r$k AS (SELECT [list_sum([cm[i][j] * v[j]
+                            for j in range(1, ${dd + 1})])
+                          for i in range(1, ${dd + 1})] AS raw
+                  FROM covm, w${k - 1}),
+           w$k AS MATERIALIZED (SELECT
+                    [floor(raw[i] / sqrt(list_sum([raw[k2] * raw[k2]
+                       for k2 in range(1, ${dd + 1})])) * 1.0e9 + 0.5)
+                       / 1.0e9
+                     for i in range(1, ${dd + 1})] AS v
+                  FROM r$k)"""
+    }.mkString(",\n           ")
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+        e AS MATERIALIZED (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * $f) AS BIGINT)) AS xf
+             FROM embeddings),
+        flat AS (SELECT vec_id, i.range AS i, xf[i.range + 1] AS xi
+                 FROM e CROSS JOIN range(0, $dd) i),
+        s AS MATERIALIZED (SELECT i, SUM(xi) AS s FROM flat GROUP BY i),
+        p AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+               SUM(a.xi * b.xi) AS p
+             FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+             GROUP BY 1, 2),
+        cov AS (SELECT p.i, p.j,
+                  CAST((SELECT n FROM nn) * p.p - sa.s * sb.s AS DOUBLE)
+                    / (SELECT n FROM nn) / (SELECT n FROM nn)
+                    / $f.0 / $f.0 AS c
+                FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j),
+        covm AS MATERIALIZED (SELECT list(rl ORDER BY i) AS cm
+                FROM (SELECT i, list(c ORDER BY j) AS rl FROM cov
+                      GROUP BY i)),
+        mu AS (SELECT list(CAST(s AS DOUBLE) / (SELECT n FROM nn) / $f.0
+                           ORDER BY i) AS mu
+               FROM s),
+        w0 AS (SELECT [CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END
+                       for i in range(1, ${dd + 1})] AS v),
+        $steps,
+        vf AS (SELECT CASE WHEN v[1] < 0
+                           THEN list_transform(v, x -> -x) ELSE v END AS v
+               FROM w$PcaIters)
+        SELECT vec_id,
+               floor(list_sum([(CAST(xf[i] AS DOUBLE) / $f.0 - mu.mu[i])
+                               * vf.v[i]
+                               for i in range(1, ${dd + 1})])
+                     * 1.0e6 + 0.5) / 1.0e6 AS pc1
+        FROM e, vf, mu ORDER BY vec_id"""
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_embed_pca" -> pcaOracle,
+    "q_embed_hardneg" -> hardnegOracle,
     "q_embed_kmeans" -> kmeansOracle,
     "q_embed_kcenter" -> kcenterOracle,
     "q_embed_knn" -> knnGraphOracle,

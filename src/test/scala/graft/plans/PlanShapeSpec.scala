@@ -594,4 +594,35 @@ class PlanShapeSpec extends SparkSpec {
       s"q_embed_quantize: scan not pruned to (vec_id, embedding):\n$scans")
     }
   }
+
+  test("q_text_allpairs plan: inverted-index equi-join — never a " +
+      "doc×doc cross join; the pair fold is ONE partial+final shuffle " +
+      "on (doc_a, doc_b); the corpus never re-scans past the " +
+      "checkpointed feature frame") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_text_allpairs")(spark, Dir)
+      .queryExecution.executedPlan
+    assertNoAllPairs("q_text_allpairs", p)
+    // the candidate join is an equi-join on the feature id (plus the
+    // doc_a < doc_b triangle predicate) — the APSS shape
+    assert(equiJoins(p) >= 3, // hv self-join + two norm joins
+      s"q_text_allpairs: expected the hv self-join and norm joins:\n" +
+        p.toString.take(2000))
+    // pair dot products: partial collect upstream, final downstream of
+    // exactly one (doc_a, doc_b) exchange — the single pair shuffle
+    val s = p.toString
+    assert(s.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_a") &&
+        l.contains("doc_b")) == 1,
+      s"q_text_allpairs: expected exactly one pair-keyed exchange:\n" +
+        s.take(2000))
+    // everything reads the checkpointed feature frame — the raw corpus
+    // (a parquet scan) must not reappear downstream
+    assert(count(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => ()
+    } == 0,
+      s"q_text_allpairs: the corpus re-scanned past the checkpoint:\n" +
+        s.take(2000))
+    }
+  }
 }
