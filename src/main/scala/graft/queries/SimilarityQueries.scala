@@ -463,6 +463,10 @@ object SimilarityQueries {
   private val PcaIters = 24
   private val PcaDim = 64
 
+  /** JL gate (q_embed_jl): target dimension — a power of two so the
+    * 1/√k scale is exact. Shared engine/oracle. */
+  private val JlK = 16
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PCA top-component projection — the whitening/rotation pre-step of
     // the OPQ/ITQ embedding-index family (Gong'11, Ge'13) and the
@@ -533,6 +537,35 @@ object SimilarityQueries {
               "- element_at(muv, i)) * element_at(vv, i))")
             * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("pc1"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Johnson-Lindenstrauss random projection — the data-OBLIVIOUS
+    // counterpart to q_embed_pca (Achlioptas'03 ±1 sensing matrix):
+    // 64-dim → JlK-dim with pairwise distances preserved within
+    // 1 ± ε whp, the standard pre-step before LSH/clustering when a
+    // learned rotation is unavailable or the corpus is still
+    // streaming in. The matrix is never stored or broadcast: entry
+    // sign(i, j) is the md5 parity of "i,j", regenerable identically
+    // on any engine/executor (the hyperplane-LSH idiom) — so the
+    // pass is ONE narrow codegen'd fold per output dim, zero joins,
+    // zero shuffles but the presentation sort, at any corpus size.
+    // Floats: fold i-ascending on both engines (the logprob
+    // contract), /sqrt(JlK) an exact power of two, presented on the
+    // 1e-6 grid.
+    "q_embed_jl" -> ((s, d) => {
+      val jl = expr(
+        s"""transform(sequence(1, $JlK), j ->
+           |  aggregate(sequence(1, 64), cast(0.0 as double),
+           |    (acc, i) -> acc + cast(element_at(embedding, i) as double)
+           |      * IF(cast(conv(substring(md5(concat_ws(',', i, j)), 1, 1),
+           |                     16, 10) as int) % 2 = 1,
+           |           cast(1.0 as double), cast(-1.0 as double)))
+           |  / sqrt(cast($JlK as double)))""".stripMargin)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(jl).as(Seq("j0", "y")))
+        .select(col("vec_id"), (col("j0") + 1).as("j"),
+          (floor(col("y") * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("y"))
+        .orderBy(col("vec_id"), col("j"))
     }),
 
     // Hard-negative mining — the contrastive-training data-prep step
@@ -1293,6 +1326,24 @@ object SimilarityQueries {
 
   def oracles: Map[String, String] = Map(
     "q_embed_pca" -> pcaOracle,
+    // same md5-parity sign matrix, i-ascending fold, exact /sqrt(k)
+    "q_embed_jl" ->
+      s"""WITH e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS v
+                     FROM embeddings)
+          SELECT vec_id, j.range AS j,
+                 floor((list_sum([v[i] *
+                          (CASE WHEN CAST(('0x' ||
+                                 substring(md5(i::VARCHAR || ',' ||
+                                           j.range::VARCHAR), 1, 1))
+                                 AS INTEGER) % 2 = 1
+                                THEN 1.0 ELSE -1.0 END)
+                          for i in range(1, 65)])
+                        / sqrt(CAST($JlK AS DOUBLE))) * 1.0e6 + 0.5)
+                   / 1.0e6 AS y
+          FROM e CROSS JOIN range(1, ${JlK + 1}) j
+          ORDER BY vec_id, j""",
     "q_embed_hardneg" -> hardnegOracle,
     "q_embed_kmeans" -> kmeansOracle,
     "q_embed_kcenter" -> kcenterOracle,
