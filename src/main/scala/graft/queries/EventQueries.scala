@@ -610,12 +610,8 @@ object EventQueries {
          WHERE ws + INTERVAL '6 hours' <=
                (SELECT max(ts) - INTERVAL '1 hour' FROM events)
          ORDER BY wstart, event_type""",
-    // the q_distinct_hll register rebuild per closed 6-hour window:
-    // same 60-bit md5 hash, same bucket/rho integer functions, same
-    // fixed float estimate, same closed-window filter as the tumbling
-    // gate
-    // closed-window filter as q_stream_distinct; counter matrix and
-    // min-over-rows estimates rebuilt with the batch CMS arithmetic
+    // same closed-window filter as q_stream_distinct; counter matrix
+    // and min-over-rows estimates rebuilt with the batch CMS arithmetic
     // (q_text_heavyhitters), per window; missing (window, bucket)
     // counters are 0 — the engine's matrix materializes all d·w cells
     "q_stream_heavyhitters" ->
@@ -636,9 +632,9 @@ object EventQueries {
                       CAST(('0x' || substring(md5(event_type), 1, 8))
                         AS BIGINT) AS hv
                     FROM events),
-          grid AS (SELECT DISTINCT c0.ws, t.event_type, t.hv, j.range AS j
-                   FROM closed c0 CROSS JOIN types t
-                   CROSS JOIN range(0, $CmsD) j),
+          grid AS (SELECT w.ws, t.event_type, t.hv, j.range AS j
+                   FROM (SELECT DISTINCT ws FROM closed) w
+                   CROSS JOIN types t CROSS JOIN range(0, $CmsD) j),
           est AS (SELECT g.ws, g.event_type,
                     MIN(COALESCE(bk.c, 0)) AS est
                   FROM grid g LEFT JOIN buckets bk
@@ -649,6 +645,10 @@ object EventQueries {
           SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart,
                  event_type, est
           FROM est ORDER BY wstart, event_type""",
+    // the q_distinct_hll register rebuild per closed 6-hour window:
+    // same 60-bit md5 hash, same bucket/rho integer functions, same
+    // fixed float estimate, same closed-window filter as the tumbling
+    // gate
     "q_stream_distinct" ->
       s"""WITH src AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS ws,
                         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))

@@ -437,21 +437,35 @@ object SimilarityQueries {
     * KnnRecallSpec floor. DataFrame["vec_id","nb","cos","rank"],
     * unordered. */
   private def knnTop(s: SparkSession, d: String): DataFrame = {
-    graft.GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-    val q = emb.join(kmAssignments2(s, d), Seq("vec_id"))
-    val c = emb.join(kmAssignments(s, d), Seq("vec_id"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nb"))
+    knnPairs(s, d, Nil)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+  }
+
+  /** The unranked multiprobe×single-cell candidate pair join under
+    * [[knnTop]] and q_embed_hardneg — the one definition of the kNN
+    * family's blocking, gated against the single oracle pair CTE `p`.
+    * Each `carry` column from the corpus frame is projected from both
+    * sides as `carry` (anchor) and `nb_carry` (candidate).
+    * DataFrame["vec_id","nb","cos"] ++ carries, unordered/unranked. */
+  private def knnPairs(s: SparkSession, d: String,
+                       carry: Seq[String]): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+      .select(("vec_id" +: "embedding" +: carry).map(col): _*)
+    val q = emb.join(kmAssignments2(s, d), Seq("vec_id"))
+    val c = emb.join(kmAssignments(s, d), Seq("vec_id"))
     q.as("x").join(c.as("y"),
         col("x.cluster") === col("y.cluster") &&
           col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nb"),
+      .select(col("x.vec_id").as("vec_id") +:
+        col("y.vec_id").as("nb") +:
         call_function("cosine_sim",
-          col("x.embedding"), col("y.embedding")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= KnnK)
+          col("x.embedding"), col("y.embedding")).as("cos") +:
+        carry.flatMap(cn => Seq(col(s"x.$cn").as(cn),
+          col(s"y.$cn").as(s"nb_$cn"))): _*)
   }
 
   /** PCA gate (q_embed_pca): fixed-point scale (2²⁰ — the
@@ -478,7 +492,7 @@ object SimilarityQueries {
     //     rows ever cross the shuffle, at ANY corpus size;
     //   - the eigensolve runs DRIVER-SIDE on the collected d×d integer
     //     moment matrix (a fixed-size aggregate, the N-count contract —
-    //     the corpus is NOT involved); 8 power iterations;
+    //     the corpus is NOT involved); PcaIters (24) power iterations;
     //   - the projection is one NARROW broadcast pass (eigenvector +
     //     mean ride as 64-double literals).
     // Float contract: covariance doubles derive from IDENTICAL exact
@@ -582,25 +596,14 @@ object SimilarityQueries {
     // top-1 is a per-anchor window over ≤ cell-occupancy rows, and
     // the label join is the corpus frame itself (no extra table).
     "q_embed_hardneg" -> ((s, d) => {
-      graft.GraftFunctions.register(s)
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), col("label"))
-      val q = emb.join(kmAssignments2(s, d), Seq("vec_id"))
-      val c = emb.join(kmAssignments(s, d), Seq("vec_id"))
       val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("neg_id"))
-      q.as("x").join(c.as("y"),
-          col("x.cluster") === col("y.cluster") &&
-            col("x.vec_id") =!= col("y.vec_id") &&
-            col("x.label") =!= col("y.label"))
-        .select(col("x.vec_id").as("vec_id"), col("x.label").as("label"),
-          col("y.vec_id").as("neg_id"), col("y.label").as("neg_label"),
-          call_function("cosine_sim",
-            col("x.embedding"), col("y.embedding")).as("cos"))
+        .orderBy(col("cos").desc, col("nb"))
+      knnPairs(s, d, Seq("label"))
+        .filter(col("label") =!= col("nb_label"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") === 1)
-        .select(col("vec_id"), col("label"), col("neg_id"),
-          col("neg_label"), col("cos"))
+        .select(col("vec_id"), col("label"), col("nb").as("neg_id"),
+          col("nb_label").as("neg_label"), col("cos"))
         .orderBy(col("vec_id"))
     }),
 
@@ -1281,11 +1284,12 @@ object SimilarityQueries {
                           for i in range(1, ${dd + 1})] AS raw
                   FROM covm, w${k - 1}),
            w$k AS MATERIALIZED (SELECT
-                    [floor(raw[i] / sqrt(list_sum([raw[k2] * raw[k2]
-                       for k2 in range(1, ${dd + 1})])) * 1.0e9 + 0.5)
-                       / 1.0e9
+                    [floor(raw[i] / nrm * 1.0e9 + 0.5) / 1.0e9
                      for i in range(1, ${dd + 1})] AS v
-                  FROM r$k)"""
+                  FROM (SELECT raw,
+                          sqrt(list_sum([raw[k2] * raw[k2]
+                            for k2 in range(1, ${dd + 1})])) AS nrm
+                        FROM r$k))"""
     }.mkString(",\n           ")
     s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
         e AS MATERIALIZED (SELECT vec_id,

@@ -13,7 +13,9 @@ class TextAllPairsSpec extends SparkSpec {
   private val Tau = 0.5
 
   private def shingles(text: String): Seq[String] = {
-    val t = text.split("\\s+")
+    // limit -1 keeps trailing empty tokens, matching Spark's split
+    // (limit -1) and DuckDB's string_split on trailing whitespace
+    val t = text.split("\\s+", -1)
     if (t.length < 3) Seq.empty
     else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
   }
@@ -47,7 +49,10 @@ class TextAllPairsSpec extends SparkSpec {
     } yield {
       val dot = shared.toSeq.map(s => fa(s) * fb(s)).sum
       ((a, b), dot / (nrm(a) * nrm(b)))
-    }).filter(_._2 >= Tau - 1e-9).toMap
+      // 5e-7 guard = half the engine's 1e-6 presentation grid: a raw
+      // cosine in [Tau - 5e-7, Tau) rounds UP to Tau in the engine and
+      // is kept, so the replay must keep it too
+    }).filter(_._2 >= Tau - 5e-7).toMap
 
     assert(got.keySet == expected.keySet,
       s"pair sets differ: extra=${got.keySet -- expected.keySet} " +

@@ -79,8 +79,8 @@ class PcaSpec extends SparkSpec {
     assert(varProj >= maxAxisVar,
       s"projection variance $varProj below best axis $maxAxisVar — " +
         "not a leading direction")
-    // C·v ≈ λ·v with λ = vᵀCv: 8 snapped iterations should be well
-    // inside 5% relative residual on this spectrum
+    // C·v ≈ λ·v with λ = vᵀCv: 24 snapped power iterations (PcaIters)
+    // should be well inside 5% relative residual on this spectrum
     val cv = Array.tabulate(D)(i =>
       (0 until D).map(j => cov(i)(j) * v(j)).sum)
     val lam = (0 until D).map(i => v(i) * cv(i)).sum
