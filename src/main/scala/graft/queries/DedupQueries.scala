@@ -95,7 +95,26 @@ object DedupQueries {
     // collision-bounded), components is O(log diameter) rounds, and
     // near-dup clusters have tiny diameters — 2-3 rounds in practice.
     "q_dedup_cluster" -> ((s, d) =>
-      clusterAssign(Tables.documents(s, d), lshPairs(s, d))
+      lshClusters(s, d).orderBy(col("doc_id"))),
+
+    // Leakage-safe train/test split — the eval-hygiene step after
+    // near-dup clustering (Lee'22 §6, the "dedup before you split"
+    // rule): a random per-DOCUMENT split leaks when two near-duplicates
+    // land on opposite sides, so the split key is the near-dup CLUSTER
+    // — every document in a component follows its canonical_id's hash
+    // (md5 bucket mod 10: bucket 0 → test, else train, a deterministic
+    // 90/10). Composes the verified LSH pairs ([[lshPairs]], memoized —
+    // this gate adds no second LSH run) with the same canonical
+    // assignment as q_dedup_cluster; DedupSplitSpec asserts the leakage
+    // property directly: no verified near-dup pair straddles the split.
+    // Scale shape: everything past the (already near-linear) pair graph
+    // is one components run + a narrow hash — no new shuffles.
+    "q_dedup_split" -> ((s, d) =>
+      lshClusters(s, d)
+        .select(col("doc_id"), col("canonical_id"),
+          when(conv(substring(md5(col("canonical_id").cast("string")), 1, 8),
+              16, 10).cast("long") % 10 === 0, lit("test"))
+            .otherwise(lit("train")).as("split"))
         .orderBy(col("doc_id"))),
 
     // SimHash 32-bit signatures (term-frequency-weighted bit votes).
@@ -265,6 +284,18 @@ object DedupQueries {
     }
   }
 
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  /** Memoized canonical assignment over the corpus' verified LSH pairs
+    * — q_dedup_cluster and q_dedup_split both read this one components
+    * run (the pair graph and its closure are build-once corpus
+    * artifacts, like the k-means model). */
+  private def lshClusters(s: SparkSession, d: String): DataFrame =
+    graft.plans.Lineage.memo(clusterCache, s, d)(
+      clusterAssign(Tables.documents(s, d), lshPairs(s, d)))
+
   /** Canonical cluster assignment from a dup-pair list: connected
     * components over the undirected pair graph (every document a
     * vertex, singletons included), canonical_id = min doc_id in the
@@ -281,18 +312,31 @@ object DedupQueries {
         col("cluster_n"))
   }
 
+  private val lshCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   /** Verified MinHash-LSH near-dup pairs (a < b, exact Jaccard ≥ 0.5):
     * 4 bands × 4 rows over 16-perm signatures of word-3-gram shingles;
     * exact Jaccard re-verification on band-collision candidates only.
-    * Shared by q_dedup_lsh (the pair gate) and q_dedup_cluster (the
-    * canonicalization step). Unordered — callers add their
-    * presentation sort.
+    * Shared by q_dedup_lsh (the pair gate), q_dedup_cluster (the
+    * canonicalization step) and q_dedup_split — MEMOIZED per (session,
+    * dir) like the k-means model artifacts (the pair list is a
+    * build-once corpus artifact; [[graft.plans.Lineage.memo]] pins the
+    * small verified-pair result so one LSH run serves every consumer).
+    * Unordered — callers add their presentation sort.
     *
     * `materialize = false` returns the lazy pair plan (no cache, no
     * checkpoint — the banded signature subtree is planned twice) for
     * plan inspection only (PlanShapeSpec); never execute it. */
   private[graft] def lshPairs(s: SparkSession, d: String,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true): DataFrame =
+    if (!materialize) lshPairsBuild(s, d, materialize = false)
+    else graft.plans.Lineage.memo(lshCache, s, d)(
+      lshPairsBuild(s, d, materialize = true))
+
+  private def lshPairsBuild(s: SparkSession, d: String,
+      materialize: Boolean): DataFrame = {
     graft.GraftFunctions.register(s)
     val base = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), "\\s+"))
@@ -483,6 +527,41 @@ object DedupQueries {
 
   // ---------------------------------------------------------------- oracles
 
+  /** The q_dedup_lsh pair CTEs + recursive min-label closure down to
+    * `comp(page, canonical_id)` — shared by the q_dedup_cluster and
+    * q_dedup_split oracles (mirrors the engine sharing one memoized
+    * [[lshPairs]] + [[lshClusters]] run). */
+  private def clusterCompCtes: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+          s AS (SELECT doc_id, $shingle3 AS sh FROM t),
+          hh AS (SELECT doc_id, $shingleHash AS hs FROM s),
+          g AS (SELECT doc_id, hs, $minhash16 AS sig FROM hh),
+          bands AS (SELECT doc_id, hs, b.range AS band,
+                           md5(array_to_string(sig[1 + b.range * 4 : 4 + b.range * 4], ','))
+                             AS bkey
+                    FROM g CROSS JOIN range(0, 4) b),
+          cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                          len(list_intersect(x.hs, y.hs)) AS inter,
+                          len(x.hs) AS la, len(y.hs) AS lb
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                        AND x.doc_id < y.doc_id),
+          pairs AS (SELECT a, b FROM (
+                      SELECT a, b,
+                             MAX(CAST(inter AS DOUBLE) / (la + lb - inter))
+                               AS jaccard
+                      FROM cand GROUP BY a, b)
+                    WHERE jaccard >= 0.5),
+          und AS (SELECT a AS x, b AS y FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+          r AS (SELECT doc_id AS page, doc_id AS reach FROM documents
+                UNION
+                SELECT u.x AS page, r.reach
+                FROM r JOIN und u ON u.y = r.page),
+          comp AS (SELECT page, MIN(reach) AS canonical_id FROM r
+                   GROUP BY page)"""
+
   private val shingle3 =
     """list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                       for i in range(1, len(toks) - 1)])"""
@@ -621,40 +700,22 @@ object DedupQueries {
     // same pair CTEs as q_dedup_lsh, then a recursive min-label closure
     // (the q_components_converged trick) for canonical assignment
     "q_dedup_cluster" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-                     FROM documents),
-          s AS (SELECT doc_id, $shingle3 AS sh FROM t),
-          hh AS (SELECT doc_id, $shingleHash AS hs FROM s),
-          g AS (SELECT doc_id, hs, $minhash16 AS sig FROM hh),
-          bands AS (SELECT doc_id, hs, b.range AS band,
-                           md5(array_to_string(sig[1 + b.range * 4 : 4 + b.range * 4], ','))
-                             AS bkey
-                    FROM g CROSS JOIN range(0, 4) b),
-          cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
-                          len(list_intersect(x.hs, y.hs)) AS inter,
-                          len(x.hs) AS la, len(y.hs) AS lb
-                   FROM bands x JOIN bands y
-                     ON x.band = y.band AND x.bkey = y.bkey
-                        AND x.doc_id < y.doc_id),
-          pairs AS (SELECT a, b FROM (
-                      SELECT a, b,
-                             MAX(CAST(inter AS DOUBLE) / (la + lb - inter))
-                               AS jaccard
-                      FROM cand GROUP BY a, b)
-                    WHERE jaccard >= 0.5),
-          und AS (SELECT a AS x, b AS y FROM pairs
-                  UNION ALL SELECT b, a FROM pairs),
-          r AS (SELECT doc_id AS page, doc_id AS reach FROM documents
-                UNION
-                SELECT u.x AS page, r.reach
-                FROM r JOIN und u ON u.y = r.page),
-          comp AS (SELECT page, MIN(reach) AS canonical_id FROM r
-                   GROUP BY page),
+      s"""$clusterCompCtes,
           sz AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_n
                  FROM comp GROUP BY canonical_id)
          SELECT c.page AS doc_id, c.canonical_id, z.cluster_n
          FROM comp c JOIN sz z ON c.canonical_id = z.canonical_id
          ORDER BY doc_id""",
+    // the q_dedup_cluster canonical closure, then the same md5 bucket
+    // the engine hashes the canonical_id into
+    "q_dedup_split" ->
+      s"""$clusterCompCtes
+         SELECT c.page AS doc_id, c.canonical_id,
+                CASE WHEN CAST(('0x' ||
+                       substring(md5(CAST(c.canonical_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10 = 0
+                     THEN 'test' ELSE 'train' END AS split
+         FROM comp c ORDER BY doc_id""",
     "q_dedup_source_sketch" ->
       s"""WITH t AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks
                      FROM documents),
