@@ -46,14 +46,17 @@ object SparkEntry {
     *    watermark-bounded and partition count doesn't move it), and
     *    each transform's batch-parity cost is already benched
     *    (q_events_range times the same user_id-equi + time-range join
-    *    shape as q_stream_join; q_dedup_exact times keyed dedup). The
-    *    three benched replay gates keep every stateful operator class
-    *    timed under the engine: windowed agg + watermark (tumbling),
-    *    flatMapGroupsWithState (sessions), mapGroupsWithState
-    *    (running). */
+    *    shape as q_stream_join; q_dedup_exact times keyed dedup;
+    *    q_events_sliding times the sliding assigner q_stream_sliding
+    *    replays — same windowed-agg class q_stream_tumbling already
+    *    times under the engine). The benched replay gates keep every
+    *    stateful operator class timed under the engine: windowed agg +
+    *    watermark (tumbling), flatMapGroupsWithState (sessions),
+    *    mapGroupsWithState (running), plus the windowed sketch gates
+    *    (distinct, heavyhitters) and anomaly. */
   val gateOnly: Set[String] =
     Set("q_dedup_ngram_capped", "q_dedup_editdist_capped",
-      "q_stream_join", "q_stream_dedup")
+      "q_stream_join", "q_stream_dedup", "q_stream_sliding")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

@@ -162,6 +162,30 @@ object EventQueries {
         .orderBy(col("wstart"), col("event_type"))
     }),
 
+    // The SLIDING window assigner under the streaming engine
+    // (q_events_sliding × q_stream_tumbling): every event lands in
+    // width/slide = 2 open windows, each emitted once the watermark
+    // (max ts − 1h) passes ITS end — so the closed set is every 12h
+    // window (6h slide) whose end ≤ the final watermark, exactly the
+    // oracle's cutoff over the batch sliding expansion. State per key
+    // is the ≤ 2 open windows, watermark-evicted like the tumbling
+    // gate's single window.
+    "q_stream_sliding" -> ((s, d) => {
+      import s.implicits._
+      val chunks = cachedChunks(s, d, "sliding")(
+        sortedFeed(Tables.events(s, d)
+          .select(col("ts"), col("event_type"), col("value"))
+          .as[(java.sql.Timestamp, String, Double)], "ts"))
+      replayToTable(s, chunks)(stream =>
+        EventStreams.slidingStream(
+          stream.toDF.toDF("ts", "event_type", "value"),
+          "12 hours", "6 hours", "1 hour"))
+        .select(date_format(col("w.start"), Fmt).as("wstart"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
+
     // The HLL sketch UNDER the streaming engine (q_distinct_hll ×
     // q_stream_tumbling): unique users per closed 6-hour window with
     // 256 bytes of state per window — the streaming distinct-count
@@ -608,6 +632,22 @@ object EventQueries {
                 event_type, n, sum_value
          FROM g
          WHERE ws + INTERVAL '6 hours' <=
+               (SELECT max(ts) - INTERVAL '1 hour' FROM events)
+         ORDER BY wstart, event_type""",
+    // the batch sliding expansion (q_events_sliding's two-window
+    // enumeration) behind the closed-window cutoff: a sliding window is
+    // emitted once the final watermark passes ITS end
+    "q_stream_sliding" ->
+      """WITH g AS (SELECT time_bucket(INTERVAL '6 hours', ts)
+                             - o.range * INTERVAL '6 hours' AS ws,
+                           event_type, COUNT(*) AS n,
+                           ROUND(SUM(value), 2) AS sum_value
+                    FROM events CROSS JOIN range(0, 2) o
+                    GROUP BY 1, 2)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart,
+                event_type, n, sum_value
+         FROM g
+         WHERE ws + INTERVAL '12 hours' <=
                (SELECT max(ts) - INTERVAL '1 hour' FROM events)
          ORDER BY wstart, event_type""",
     // same closed-window filter as q_stream_distinct; counter matrix

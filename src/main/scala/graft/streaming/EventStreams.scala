@@ -41,6 +41,14 @@ object EventStreams {
                      lateness: String): DataFrame =
     tumbling(events.withWatermark("ts", lateness), width)
 
+  /** Streaming sliding windows: the same width/slide assigner as the
+    * batch [[sliding]], watermark-bounded — state is the width/slide
+    * open windows per key, each evicted once the watermark passes its
+    * end (append mode emits it exactly then). */
+  def slidingStream(events: DataFrame, width: String, slide: String,
+                    lateness: String): DataFrame =
+    sliding(events.withWatermark("ts", lateness), width, slide)
+
   /** Tumbling-window approx-distinct users — the sketch family running
     * UNDER the streaming engine: per-window state is the FIXED
     * 2^p-byte HLL register array ([[graft.functions.HllAgg]],

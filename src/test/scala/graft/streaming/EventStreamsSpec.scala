@@ -47,6 +47,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingStream over MemoryStream equals batch sliding") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.slidingStream(streamDf, "10 minutes", "5 minutes",
+        "5 minutes")
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+        col("sum_value"))
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val streamed = s.table("sliding_test")
+        .orderBy("wstart", "event_type").collect().toSeq
+      val batch = EventStreams.sliding(rows.toDF("ts", "event_type", "value"),
+          "10 minutes", "5 minutes")
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("wstart", "event_type").collect().toSeq
+      assert(streamed == batch)
+      // every event lands in exactly width/slide = 2 windows
+      assert(streamed.map(_.getLong(2)).sum == 2L * rows.size)
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     val s = spark
     import s.implicits._

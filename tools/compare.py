@@ -64,7 +64,11 @@ def main():
             results[name] = res
         except Exception as e:
             results[name] = {"err": str(e)[:300]}
-    ok = all(r.get("hash_match") or r.get("rows_only") for r in results.values())
+    # a requested query with no dump must FAIL, not pass vacuously
+    for name in only - results.keys():
+        results[name] = {"err": "no dump directory in out_dir"}
+    ok = bool(results) and all(
+        r.get("hash_match") or r.get("rows_only") for r in results.values())
     print(json.dumps(results, indent=1))
     print("ALL OK" if ok else "FAILURES PRESENT")
 
