@@ -97,6 +97,53 @@ object DedupQueries {
     "q_dedup_cluster" -> ((s, d) =>
       lshClusters(s, d).orderBy(col("doc_id"))),
 
+    // Containment near-dup detection — the ASYMMETRIC complement to
+    // Jaccard (Broder'97's two resemblance measures): C = |A∩B|/min —
+    // a short document quoted whole inside a long one scores C ≈ 1
+    // while J ≈ |A|/|B| ≈ 0, so minhash-LSH (tuned for J) never finds
+    // the pair. Blocking is the rare-shingle inverted index (the
+    // q_text_allpairs df-cut): candidates share ≥ 1 shingle with
+    // 2 ≤ df ≤ ContainMaxDf, so each rare shingle yields ≤ C(df,2)
+    // pairs — candidate volume is linear in corpus size at any scale.
+    // Recall trade, documented: a pair ALL of whose shared shingles are
+    // corpus-common (df > cap) is missed here — that is the
+    // high-multiplicity boilerplate regime, which q_dedup_substring
+    // already covers pairlessly (digest totals); between them the two
+    // gates cover both containment regimes without any quadratic path.
+    // Exact arithmetic end-to-end: intersect count and min-size are
+    // ints, the one division is the same IEEE op both engines.
+    "q_dedup_containment" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      val hsF = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), "\\s+"))
+        .select(col("doc_id"),
+          call_function("word_shingle_hashes", col("toks"), lit(3)).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .persist()
+      val ex = hsF.select(col("doc_id"), explode(col("hs")).as("h"))
+      val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= ContainMaxDf)
+      val posts = ex.join(rare.select("h"), Seq("h"), "left_semi")
+      val cands = posts.as("x").join(posts.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val out = cands
+        .join(hsF.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
+        .join(hsF.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
+        .select(col("a"), col("b"),
+          (call_function("sorted_intersect_count", col("ha"), col("hb"))
+            .cast("double") /
+            least(size(col("ha")), size(col("hb"))).cast("double"))
+            .as("containment"),
+          size(col("ha")).cast("long").as("na"),
+          size(col("hb")).cast("long").as("nb"))
+        .filter(col("containment") >= ContainTau)
+      val fin = graft.plans.Lineage.scratchCheckpoint(out)
+      hsF.unpersist(blocking = true)
+      fin.orderBy(col("a"), col("b"))
+    }),
+
     // Leakage-safe train/test split — the eval-hygiene step after
     // near-dup clustering (Lee'22 §6, the "dedup before you split"
     // rule): a random per-DOCUMENT split leaks when two near-duplicates
@@ -311,6 +358,11 @@ object DedupQueries {
       .select(col("page").as("doc_id"), col("comp").as("canonical_id"),
         col("cluster_n"))
   }
+
+  /** q_dedup_containment knobs: rare-shingle df cap for the inverted
+    * index (the q_text_allpairs convention) and the containment cut. */
+  private val ContainMaxDf = 5
+  private val ContainTau = 0.8
 
   private val lshCache =
     scala.collection.concurrent.TrieMap
@@ -706,6 +758,33 @@ object DedupQueries {
          SELECT c.page AS doc_id, c.canonical_id, z.cluster_n
          FROM comp c JOIN sz z ON c.canonical_id = z.canonical_id
          ORDER BY doc_id""",
+    // same shingle CTEs; rare-shingle (2 ≤ df ≤ cap) inverted-index
+    // candidates, exact containment |A∩B|/min over candidate pairs
+    "q_dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+          s AS (SELECT doc_id, $shingle3 AS sh FROM t),
+          hh AS (SELECT doc_id, $shingleHash AS hs FROM s),
+          hf AS (SELECT * FROM hh WHERE len(hs) > 0),
+          ex AS (SELECT doc_id, UNNEST(hs) AS h FROM hf),
+          rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM ex
+                                  GROUP BY h)
+                   WHERE df BETWEEN 2 AND $ContainMaxDf),
+          posts AS (SELECT e.doc_id, e.h FROM ex e
+                    JOIN rare r ON r.h = e.h),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM posts x JOIN posts y
+                     ON x.h = y.h AND x.doc_id < y.doc_id),
+          o AS (SELECT c.a, c.b,
+                  CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                    / CAST(LEAST(len(ha.hs), len(hb.hs)) AS DOUBLE)
+                    AS containment,
+                  CAST(len(ha.hs) AS BIGINT) AS na,
+                  CAST(len(hb.hs) AS BIGINT) AS nb
+                FROM cand c JOIN hf ha ON ha.doc_id = c.a
+                JOIN hf hb ON hb.doc_id = c.b)
+         SELECT a, b, containment, na, nb FROM o
+         WHERE containment >= $ContainTau ORDER BY a, b""",
     // the q_dedup_cluster canonical closure, then the same md5 bucket
     // the engine hashes the canonical_id into
     "q_dedup_split" ->
