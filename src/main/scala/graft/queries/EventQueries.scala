@@ -497,6 +497,45 @@ object EventQueries {
         .orderBy(col("err_id"))
     }),
 
+    // As-of join, NEAREST direction: each error paired with the same
+    // user's closest signup in TIME, either side (tie → backward) —
+    // the sensor-fusion/alignment variant (pandas merge_asof
+    // direction='nearest'). Both directional window passes share ONE
+    // partitioning and ordering, so Catalyst plans a single shuffle +
+    // sort with two Window operators over it — same scale shape as
+    // either directional gate alone, never a per-row probe. NULL sides
+    // fall back to the other direction; both-NULL keeps the open row.
+    "q_events_asof_nearest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("error", "signup"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val sid = when(col("event_type") === "signup", col("event_id"))
+      val sts = when(col("event_type") === "signup", col("ts"))
+      val m = ev
+        .withColumn("prev_id", last(sid, ignoreNulls = true).over(wb))
+        .withColumn("prev_ts", last(sts, ignoreNulls = true).over(wb))
+        .withColumn("next_id", first(sid, ignoreNulls = true).over(wf))
+        .withColumn("next_ts", first(sts, ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "error")
+      val gb = unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+      val gf = unix_micros(col("next_ts")) - unix_micros(col("ts"))
+      val takeBack = col("prev_id").isNotNull &&
+        (col("next_id").isNull || gb <= gf)
+      m.select(col("user_id"), col("event_id").as("err_id"),
+          when(takeBack, col("prev_id")).otherwise(col("next_id"))
+            .as("signup_id"),
+          when(takeBack, lit("backward"))
+            .when(col("next_id").isNotNull, lit("forward")).as("direction"),
+          (when(takeBack, gb).otherwise(gf) / lit(1000000L)).cast("long")
+            .as("gap_sec"))
+        .orderBy(col("err_id"))
+    }),
+
     // Range join: each error event joined to the same user's clicks in
     // the preceding 3 days — equi on user_id (the shuffle key), range
     // predicate applied within the join.
@@ -855,6 +894,51 @@ object EventQueries {
                 CAST((epoch_us(signup_ts) - epoch_us(ts)) // 1000000 AS BIGINT)
                   AS wait_sec
          FROM m WHERE event_type = 'error' ORDER BY err_id""",
+    // both directional frames from the oracles above in one pass; the
+    // CASE replays the engine's tie-to-backward pick exactly
+    "q_events_asof_nearest" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events
+                     WHERE event_type IN ('error', 'signup')),
+          m AS (SELECT user_id, event_id, ts, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_id,
+                 LAST_VALUE(CASE WHEN event_type = 'signup' THEN ts END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_ts,
+                 FIRST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_id,
+                 FIRST_VALUE(CASE WHEN event_type = 'signup' THEN ts END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_ts
+                FROM ev),
+          e AS (SELECT user_id, event_id, prev_id, next_id,
+                  epoch_us(ts) - epoch_us(prev_ts) AS gb,
+                  epoch_us(next_ts) - epoch_us(ts) AS gf
+                FROM m WHERE event_type = 'error')
+         SELECT user_id, event_id AS err_id,
+                CASE WHEN prev_id IS NOT NULL
+                          AND (next_id IS NULL OR gb <= gf)
+                     THEN prev_id ELSE next_id END AS signup_id,
+                CASE WHEN prev_id IS NOT NULL
+                          AND (next_id IS NULL OR gb <= gf)
+                     THEN 'backward'
+                     WHEN next_id IS NOT NULL THEN 'forward' END
+                  AS direction,
+                CAST((CASE WHEN prev_id IS NOT NULL
+                                AND (next_id IS NULL OR gb <= gf)
+                           THEN gb ELSE gf END) // 1000000 AS BIGINT)
+                  AS gap_sec
+         FROM e ORDER BY err_id""",
     "q_events_range" ->
       """SELECT e.event_id AS err_id, COUNT(c.ts) AS n_clicks
          FROM (SELECT user_id, event_id, ts FROM events
