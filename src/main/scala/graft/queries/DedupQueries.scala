@@ -112,37 +112,8 @@ object DedupQueries {
     // gates cover both containment regimes without any quadratic path.
     // Exact arithmetic end-to-end: intersect count and min-size are
     // ints, the one division is the same IEEE op both engines.
-    "q_dedup_containment" -> ((s, d) => {
-      graft.GraftFunctions.register(s)
-      val hsF = Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), "\\s+"))
-        .select(col("doc_id"),
-          call_function("word_shingle_hashes", col("toks"), lit(3)).as("hs"))
-        .filter(size(col("hs")) > 0)
-        .persist()
-      val ex = hsF.select(col("doc_id"), explode(col("hs")).as("h"))
-      val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= ContainMaxDf)
-      val posts = ex.join(rare.select("h"), Seq("h"), "left_semi")
-      val cands = posts.as("x").join(posts.as("y"),
-          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      val out = cands
-        .join(hsF.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
-        .join(hsF.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
-        .select(col("a"), col("b"),
-          (call_function("sorted_intersect_count", col("ha"), col("hb"))
-            .cast("double") /
-            least(size(col("ha")), size(col("hb"))).cast("double"))
-            .as("containment"),
-          size(col("ha")).cast("long").as("na"),
-          size(col("hb")).cast("long").as("nb"))
-        .filter(col("containment") >= ContainTau)
-      val fin = graft.plans.Lineage.scratchCheckpoint(out)
-      hsF.unpersist(blocking = true)
-      fin.orderBy(col("a"), col("b"))
-    }),
+    "q_dedup_containment" -> ((s, d) =>
+      containmentPairs(s, d).orderBy(col("a"), col("b"))),
 
     // Leakage-safe train/test split — the eval-hygiene step after
     // near-dup clustering (Lee'22 §6, the "dedup before you split"
@@ -363,6 +334,47 @@ object DedupQueries {
     * index (the q_text_allpairs convention) and the containment cut. */
   private val ContainMaxDf = 5
   private val ContainTau = 0.8
+
+  /** q_dedup_containment's engine body (pairs with C = |A∩B|/min ≥
+    * ContainTau over rare-shingle-blocked candidates), unordered.
+    * `materialize = false` returns the lazy plan (the shingle frame is
+    * planned by every consumer instead of persisted) for plan
+    * inspection only — never execute it. */
+  private[graft] def containmentPairs(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val hsF0 = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"),
+        call_function("word_shingle_hashes", col("toks"), lit(3)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val hsF = if (materialize) hsF0.persist() else hsF0
+    val ex = hsF.select(col("doc_id"), explode(col("hs")).as("h"))
+    val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= ContainMaxDf)
+    val posts = ex.join(rare.select("h"), Seq("h"), "left_semi")
+    val cands = posts.as("x").join(posts.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val out = cands
+      .join(hsF.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
+      .join(hsF.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
+      .select(col("a"), col("b"),
+        (call_function("sorted_intersect_count", col("ha"), col("hb"))
+          .cast("double") /
+          least(size(col("ha")), size(col("hb"))).cast("double"))
+          .as("containment"),
+        size(col("ha")).cast("long").as("na"),
+        size(col("hb")).cast("long").as("nb"))
+      .filter(col("containment") >= ContainTau)
+    if (!materialize) out
+    else {
+      val fin = graft.plans.Lineage.scratchCheckpoint(out)
+      hsF.unpersist(blocking = true)
+      fin
+    }
+  }
 
   private val lshCache =
     scala.collection.concurrent.TrieMap

@@ -516,11 +516,17 @@ object EventQueries {
       val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val sid = when(col("event_type") === "signup", col("event_id"))
       val sts = when(col("event_type") === "signup", col("ts"))
+      // one select, so ExtractWindowExpressions groups the four
+      // expressions into TWO Window nodes (one per frame) over the one
+      // sort — chained withColumn would interleave Projects and leave
+      // four un-collapsed Window passes
       val m = ev
-        .withColumn("prev_id", last(sid, ignoreNulls = true).over(wb))
-        .withColumn("prev_ts", last(sts, ignoreNulls = true).over(wb))
-        .withColumn("next_id", first(sid, ignoreNulls = true).over(wf))
-        .withColumn("next_ts", first(sts, ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"),
+          last(sid, ignoreNulls = true).over(wb).as("prev_id"),
+          last(sts, ignoreNulls = true).over(wb).as("prev_ts"),
+          first(sid, ignoreNulls = true).over(wf).as("next_id"),
+          first(sts, ignoreNulls = true).over(wf).as("next_ts"))
         .filter(col("event_type") === "error")
       val gb = unix_micros(col("ts")) - unix_micros(col("prev_ts"))
       val gf = unix_micros(col("next_ts")) - unix_micros(col("ts"))

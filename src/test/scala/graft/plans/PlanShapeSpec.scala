@@ -595,6 +595,46 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_events_asof_nearest plan: both directional frames share ONE " +
+      "user_id shuffle — Catalyst collapses the windows, no join, no " +
+      "second data exchange") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_events_asof_nearest")(spark, Dir)
+      .queryExecution.executedPlan
+    assertNoAllPairs("q_events_asof_nearest", p)
+    assert(equiJoins(p) == 0,
+      s"q_events_asof_nearest: the window form degenerated to a join:\n" +
+        p.toString.take(2000))
+    val userExchanges = p.toString.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1,
+      s"q_events_asof_nearest: expected exactly one user_id exchange " +
+        s"feeding both frames, got $userExchanges:\n${p.toString.take(2000)}")
+    // one window-keyed exchange + the rangepartitioning presentation sort
+    assert(shuffles(p) == 2,
+      s"q_events_asof_nearest: expected 2 shuffles (user_id + " +
+        s"presentation), got ${shuffles(p)}:\n${p.toString.take(2000)}")
+    assert(count(p) { case _: WindowExec => () } <= 2,
+      s"q_events_asof_nearest: window collapse regressed:\n" +
+        p.toString.take(2000))
+    }
+  }
+
+  test("q_dedup_containment plan: rare-shingle inverted-index blocking " +
+      "— every join an equi-join, never a doc×doc product") {
+    withStaticPlans {
+    val p = graft.queries.DedupQueries
+      .containmentPairs(spark, Dir, materialize = false)
+      .queryExecution.executedPlan
+    assertNoAllPairs("q_dedup_containment", p)
+    // semi (df cut) + postings self-join + the two shingle-array
+    // back-joins — all keyed equi-joins
+    assert(equiJoins(p) >= 4,
+      s"q_dedup_containment: expected the semi/self/back equi-joins:\n" +
+        p.toString.take(2000))
+    }
+  }
+
   test("q_text_allpairs plan: inverted-index equi-join — never a " +
       "doc×doc cross join; the pair fold is ONE partial+final shuffle " +
       "on (doc_a, doc_b); the corpus never re-scans past the " +
