@@ -77,6 +77,33 @@ object MultimodalQueries {
     smallCand.unionByName(bigCand).distinct()
   }
 
+  private val phashCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  /** Verified Hamming-≤7 pHash pairs (a < b) over the 32×32 aHash of
+    * every ≥256-byte asset — MEMOIZED per (session, dir) like the LSH
+    * pair list (q_mm_phash and q_mm_phash_cluster share one run).
+    * Build: cache the band table → materialize the small pair result →
+    * unpersist (the q_graph_triangles pattern; bands feeds the explode
+    * AND both hamming sides); the checkpoint is registered scratch
+    * (ADVICE r7) and pinned by the memo. */
+  private def phashPairs(s: SparkSession, d: String): DataFrame =
+    graft.plans.Lineage.memo(phashCache, s, d) {
+      val bands = Multimodal.aHashBands(Multimodal.assets(s, d), 32)
+        .persist()
+      val out = graft.plans.Lineage.scratchCheckpoint(
+        phashCandidates(bands, bucketCap = 8)
+          .join(bands.select(col("doc_id").as("a"), col("bs").as("bsx")), "a")
+          .join(bands.select(col("doc_id").as("b"), col("bs").as("bsy")), "b")
+          .select(col("a"), col("b"),
+            expr("aggregate(zip_with(bsx, bsy, (p, q) -> bit_count(p ^ q))," +
+              " 0, (acc, v) -> acc + v)").cast("long").as("hamming"))
+          .filter(col("hamming") <= 7))
+      bands.unpersist(blocking = true)
+      out
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> ((s, d) => {
       val feats = Multimodal.extractFeatures(Multimodal.assets(s, d))
@@ -112,22 +139,23 @@ object MultimodalQueries {
     // XOR popcount verify on candidates only. Non-vacuous: the corpus's
     // planted exact/near dups surface as hamming-0 pairs, and the
     // 8-doc bucket cap forces real corpora through BOTH routes.
-    "q_mm_phash" -> ((s, d) => {
-      val bands = Multimodal.aHashBands(Multimodal.assets(s, d), 32)
-        .persist()
-      // cache → materialize the small pair result → unpersist (the
-      // q_graph_triangles pattern; bands feeds the explode AND both
-      // hamming sides); the checkpoint is registered scratch (ADVICE r7)
-      val out = graft.plans.Lineage.scratchCheckpoint(
-        phashCandidates(bands, bucketCap = 8)
-          .join(bands.select(col("doc_id").as("a"), col("bs").as("bsx")), "a")
-          .join(bands.select(col("doc_id").as("b"), col("bs").as("bsy")), "b")
-          .select(col("a"), col("b"),
-            expr("aggregate(zip_with(bsx, bsy, (p, q) -> bit_count(p ^ q))," +
-              " 0, (acc, v) -> acc + v)").cast("long").as("hamming"))
-          .filter(col("hamming") <= 7))
-      bands.unpersist(blocking = true)
-      out.orderBy(col("a"), col("b"))
+    "q_mm_phash" -> ((s, d) =>
+      phashPairs(s, d).orderBy(col("a"), col("b"))),
+
+    // Image near-dup CLUSTERING — q_dedup_cluster for the multimodal
+    // family: the verified Hamming-≤7 pHash pairs form an undirected
+    // graph over the hashed assets; connected components give every
+    // asset its canonical representative (min doc_id) + cluster_n, the
+    // keep/drop assignment an image-dedup pipeline ships (pair lists
+    // don't deduplicate a corpus). Pairs AND the components closure ride
+    // the one memoized pHash run ([[phashPairs]]); components is
+    // O(log diameter) rounds over the near-linear pair graph.
+    "q_mm_phash_cluster" -> ((s, d) => {
+      val verts = Multimodal.assets(s, d)
+        .filter(octet_length(col("payload")) >= 256)
+        .select(col("doc_id"))
+      DedupQueries.clusterAssign(verts, phashPairs(s, d))
+        .orderBy(col("doc_id"))
     }),
 
     // REAL audio decode (javax.sound.sampled): each payload becomes a
@@ -166,6 +194,42 @@ object MultimodalQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     })
   )
+
+  /** The q_mm_phash pair derivation down to `hd(a, b, hamming)` —
+    * shared by the q_mm_phash and q_mm_phash_cluster oracles (mirrors
+    * the engine sharing one memoized [[phashPairs]] run). The `b` CTE
+    * is also the hashed-asset vertex universe for the closure. */
+  private def phashPairCtes: String =
+    """b AS (SELECT doc_id, len(text) // 32 AS h,
+                    [unicode(substring(text, k, 1))
+                     for k in range(1, (len(text) // 32) * 32 + 1)] AS c
+                    FROM documents WHERE len(text) >= 256),
+          cells AS (SELECT doc_id,
+                      [list_sum([c[((m // 8) * (h // 8) + t // 4) * 32
+                                   + (m % 8) * 4 + (t % 4) + 1]
+                                 for t in range(0, (h // 8) * 4)])
+                         // ((h // 8) * 4)
+                       for m in range(0, 64)] AS cl
+                    FROM b),
+          ph AS (SELECT doc_id, cl, list_sum(cl) // 64 AS mean FROM cells),
+          bands AS (SELECT doc_id,
+                      [list_sum([CASE WHEN cl[r * 8 + cc + 1] > mean
+                                      THEN 1 << cc ELSE 0 END
+                                 for cc in range(0, 8)])
+                       for r in range(0, 8)] AS bs
+                    FROM ph),
+          e AS (SELECT doc_id, bs, unnest(generate_series(0, 7)) AS band
+                FROM bands),
+          eb AS (SELECT doc_id, bs, band, bs[band + 1] AS bkey FROM e),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM eb x JOIN eb y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                        AND x.doc_id < y.doc_id),
+          hd AS (SELECT cand.a, cand.b,
+                   CAST(list_sum([bit_count(xor(bx.bs[i], by.bs[i]))
+                                  for i in range(1, 9)]) AS BIGINT) AS hamming
+                 FROM cand JOIN bands bx ON bx.doc_id = cand.a
+                           JOIN bands by ON by.doc_id = cand.b)"""
 
   def oracles: Map[String, String] = Map(
     "q_mm_features" -> {
@@ -220,37 +284,26 @@ object MultimodalQueries {
     // corpus ASCII): cells pooled straight from character codes, integer
     // divisions throughout, band bytes via 1<<bit sums
     "q_mm_phash" ->
-      """WITH b AS (SELECT doc_id, len(text) // 32 AS h,
-                    [unicode(substring(text, k, 1))
-                     for k in range(1, (len(text) // 32) * 32 + 1)] AS c
-                    FROM documents WHERE len(text) >= 256),
-          cells AS (SELECT doc_id,
-                      [list_sum([c[((m // 8) * (h // 8) + t // 4) * 32
-                                   + (m % 8) * 4 + (t % 4) + 1]
-                                 for t in range(0, (h // 8) * 4)])
-                         // ((h // 8) * 4)
-                       for m in range(0, 64)] AS cl
-                    FROM b),
-          ph AS (SELECT doc_id, cl, list_sum(cl) // 64 AS mean FROM cells),
-          bands AS (SELECT doc_id,
-                      [list_sum([CASE WHEN cl[r * 8 + cc + 1] > mean
-                                      THEN 1 << cc ELSE 0 END
-                                 for cc in range(0, 8)])
-                       for r in range(0, 8)] AS bs
-                    FROM ph),
-          e AS (SELECT doc_id, bs, unnest(generate_series(0, 7)) AS band
-                FROM bands),
-          eb AS (SELECT doc_id, bs, band, bs[band + 1] AS bkey FROM e),
-          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                   FROM eb x JOIN eb y
-                     ON x.band = y.band AND x.bkey = y.bkey
-                        AND x.doc_id < y.doc_id),
-          hd AS (SELECT cand.a, cand.b,
-                   CAST(list_sum([bit_count(xor(bx.bs[i], by.bs[i]))
-                                  for i in range(1, 9)]) AS BIGINT) AS hamming
-                 FROM cand JOIN bands bx ON bx.doc_id = cand.a
-                           JOIN bands by ON by.doc_id = cand.b)
+      s"""WITH $phashPairCtes
          SELECT a, b, hamming FROM hd WHERE hamming <= 7 ORDER BY a, b""",
+    // the verified pair CTEs above + the q_dedup_cluster recursive
+    // min-label closure over the hashed (≥ 256-char) asset universe
+    "q_mm_phash_cluster" ->
+      s"""WITH RECURSIVE $phashPairCtes,
+          pr AS (SELECT a, b FROM hd WHERE hamming <= 7),
+          und AS (SELECT a AS x, b AS y FROM pr
+                  UNION ALL SELECT b, a FROM pr),
+          r AS (SELECT doc_id AS page, doc_id AS reach FROM b
+                UNION
+                SELECT u.x AS page, r.reach
+                FROM r JOIN und u ON u.y = r.page),
+          comp AS (SELECT page, MIN(reach) AS canonical_id FROM r
+                   GROUP BY page),
+          sz AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_n
+                 FROM comp GROUP BY canonical_id)
+         SELECT c.page AS doc_id, c.canonical_id, z.cluster_n
+         FROM comp c JOIN sz z ON c.canonical_id = z.canonical_id
+         ORDER BY doc_id""",
     // replays decode-free (the unsigned-8-bit PCM WAV round-trip is
     // lossless and the corpus ASCII): samples = the text's byte values
     "q_mm_audio" ->
