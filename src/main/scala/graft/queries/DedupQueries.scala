@@ -310,7 +310,7 @@ object DedupQueries {
     * — q_dedup_cluster and q_dedup_split both read this one components
     * run (the pair graph and its closure are build-once corpus
     * artifacts, like the k-means model). */
-  private def lshClusters(s: SparkSession, d: String): DataFrame =
+  private[graft] def lshClusters(s: SparkSession, d: String): DataFrame =
     graft.plans.Lineage.memo(clusterCache, s, d)(
       clusterAssign(Tables.documents(s, d), lshPairs(s, d)))
 
@@ -595,7 +595,7 @@ object DedupQueries {
     * `comp(page, canonical_id)` — shared by the q_dedup_cluster and
     * q_dedup_split oracles (mirrors the engine sharing one memoized
     * [[lshPairs]] + [[lshClusters]] run). */
-  private def clusterCompCtes: String =
+  private[graft] def clusterCompCtes: String =
     s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
                      FROM documents),
           s AS (SELECT doc_id, $shingle3 AS sh FROM t),

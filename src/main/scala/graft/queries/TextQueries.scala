@@ -36,6 +36,23 @@ object TextQueries {
     * + stopword density + type/token ratio, all per-row arithmetic on
     * exact integers (bit-equal cross-engine, see the q_text_quality
     * rounding note). Shared with the per-source percentile cut. */
+  /** The q_text_quality_cut engine body, shared with q_text_curate:
+    * (doc_id, source, quality, kept) with the quantized-score p75
+    * per-source cut (see the gate comment for the float contract). */
+  private def qualityCutFrame(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.plans.Lineage.scratchCheckpoint(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          qualityScore.as("quality"))
+        .withColumn("qq",
+          floor(col("quality") * lit(1.0e6) + lit(0.5)) / lit(1.0e6)))
+    val cuts = scored.groupBy("source")
+      .agg(expr("percentile(qq, cast(3 as double)/4)").as("cut"))
+    scored.join(broadcast(cuts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        (col("qq") > col("cut")).as("kept"))
+  }
+
   private def qualityScore: Column = {
     val nTok = size(toks).cast("double")
     val stopHits = size(filter(toks,
@@ -205,18 +222,36 @@ object TextQueries {
     // interpolates at quarter-fractions of the ≥ 1e-6 grid gap), and a
     // cross-engine interpolation ulp can never flip a keep flag. The
     // emitted quality stays raw (bit-equal already).
-    "q_text_quality_cut" -> ((s, d) => {
-      val scored = graft.plans.Lineage.scratchCheckpoint(
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            qualityScore.as("quality"))
-          .withColumn("qq",
-            floor(col("quality") * lit(1.0e6) + lit(0.5)) / lit(1.0e6)))
-      val cuts = scored.groupBy("source")
-        .agg(expr("percentile(qq, cast(3 as double)/4)").as("cut"))
-      scored.join(broadcast(cuts), Seq("source"))
-        .select(col("doc_id"), col("source"), col("quality"),
-          (col("qq") > col("cut")).as("kept"))
+    "q_text_quality_cut" -> ((s, d) =>
+      qualityCutFrame(s, d)
+        .select(col("doc_id"), col("source"), col("quality"), col("kept"))
+        .orderBy(col("doc_id"))),
+
+    // END-TO-END corpus curation — the decision frame a training-data
+    // pipeline actually materializes, composing three verified gates
+    // into one per-document verdict: near-dup canonicalization
+    // ([[DedupQueries.lshClusters]] — ONE memoized LSH + components run
+    // shared with q_dedup_cluster/q_dedup_split), the per-source
+    // quality cut ([[qualityCutFrame]] — same score, same p75
+    // interpolation contract), and the leakage-safe split (the
+    // canonical-hash bucket, so near-duplicates never straddle
+    // train/test). selected = kept ∧ canonical — drop every non-
+    // canonical near-dup and every below-cut document; the RefinedWeb /
+    // FineWeb "dedup then filter" recipe as one gated frame. Scale:
+    // both inputs are already-bounded artifacts; this adds one
+    // doc_id-keyed join and a narrow hash — no new quadratic or
+    // corpus-wide-sort path.
+    "q_text_curate" -> ((s, d) => {
+      qualityCutFrame(s, d)
+        .join(DedupQueries.lshClusters(s, d).drop("cluster_n"),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("canonical_id"),
+          col("quality"), col("kept"),
+          when(conv(substring(md5(col("canonical_id").cast("string")),
+              1, 8), 16, 10).cast("long") % 10 === 0, lit("test"))
+            .otherwise(lit("train")).as("split"),
+          (col("kept") && col("doc_id") === col("canonical_id"))
+            .as("selected"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1299,6 +1334,42 @@ object TextQueries {
                   FROM q GROUP BY source)
             SELECT q.doc_id, q.source, q.quality, q.qq > c.cut AS kept
             FROM q JOIN c ON c.source = q.source
+            ORDER BY q.doc_id""",
+      // the q_dedup_cluster closure (shared clusterCompCtes — its own
+      // t..comp names) + the quality-cut CTEs under q-prefixed names +
+      // the q_dedup_split canonical-hash bucket, composed exactly as
+      // the engine composes the three gates
+      "q_text_curate" ->
+        s"""${DedupQueries.clusterCompCtes},
+            qt AS (SELECT doc_id, source,
+                          string_split_regex(text, '\\s+') AS toks
+                   FROM documents),
+            qm AS (SELECT doc_id, source,
+                    CAST(len(toks) AS DOUBLE) AS n_tok,
+                    CAST(len(list_filter(toks, t -> list_contains($en, t)))
+                      AS DOUBLE) AS stop_hits,
+                    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_types
+                   FROM qt),
+            qs AS MATERIALIZED (SELECT doc_id, source, quality,
+                    floor(quality * 1.0e6 + 0.5) / 1.0e6 AS qq
+                  FROM (SELECT doc_id, source,
+                          LEAST(n_tok / 50.0, 1.0) * 0.4 +
+                                (stop_hits / n_tok) * 0.3 +
+                                (n_types / n_tok) * 0.3 AS quality
+                        FROM qm)),
+            qc AS (SELECT source,
+                    quantile_cont(qq, CAST(3 AS DOUBLE)/4) AS cut
+                   FROM qs GROUP BY source)
+            SELECT q.doc_id, q.source, c.canonical_id, q.quality,
+                   q.qq > cc.cut AS kept,
+                   CASE WHEN CAST(('0x' ||
+                          substring(md5(CAST(c.canonical_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 10 = 0
+                        THEN 'test' ELSE 'train' END AS split,
+                   (q.qq > cc.cut) AND q.doc_id = c.canonical_id
+                     AS selected
+            FROM qs q JOIN comp c ON c.page = q.doc_id
+            JOIN qc cc ON cc.source = q.source
             ORDER BY q.doc_id""",
       "q_text_langid" ->
         s"""WITH t AS (SELECT doc_id, lang AS labeled,
