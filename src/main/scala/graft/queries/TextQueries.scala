@@ -32,10 +32,60 @@ object TextQueries {
 
   private def toks: Column = TextFunctions.tokens(col("text"))
 
+  /** q_text_langid_ngram knobs: language-profile size (also the
+    * missing-gram penalty, the Cavnar-Trenkle "out of place" maximum)
+    * and the per-document profile size. */
+  private val LidK = 64
+  private val LidM = 32
+
   /** The composite quality score of q_text_quality — length saturation
     * + stopword density + type/token ratio, all per-row arithmetic on
     * exact integers (bit-equal cross-engine, see the q_text_quality
     * rounding note). Shared with the per-source percentile cut. */
+  /** q_text_langid_ngram's engine body over any (doc_id, lang, text)
+    * frame — exposed for LangidNgramSpec, which feeds a constructed
+    * corpus with REAL n-gram signal (the driver corpus's lang labels
+    * are synthetic noise, so accuracy there is ~chance by design and
+    * the gate checks determinism, not model quality). Profiles
+    * self-train on the frame's own labels; ranks/distances all exact
+    * ints. Unordered. */
+  private[graft] def langidNgram(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"), col("lang"),
+      explode(expr("IF(length(text) >= 3, " +
+        "transform(sequence(1, length(text) - 2), " +
+        "i -> substring(text, i, 3)), " +
+        "cast(array() as array<string>))")).as("g"))
+    val langProf = grams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("lr", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("c").desc, col("g"))))
+      .filter(col("lr") <= LidK)
+      .select(col("lang").as("plang"), col("g"), col("lr"))
+    val docProf = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dr", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("c").desc, col("g"))))
+      .filter(col("dr") <= LidM)
+      .select(col("doc_id"), col("g"), col("dr"))
+    val langs = langProf.select(col("plang")).distinct()
+    val scored = docProf.crossJoin(broadcast(langs))
+      .join(broadcast(langProf), Seq("plang", "g"), "left")
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(sum(coalesce(abs(col("dr") - col("lr")), lit(LidK)))
+        .cast("long").as("dist"))
+    val w = Window.partitionBy("doc_id").orderBy(col("dist"), col("plang"))
+    val pred = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("plang").as("pred"),
+        col("dist").as("pred_dist"))
+    docs.select(col("doc_id"), col("lang").as("labeled"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("labeled"),
+        coalesce(col("pred"), lit("en")).as("pred"),
+        coalesce(col("pred_dist"), lit(0L)).as("pred_dist"))
+  }
+
   /** The q_text_quality_cut engine body, shared with q_text_curate:
     * (doc_id, source, quality, kept) with the quantized-score p75
     * per-source cut (see the gate comment for the float contract). */
@@ -254,6 +304,22 @@ object TextQueries {
             .as("selected"))
         .orderBy(col("doc_id"))
     }),
+
+    // Language-ID via char-n-gram RANK PROFILES (Cavnar-Trenkle'94 —
+    // the real "n-gram heuristic" behind textcat/CLD-style detectors;
+    // the stopword gate below is the cheap screen, this is the model):
+    // per-language profiles = the top-LidK char-3-grams of the labeled
+    // corpus ranked by (count DESC, gram ASC); each doc's top-LidM
+    // grams are rank-compared against every profile (out-of-place
+    // distance, missing gram → LidK penalty); pred = argmin distance,
+    // ties → language code ASC. Everything is integer counts, integer
+    // ranks, integer distances — bit-equal by construction. Scale: the
+    // gram explode is narrow and both count shuffles partial-agg; the
+    // 4×LidK profile is a broadcast; the per-doc argmin window rides
+    // the (doc_id, lang) agg's partitioning. Self-trained on the
+    // labeled corpus — a deterministic program the oracle replays.
+    "q_text_langid_ngram" -> ((s, d) =>
+      langidNgram(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
     // Language-ID: count stopword hits per language, predict argmax
     // (ties broken in StopLists order via the CASE chain).
@@ -1371,6 +1437,41 @@ object TextQueries {
             FROM qs q JOIN comp c ON c.page = q.doc_id
             JOIN qc cc ON cc.source = q.source
             ORDER BY q.doc_id""",
+      // same integer ranks (count DESC, gram ASC), same LidK penalty,
+      // same (dist, lang) argmin — every value an exact integer
+      "q_text_langid_ngram" ->
+        s"""WITH g AS (SELECT doc_id, lang,
+                  unnest(CASE WHEN len(text) >= 3
+                              THEN [substring(text, i, 3)
+                                    for i in range(1, len(text) - 1)]
+                              ELSE [] END) AS g
+                FROM documents),
+            lp AS (SELECT lang, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+            lpr AS (SELECT lang AS plang, g,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY c DESC, g) AS lr
+                    FROM lp QUALIFY lr <= $LidK),
+            dp AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+            dpr AS (SELECT doc_id, g,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, g) AS dr
+                    FROM dp QUALIFY dr <= $LidM),
+            ls AS (SELECT DISTINCT plang FROM lpr),
+            sc AS (SELECT d.doc_id, l.plang,
+                     SUM(COALESCE(ABS(d.dr - p.lr), $LidK)) AS dist
+                   FROM dpr d CROSS JOIN ls l
+                   LEFT JOIN lpr p ON p.plang = l.plang AND p.g = d.g
+                   GROUP BY 1, 2),
+            pr AS (SELECT doc_id, plang, dist,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY dist, plang) AS rk
+                   FROM sc)
+            SELECT dd.doc_id, dd.lang AS labeled,
+                   COALESCE(pr.plang, 'en') AS pred,
+                   CAST(COALESCE(pr.dist, 0) AS BIGINT) AS pred_dist
+            FROM documents dd
+            LEFT JOIN pr ON pr.doc_id = dd.doc_id AND pr.rk = 1
+            ORDER BY dd.doc_id""",
       "q_text_langid" ->
         s"""WITH t AS (SELECT doc_id, lang AS labeled,
                               string_split_regex(text, '\\s+') AS toks
