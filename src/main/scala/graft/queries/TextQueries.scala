@@ -56,14 +56,26 @@ object TextQueries {
         "transform(sequence(1, length(text) - 2), " +
         "i -> substring(text, i, 3)), " +
         "cast(array() as array<string>))")).as("g"))
-    val langProf = grams.groupBy(col("lang"), col("g"))
-      .agg(count(lit(1)).as("c"))
+    // ONE corpus-scale explode + partial-agg'd shuffle; both profiles
+    // derive from the aggregated (doc, lang, gram) counts (lang is
+    // functionally determined by doc_id, so (doc_id, g) stays unique
+    // and the per-language count is the exact sum of per-doc counts).
+    // Without the checkpoint the two profile branches each re-plan the
+    // full gram explode — at sf0.1 that is a wash (the checkpoint's
+    // materialization costs what the second explode cost), but at
+    // corpus scale the explode pass IS the dominant cost and this
+    // halves it; the checkpointed frame is the much smaller
+    // per-doc-distinct gram count table
+    val gcnt = graft.plans.Lineage.scratchCheckpoint(
+      grams.groupBy(col("doc_id"), col("lang"), col("g"))
+        .agg(count(lit(1)).as("c")))
+    val langProf = gcnt.groupBy(col("lang"), col("g"))
+      .agg(sum(col("c")).as("c"))
       .withColumn("lr", row_number().over(Window.partitionBy("lang")
         .orderBy(col("c").desc, col("g"))))
       .filter(col("lr") <= LidK)
       .select(col("lang").as("plang"), col("g"), col("lr"))
-    val docProf = grams.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"))
+    val docProf = gcnt
       .withColumn("dr", row_number().over(Window.partitionBy("doc_id")
         .orderBy(col("c").desc, col("g"))))
       .filter(col("dr") <= LidM)
