@@ -477,6 +477,53 @@ object SimilarityQueries {
   private val PcaIters = 24
   private val PcaDim = 64
 
+  /** Exact integer moment accumulator for the PCA Gram pass: local
+    * Long partials for Σxᵢ and Σxᵢxⱼ, flushed into BigInt every 2²⁰
+    * rows (fixed-point values < 2²¹ ⇒ products < 2⁴², so 2²⁰ Long adds
+    * stay below 2⁶² — no overflow before a flush), merged as BigInt.
+    * Integer addition in any order — bit-exact regardless of
+    * partitioning. */
+  private final class PcaMoments(dd: Int) extends Serializable {
+    private val sL = new Array[Long](dd)
+    private val pL = new Array[Long](dd * dd)
+    private var pend = 0
+    val sB: Array[BigInt] = Array.fill(dd)(BigInt(0))
+    val pB: Array[BigInt] = Array.fill(dd * dd)(BigInt(0))
+    def add(xf: Array[Long]): Unit = {
+      var i = 0
+      while (i < dd) {
+        val xi = xf(i); sL(i) = Math.addExact(sL(i), xi)
+        val off = i * dd; var j = 0
+        while (j < dd) {
+          // intrinsified checked ops: the flush bound covers any sane
+          // fixed-point range, and pathological inputs fail LOUDLY
+          // instead of silently corrupting a moment
+          pL(off + j) = Math.addExact(pL(off + j),
+            Math.multiplyExact(xi, xf(j)))
+          j += 1
+        }
+        i += 1
+      }
+      pend += 1
+      if (pend >= (1 << 20)) flush()
+    }
+    def flush(): Unit = {
+      var k = 0
+      while (k < dd) { sB(k) += sL(k); sL(k) = 0L; k += 1 }
+      k = 0
+      while (k < dd * dd) { pB(k) += pL(k); pL(k) = 0L; k += 1 }
+      pend = 0
+    }
+    def merge(o: PcaMoments): PcaMoments = {
+      flush(); o.flush()
+      var k = 0
+      while (k < dd) { sB(k) += o.sB(k); k += 1 }
+      k = 0
+      while (k < dd * dd) { pB(k) += o.pB(k); k += 1 }
+      this
+    }
+  }
+
   /** JL gate (q_embed_jl): target dimension — a power of two so the
     * 1/√k scale is exact. Shared engine/oracle. */
   private val JlK = 16
@@ -486,10 +533,12 @@ object SimilarityQueries {
     // the OPQ/ITQ embedding-index family (Gong'11, Ge'13) and the
     // classic corpus-drift diagnostic: project every vector onto the
     // leading eigenvector of the corpus covariance. Scale design:
-    //   - moments in ONE pass: per-row the d and d² fixed-point
-    //     products (exact integer, order-free) partial-agg to d + d²
-    //     DECIMAL sums — the Gram-matrix accumulation; only d² = 4096
-    //     rows ever cross the shuffle, at ANY corpus size;
+    //   - moments in ONE pass: the d + d² fixed-point sums accumulate
+    //     in a treeAggregate of the FIXED-SIZE [[PcaMoments]] state
+    //     (Long partials flushed to BigInt — exact integer, order-free)
+    //     — the Gram-matrix accumulation; only d + d² integers per
+    //     partition ever cross the wire, at ANY corpus size (the
+    //     earlier explode form shuffled n·d² rows);
     //   - the eigensolve runs DRIVER-SIDE on the collected d×d integer
     //     moment matrix (a fixed-size aggregate, the N-count contract —
     //     the corpus is NOT involved); PcaIters (24) power iterations;
@@ -510,19 +559,22 @@ object SimilarityQueries {
         emb.select(col("vec_id"), expr(
           s"transform(embedding, x -> cast(floor(cast(x as double) * $f) " +
             "as long))").as("xf")))
-      val sArr = new Array[BigInt](dd)
-      e.select(posexplode(col("xf")).as(Seq("i", "xi")))
-        .groupBy("i").agg(sum(col("xi").cast("decimal(38,0)")).as("s"))
-        .collect().foreach(r =>
-          sArr(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
-      val pArr = Array.ofDim[BigInt](dd, dd)
-      e.select(posexplode(expr(
-          "flatten(transform(xf, xi -> transform(xf, xj -> xi * xj)))"))
-          .as(Seq("k", "p")))
-        .groupBy("k").agg(sum(col("p").cast("decimal(38,0)")).as("sp"))
-        .collect().foreach(r =>
-          pArr(r.getInt(0) / dd)(r.getInt(0) % dd) =
-            BigInt(r.getDecimal(1).toBigInteger))
+      // exact integer moments via ONE treeAggregate of the fixed d+d²
+      // accumulator (the df.stat.bloomFilter shape): each partition
+      // folds its rows into local Long arrays (a flush to BigInt every
+      // 2²⁰ rows keeps the Long partials provably un-overflowed —
+      // products < 2⁴²), partials merge as BigInt — order-free integer
+      // addition, so bit-exact like the explode+decimal-agg form it
+      // replaces, but the corpus never explodes d² rows per vector
+      // onto the wire (that form shuffled n·4096 rows; at corpus scale
+      // the explode pass dominated everything else in this gate)
+      import s.implicits._
+      val mom = e.select(col("xf")).as[Array[Long]].rdd
+        .treeAggregate(new PcaMoments(dd))(
+          (m, xf) => { m.add(xf); m }, (a, b) => a.merge(b))
+      mom.flush()
+      val sArr = mom.sB
+      val pArr = Array.tabulate(dd, dd)((i, j) => mom.pB(i * dd + j))
       val nD = n.toDouble
       val fD = f.toDouble
       val cov = Array.tabulate(dd, dd)((i, j) =>
