@@ -528,6 +528,14 @@ object SimilarityQueries {
     * 1/√k scale is exact. Shared engine/oracle. */
   private val JlK = 16
 
+  /** The JL sign for matrix entry (i, j) — the md5("i,j") first-nibble
+    * parity, the exact rule the oracle states in SQL (true → +1). */
+  private def jlSign(i: Int, j: Int): Boolean = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i,$j".getBytes("UTF-8"))
+    ((h(0) >> 4) & 0xf) % 2 == 1
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PCA top-component projection — the whitening/rotation pre-step of
     // the OPQ/ITQ embedding-index family (Gong'11, Ge'13) and the
@@ -619,13 +627,23 @@ object SimilarityQueries {
     // contract), /sqrt(JlK) an exact power of two, presented on the
     // 1e-6 grid.
     "q_embed_jl" -> ((s, d) => {
+      // the ±1 sensing matrix is REGENERATED driver-side from the same
+      // md5("i,j") parity the oracle derives in SQL — still never
+      // stored or broadcast as data: it rides the plan as a FOLDABLE
+      // 16×64 double literal, and the fold is the same 0.0-seeded
+      // i-ascending `acc + x·s` the md5 form ran (bit-identical), just
+      // without k·64 = 1024 md5 calls per row or a 1024-term codegen
+      // tree (an unrolled chain spent ~2 s in Janino per plan; this
+      // compact higher-order form measures 0.4 s steady-state vs the
+      // md5 form's 2.4 s at sf0.1)
+      val signs = (1 to JlK).map(j => (1 to 64)
+        .map(i => if (jlSign(i, j)) "1.0D" else "-1.0D")
+        .mkString("array(", ",", ")")).mkString("array(", ",", ")")
       val jl = expr(
         s"""transform(sequence(1, $JlK), j ->
-           |  aggregate(sequence(1, 64), cast(0.0 as double),
-           |    (acc, i) -> acc + cast(element_at(embedding, i) as double)
-           |      * IF(cast(conv(substring(md5(concat_ws(',', i, j)), 1, 1),
-           |                     16, 10) as int) % 2 = 1,
-           |           cast(1.0 as double), cast(-1.0 as double)))
+           |  aggregate(zip_with(embedding, element_at($signs, j),
+           |      (x, s) -> cast(x as double) * s),
+           |    cast(0.0 as double), (acc, v) -> acc + v)
            |  / sqrt(cast($JlK as double)))""".stripMargin)
       Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(jl).as(Seq("j0", "y")))
