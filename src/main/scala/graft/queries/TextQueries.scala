@@ -38,6 +38,11 @@ object TextQueries {
   private val LidK = 64
   private val LidM = 32
 
+  /** q_text_plagiarism knobs: fingerprint df cap (MOSS common-code
+    * suppression) and the minimum shared-fingerprint evidence. */
+  private val PlagMaxDf = 10
+  private val PlagMinShared = 2
+
   /** The composite quality score of q_text_quality — length saturation
     * + stopword density + type/token ratio, all per-row arithmetic on
     * exact integers (bit-equal cross-engine, see the q_text_quality
@@ -912,6 +917,55 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Plagiarism-detection pairs over WINNOWED fingerprints — the MOSS
+    // pipeline (Schleimer'03 §4) downstream of q_text_fingerprint's
+    // selection: documents sharing ≥ PlagMinShared selected
+    // fingerprints, scored by shared count and overlap fraction. The
+    // winnowing selection is the scale lever vs the raw-shingle
+    // inverted index (q_dedup_containment): only ~2/(w+1) of shingles
+    // survive selection, so the posting list — and every shuffle after
+    // it — shrinks ~3× at w=4 while guaranteeing any shared run of
+    // ≥ w+k−1 chars still collides (the winnowing theorem). The df cap
+    // (2 ≤ df ≤ PlagMaxDf) is MOSS's common-code suppression: a
+    // fingerprint every document carries identifies nothing and would
+    // make its bucket quadratic — dropping it is part of the method,
+    // not a shortcut. All counts exact ints; the one division is the
+    // same IEEE op both engines.
+    "q_text_plagiarism" -> ((s, d) => {
+      // the size filter goes ABOVE the cache boundary: pushed into the
+      // projection it would substitute the winnow expression into the
+      // predicate, where the slice lambda re-derives the ENTIRE shingle
+      // array per window — O(len²) md5 per doc (observed: one task
+      // pinned for 10+ min at sf0.1; winnowExpr's scaladoc warns about
+      // exactly this re-derivation)
+      val fpsAll = Tables.documents(s, d)
+        .withColumn("hs", expr(TextFunctions.shingleHashesExpr("text", 8)))
+        .select(col("doc_id"),
+          expr(TextFunctions.winnowExpr("hs", 4)).as("fps"))
+        .persist()
+      val fps = fpsAll.filter(size(col("fps")) > 0)
+      val post = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      val keep = post.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= PlagMaxDf)
+      val p2 = post.join(keep.select("fp"), Seq("fp"), "left_semi")
+      val pairs = p2.as("x").join(p2.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("shared_fp"))
+        .filter(col("shared_fp") >= PlagMinShared)
+      val sizes = fps.select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"))
+      val out = graft.plans.Lineage.scratchCheckpoint(pairs
+        .join(sizes.select(col("doc_id").as("a"), col("n_fp").as("n_fp_a")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n_fp").as("n_fp_b")), "b")
+        .select(col("a"), col("b"), col("shared_fp"),
+          col("n_fp_a"), col("n_fp_b"),
+          (col("shared_fp").cast("double") /
+            least(col("n_fp_a"), col("n_fp_b")).cast("double"))
+            .as("overlap")))
+      fpsAll.unpersist(blocking = true)
+      out.orderBy(col("a"), col("b"))
+    }),
+
     // Heavy hitters via a count-min sketch ([[graft.functions.CountMinAgg]]
     // — d=4 rows × w=256 counters): the corpus-frequency question at a
     // scale where an exact vocabulary count is the shuffle bottleneck.
@@ -1771,6 +1825,37 @@ object TextQueries {
                   list_aggregate(fps, 'min') AS min_fp,
                   list_aggregate(fps, 'max') AS max_fp
            FROM w ORDER BY doc_id""",
+      // the q_text_fingerprint winnow CTEs, then postings → df cap →
+      // pair counting — the same exact integers the engine shuffles
+      "q_text_plagiarism" ->
+        s"""WITH s AS (SELECT doc_id,
+                  list_transform([substring(text, i, 8) for i in range(1, len(text) - 6)],
+                    g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)) AS hs
+                FROM documents),
+           w AS (SELECT doc_id,
+                  list_distinct([list_aggregate(hs[i:i+3], 'min')
+                                 for i in range(1, len(hs) - 2)]) AS fps
+                 FROM s),
+           wf AS (SELECT * FROM w WHERE len(fps) > 0),
+           post AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+           keep AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM post
+                                    GROUP BY fp)
+                    WHERE df BETWEEN 2 AND $PlagMaxDf),
+           p2 AS (SELECT p.doc_id, p.fp FROM post p
+                  JOIN keep k ON k.fp = p.fp),
+           pairs AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                       COUNT(*) AS shared_fp
+                     FROM p2 x JOIN p2 y
+                       ON x.fp = y.fp AND x.doc_id < y.doc_id
+                     GROUP BY 1, 2 HAVING COUNT(*) >= $PlagMinShared),
+           sz AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp FROM wf)
+           SELECT p.a, p.b, p.shared_fp, sa.n_fp AS n_fp_a,
+                  sb.n_fp AS n_fp_b,
+                  CAST(p.shared_fp AS DOUBLE)
+                    / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE) AS overlap
+           FROM pairs p JOIN sz sa ON sa.doc_id = p.a
+           JOIN sz sb ON sb.doc_id = p.b
+           ORDER BY a, b""",
       "q_text_heavyhitters" ->
         """WITH raw AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
                         FROM documents),
