@@ -343,12 +343,16 @@ object DedupQueries {
   private[graft] def containmentPairs(s: SparkSession, d: String,
       materialize: Boolean = true): DataFrame = {
     graft.GraftFunctions.register(s)
-    val hsF0 = Tables.documents(s, d)
+    // size filter ABOVE the cache boundary (the q_text_plagiarism
+    // lesson): pushed into the projection it would substitute the
+    // shingle expression into the predicate and evaluate it twice per
+    // row
+    val hsAll = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), "\\s+"))
       .select(col("doc_id"),
         call_function("word_shingle_hashes", col("toks"), lit(3)).as("hs"))
-      .filter(size(col("hs")) > 0)
-    val hsF = if (materialize) hsF0.persist() else hsF0
+    val hsM = if (materialize) hsAll.persist() else hsAll
+    val hsF = hsM.filter(size(col("hs")) > 0)
     val ex = hsF.select(col("doc_id"), explode(col("hs")).as("h"))
     val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= ContainMaxDf)
@@ -371,7 +375,7 @@ object DedupQueries {
     if (!materialize) out
     else {
       val fin = graft.plans.Lineage.scratchCheckpoint(out)
-      hsF.unpersist(blocking = true)
+      hsM.unpersist(blocking = true)
       fin
     }
   }
