@@ -524,6 +524,71 @@ object SimilarityQueries {
     }
   }
 
+  /** The shared PCA front half: checkpointed fixed-point frame `e`
+    * (vec_id, xf), covariance and mean from the exact integer moments.
+    * Moments via ONE treeAggregate of the fixed d+d² [[PcaMoments]]
+    * accumulator (the df.stat.bloomFilter shape): each partition folds
+    * its rows into local checked-Long arrays (flush to BigInt every
+    * 2²⁰ rows — products < 2⁴², so partials provably cannot overflow
+    * between flushes), partials merge as BigInt — order-free integer
+    * addition, bit-exact like the explode+decimal-agg form it
+    * replaced, but the corpus never explodes d² rows per vector onto
+    * the wire (that form shuffled n·4096 rows). */
+  private def pcaSetup(s: SparkSession, d: String)
+      : (DataFrame, Array[Array[Double]], Array[Double]) = {
+    val (dd, f) = (PcaDim, PcaF)
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val e = graft.plans.Lineage.scratchCheckpoint(
+      emb.select(col("vec_id"), expr(
+        s"transform(embedding, x -> cast(floor(cast(x as double) * $f) " +
+          "as long))").as("xf")))
+    import s.implicits._
+    val mom = e.select(col("xf")).as[Array[Long]].rdd
+      .treeAggregate(new PcaMoments(dd))(
+        (m, xf) => { m.add(xf); m }, (a, b) => a.merge(b))
+    mom.flush()
+    val sArr = mom.sB
+    val pArr = Array.tabulate(dd, dd)((i, j) => mom.pB(i * dd + j))
+    val nD = n.toDouble
+    val fD = f.toDouble
+    val cov = Array.tabulate(dd, dd)((i, j) =>
+      (BigInt(n) * pArr(i)(j) - sArr(i) * sArr(j)).toDouble /
+        nD / nD / fD / fD)
+    val mu = Array.tabulate(dd)(i => sArr(i).toDouble / nD / fD)
+    (e, cov, mu)
+  }
+
+  /** PcaIters snapped power iterations (index-ordered folds, 1e-9
+    * per-step snap, sign canonicalized on the snapped first
+    * component) — the exact recurrence the oracle unrolls. */
+  private def pcaPower(cov: Array[Array[Double]]): Array[Double] = {
+    val dd = PcaDim
+    var v = Array.tabulate(dd)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to PcaIters) {
+      val raw = Array.tabulate(dd) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dd) { acc += cov(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var sq = 0.0; var i = 0
+      while (i < dd) { sq += raw(i) * raw(i); i += 1 }
+      val nrm = math.sqrt(sq)
+      v = raw.map(x => math.floor(x / nrm * 1.0e9 + 0.5) / 1.0e9)
+    }
+    if (v(0) < 0) v.map(x => -x) else v
+  }
+
+  /** The centered index-ordered projection fold onto the literal
+    * vector column `vcol`, presented on the 1e-6 grid. Expects `xf`
+    * and `muv` columns in scope. */
+  private def pcaProject(vcol: String): Column =
+    floor(expr(
+      s"aggregate(sequence(1, $PcaDim), cast(0.0 as double), " +
+        s"(acc, i) -> acc + (cast(element_at(xf, i) as double) / " +
+        s"${PcaF.toDouble} - element_at(muv, i)) * element_at($vcol, i))")
+      * lit(1.0e6) + lit(0.5)) / lit(1.0e6)
+
   /** JL gate (q_embed_jl): target dimension — a power of two so the
     * 1/√k scale is exact. Shared engine/oracle. */
   private val JlK = 16
@@ -560,56 +625,44 @@ object SimilarityQueries {
     // grid per step; sign canonicalized on the snapped first component;
     // projection folds index-ordered, presented on the 1e-6 grid.
     "q_embed_pca" -> ((s, d) => {
-      val (dd, f) = (PcaDim, PcaF)
-      val emb = Tables.embeddings(s, d)
-      val n = emb.count()
-      val e = graft.plans.Lineage.scratchCheckpoint(
-        emb.select(col("vec_id"), expr(
-          s"transform(embedding, x -> cast(floor(cast(x as double) * $f) " +
-            "as long))").as("xf")))
-      // exact integer moments via ONE treeAggregate of the fixed d+d²
-      // accumulator (the df.stat.bloomFilter shape): each partition
-      // folds its rows into local Long arrays (a flush to BigInt every
-      // 2²⁰ rows keeps the Long partials provably un-overflowed —
-      // products < 2⁴²), partials merge as BigInt — order-free integer
-      // addition, so bit-exact like the explode+decimal-agg form it
-      // replaces, but the corpus never explodes d² rows per vector
-      // onto the wire (that form shuffled n·4096 rows; at corpus scale
-      // the explode pass dominated everything else in this gate)
-      import s.implicits._
-      val mom = e.select(col("xf")).as[Array[Long]].rdd
-        .treeAggregate(new PcaMoments(dd))(
-          (m, xf) => { m.add(xf); m }, (a, b) => a.merge(b))
-      mom.flush()
-      val sArr = mom.sB
-      val pArr = Array.tabulate(dd, dd)((i, j) => mom.pB(i * dd + j))
-      val nD = n.toDouble
-      val fD = f.toDouble
-      val cov = Array.tabulate(dd, dd)((i, j) =>
-        (BigInt(n) * pArr(i)(j) - sArr(i) * sArr(j)).toDouble /
-          nD / nD / fD / fD)
-      val mu = Array.tabulate(dd)(i => sArr(i).toDouble / nD / fD)
-      var v = Array.tabulate(dd)(i => if (i == 0) 1.0 else 0.0)
-      for (_ <- 1 to PcaIters) {
-        val raw = Array.tabulate(dd) { i =>
-          var acc = 0.0; var j = 0
-          while (j < dd) { acc += cov(i)(j) * v(j); j += 1 }
-          acc
-        }
-        var sq = 0.0; var i = 0
-        while (i < dd) { sq += raw(i) * raw(i); i += 1 }
-        val nrm = math.sqrt(sq)
-        v = raw.map(x => math.floor(x / nrm * 1.0e9 + 0.5) / 1.0e9)
-      }
-      if (v(0) < 0) v = v.map(x => -x)
+      val (e, cov, mu) = pcaSetup(s, d)
+      val v = pcaPower(cov)
       e.withColumn("muv", typedLit(mu.toSeq))
         .withColumn("vv", typedLit(v.toSeq))
+        .select(col("vec_id"), pcaProject("vv").as("pc1"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Top-TWO principal components via Hotelling deflation — the step
+    // that turns the pc1 diagnostic into a usable rotation (OPQ/ITQ
+    // want a basis, not one axis): λ₁ = v₁ᵀCv₁ from the SNAPPED v₁
+    // (both bit-identical cross-engine already), C₂ = C − λ₁·v₁v₁ᵀ as
+    // one fixed per-entry expression, then the SAME snapped power
+    // chain on C₂ — every new quantity derives from bit-identical
+    // inputs via index-ordered folds, so the whole second chain stays
+    // bit-exact without any new rounding idea. Same scale shape as
+    // q_embed_pca: one treeAggregate moment pass, driver-side d×d
+    // algebra, one narrow broadcast projection (two literal vectors).
+    "q_embed_pca2" -> ((s, d) => {
+      val dd = PcaDim
+      val (e, cov, mu) = pcaSetup(s, d)
+      val v1 = pcaPower(cov)
+      val cv = Array.tabulate(dd) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dd) { acc += cov(i)(j) * v1(j); j += 1 }
+        acc
+      }
+      var lam = 0.0
+      var li = 0
+      while (li < dd) { lam += cv(li) * v1(li); li += 1 }
+      val cov2 = Array.tabulate(dd, dd)((i, j) =>
+        cov(i)(j) - lam * v1(i) * v1(j))
+      val v2 = pcaPower(cov2)
+      e.withColumn("muv", typedLit(mu.toSeq))
+        .withColumn("v1", typedLit(v1.toSeq))
+        .withColumn("v2", typedLit(v2.toSeq))
         .select(col("vec_id"),
-          (floor(expr(
-            s"aggregate(sequence(1, $dd), cast(0.0 as double), " +
-              s"(acc, i) -> acc + (cast(element_at(xf, i) as double) / $fD " +
-              "- element_at(muv, i)) * element_at(vv, i))")
-            * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("pc1"))
+          pcaProject("v1").as("pc1"), pcaProject("v2").as("pc2"))
         .orderBy(col("vec_id"))
     }),
 
@@ -1346,22 +1399,33 @@ object SimilarityQueries {
     * an index-ordered matrix-vector fold + norm + the 1e-9 component
     * snap — then the snapped-sign flip and the index-ordered projection
     * fold. MATERIALIZED per step (the CTE-inlining lesson). */
-  private def pcaOracle: String = {
-    val (dd, f) = (PcaDim, PcaF)
-    val steps = (1 to PcaIters).map { k =>
-      s"""r$k AS (SELECT [list_sum([cm[i][j] * v[j]
+  /** The PcaIters snapped power-step chain as chained CTEs over the
+    * matrix CTE `covCte` (single row, column `cm`), from seed
+    * `${p}w0` to `${p}w$PcaIters` — shared by both PCA oracles. */
+  private def pcaStepCtes(covCte: String, p: String): String = {
+    val dd = PcaDim
+    (1 to PcaIters).map { k =>
+      s"""${p}r$k AS (SELECT [list_sum([cm[i][j] * v[j]
                             for j in range(1, ${dd + 1})])
                           for i in range(1, ${dd + 1})] AS raw
-                  FROM covm, w${k - 1}),
-           w$k AS MATERIALIZED (SELECT
+                  FROM $covCte, ${p}w${k - 1}),
+           ${p}w$k AS MATERIALIZED (SELECT
                     [floor(raw[i] / nrm * 1.0e9 + 0.5) / 1.0e9
                      for i in range(1, ${dd + 1})] AS v
                   FROM (SELECT raw,
                           sqrt(list_sum([raw[k2] * raw[k2]
                             for k2 in range(1, ${dd + 1})])) AS nrm
-                        FROM r$k))"""
+                        FROM ${p}r$k))"""
     }.mkString(",\n           ")
-    s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+  }
+
+  /** The shared PCA front half in SQL: exact integer moments →
+    * covariance matrix row (`covm.cm`) + mean (`mu.mu`), plus the
+    * first power chain seed `w0` and chain `w1..w$PcaIters` with its
+    * sign-fixed result `vf`. */
+  private def pcaBaseCtes: String = {
+    val (dd, f) = (PcaDim, PcaF)
+    s"""nn AS (SELECT COUNT(*) AS n FROM embeddings),
         e AS MATERIALIZED (SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * $f) AS BIGINT)) AS xf
@@ -1386,10 +1450,15 @@ object SimilarityQueries {
                FROM s),
         w0 AS (SELECT [CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END
                        for i in range(1, ${dd + 1})] AS v),
-        $steps,
+        ${pcaStepCtes("covm", "")},
         vf AS (SELECT CASE WHEN v[1] < 0
                            THEN list_transform(v, x -> -x) ELSE v END AS v
-               FROM w$PcaIters)
+               FROM w$PcaIters)"""
+  }
+
+  private def pcaOracle: String = {
+    val (dd, f) = (PcaDim, PcaF)
+    s"""WITH $pcaBaseCtes
         SELECT vec_id,
                floor(list_sum([(CAST(xf[i] AS DOUBLE) / $f.0 - mu.mu[i])
                                * vf.v[i]
@@ -1398,8 +1467,46 @@ object SimilarityQueries {
         FROM e, vf, mu ORDER BY vec_id"""
   }
 
+  /** q_embed_pca2: the base chain, then λ₁ = v₁ᵀCv₁ from the snapped
+    * v₁ (same nested index-ordered folds as the engine), Hotelling
+    * deflation cm − λ·v₁v₁ᵀ as one per-entry expression, the second
+    * snapped chain over the deflated matrix, and both projections. */
+  private def pca2Oracle: String = {
+    val (dd, f) = (PcaDim, PcaF)
+    s"""WITH $pcaBaseCtes,
+        cv AS (SELECT [list_sum([cm[i][j] * v[j]
+                                 for j in range(1, ${dd + 1})])
+                       for i in range(1, ${dd + 1})] AS cv
+               FROM covm, vf),
+        lam AS (SELECT list_sum([cv.cv[i] * vf.v[i]
+                                 for i in range(1, ${dd + 1})]) AS lam
+                FROM cv, vf),
+        covm2 AS MATERIALIZED (SELECT
+                 [[cm[i][j] - lam.lam * vf.v[i] * vf.v[j]
+                   for j in range(1, ${dd + 1})]
+                  for i in range(1, ${dd + 1})] AS cm
+               FROM covm, vf, lam),
+        dw0 AS (SELECT [CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END
+                        for i in range(1, ${dd + 1})] AS v),
+        ${pcaStepCtes("covm2", "d")},
+        vf2 AS (SELECT CASE WHEN v[1] < 0
+                            THEN list_transform(v, x -> -x) ELSE v END AS v
+                FROM dw$PcaIters)
+        SELECT vec_id,
+               floor(list_sum([(CAST(xf[i] AS DOUBLE) / $f.0 - mu.mu[i])
+                               * vf.v[i]
+                               for i in range(1, ${dd + 1})])
+                     * 1.0e6 + 0.5) / 1.0e6 AS pc1,
+               floor(list_sum([(CAST(xf[i] AS DOUBLE) / $f.0 - mu.mu[i])
+                               * vf2.v[i]
+                               for i in range(1, ${dd + 1})])
+                     * 1.0e6 + 0.5) / 1.0e6 AS pc2
+        FROM e, vf, vf2, mu ORDER BY vec_id"""
+  }
+
   def oracles: Map[String, String] = Map(
     "q_embed_pca" -> pcaOracle,
+    "q_embed_pca2" -> pca2Oracle,
     // same md5-parity sign matrix, i-ascending fold, exact /sqrt(k)
     "q_embed_jl" ->
       s"""WITH e AS (SELECT vec_id,
