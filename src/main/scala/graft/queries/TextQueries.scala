@@ -43,6 +43,56 @@ object TextQueries {
   private val PlagMaxDf = 10
   private val PlagMinShared = 2
 
+  /** q_text_classifier knobs: hashed bag-of-words bucket count, batch
+    * epochs, and the sources labeled "curated" (+1). */
+  private val ClfB = 256
+  private val ClfEpochs = 8
+  private val ClfPos = Seq("src0", "src1", "src2", "src3")
+
+  /** q_text_classifier's engine body over any (doc_id, source, text)
+    * frame — exposed for PerceptronSpec's constructed-corpus run.
+    * Batch perceptron: per epoch every misclassified document (margin
+    * y·(w·x) ≤ 0) contributes y·x to the weight update, so each epoch
+    * is ONE window pass over the checkpointed feature frame + one
+    * ≤ClfB-row partial-agg'd gradient that the driver folds into the
+    * weight vector (the N-counter contract — fixed-size aggregate,
+    * corpus never collected). Every quantity is an exact integer:
+    * counts, margins, gradients, weights, scores — bit-equal
+    * cross-engine with no float contract at all. Unordered. */
+  private[graft] def perceptronTrain(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = graft.plans.Lineage.scratchCheckpoint(docs
+      .select(col("doc_id"),
+        when(col("source").isin(ClfPos: _*), lit(1L)).otherwise(lit(-1L))
+          .as("y"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("y"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % ClfB).as("b"))
+      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("c")))
+    val w = Array.fill(ClfB)(0L)
+    val byDoc = Window.partitionBy("doc_id")
+    for (_ <- 1 to ClfEpochs) {
+      val wCol = typedLit(w.toSeq)
+      feat
+        .withColumn("m", col("y") *
+          sum(element_at(wCol, (col("b") + 1).cast("int")) * col("c"))
+            .over(byDoc))
+        .filter(col("m") <= 0)
+        .groupBy("b").agg(sum(col("y") * col("c")).as("g"))
+        .collect()
+        .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+    }
+    val wCol = typedLit(w.toSeq)
+    feat
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(element_at(wCol, (col("b") + 1).cast("int")) * col("c"))
+        .as("score"))
+      .select(col("doc_id"), col("y").as("label"), col("score"),
+        (col("score") > 0).as("pred_curated"))
+  }
+
   /** The composite quality score of q_text_quality — length saturation
     * + stopword density + type/token ratio, all per-row arithmetic on
     * exact integers (bit-equal cross-engine, see the q_text_quality
@@ -917,6 +967,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-classifier TRAINING inside the engine — the GPT-3/
+    // CCNet-style curated-vs-crawl filter (Brown'20 App. A), here the
+    // batch perceptron over hashed bag-of-words so the whole training
+    // loop is EXACT INTEGER arithmetic: no learning rate, no sigmoid,
+    // no cross-engine libm contract — counts, margins, gradients,
+    // weights and scores are all longs, bit-equal by construction (the
+    // PCA/logprob float discipline made unnecessary). Labels: the
+    // ClfPos sources stand in for the curated corpus. Scale: the
+    // feature frame (doc, bucket, count ≤ ClfB rows/doc) checkpoints
+    // once; each of the ClfEpochs epochs is one window pass + one
+    // ≤ClfB-row gradient agg; weights ride as a 256-long literal.
+    // Accuracy on the driver corpus is incidental (synthetic text);
+    // PerceptronSpec proves the learner on a separable constructed
+    // corpus and pins partitioning-invariance.
+    "q_text_classifier" -> ((s, d) =>
+      perceptronTrain(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
     // Plagiarism-detection pairs over WINNOWED fingerprints — the MOSS
     // pipeline (Schleimer'03 §4) downstream of q_text_fingerprint's
     // selection: documents sharing ≥ PlagMinShared selected
@@ -1398,12 +1465,56 @@ object TextQueries {
        LEFT JOIN ov ON ov.doc_id = d.doc_id
        WHERE d.source <> 'src0' ORDER BY d.doc_id"""
 
+  /** q_text_classifier's oracle: ClfEpochs unrolled epochs, weights as
+    * a ClfB-row (b, w) table per epoch — margin join, misclassified
+    * gradient agg, LEFT-JOIN update; every value an exact integer. */
+  private def classifierOracle: String = {
+    val pos = ClfPos.map(x => s"'$x'").mkString(", ")
+    val epochs = (1 to ClfEpochs).map { k =>
+      s"""m$k AS (SELECT f.doc_id, any_value(f.y) AS y,
+                 SUM(w${k - 1}.w * f.c) AS dot
+               FROM feat f JOIN w${k - 1} ON w${k - 1}.b = f.b
+               GROUP BY f.doc_id),
+        g$k AS (SELECT f.b, SUM(f.y * f.c) AS g
+               FROM feat f JOIN m$k ON m$k.doc_id = f.doc_id
+               WHERE m$k.y * m$k.dot <= 0
+               GROUP BY f.b),
+        w$k AS MATERIALIZED (SELECT w${k - 1}.b,
+                 CAST(w${k - 1}.w + COALESCE(g$k.g, 0) AS BIGINT) AS w
+               FROM w${k - 1} LEFT JOIN g$k ON g$k.b = w${k - 1}.b)"""
+    }.mkString(",\n        ")
+    s"""WITH feat AS MATERIALIZED (
+        SELECT doc_id, y, b, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                CAST(CASE WHEN source IN ($pos) THEN 1 ELSE -1 END
+                  AS BIGINT) AS y,
+                CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                  % $ClfB AS b
+              FROM (SELECT doc_id, source,
+                      unnest(string_split_regex(text, '\\s+')) AS tok
+                    FROM documents)
+              WHERE tok <> '')
+        GROUP BY 1, 2, 3),
+      w0 AS (SELECT i.range AS b, CAST(0 AS BIGINT) AS w
+             FROM range(0, $ClfB) i),
+      $epochs
+      SELECT f.doc_id, any_value(f.y) AS label,
+             CAST(SUM(w$ClfEpochs.w * f.c) AS BIGINT) AS score,
+             CAST(SUM(w$ClfEpochs.w * f.c) AS BIGINT) > 0 AS pred_curated
+      FROM feat f JOIN w$ClfEpochs ON w$ClfEpochs.b = f.b
+      GROUP BY f.doc_id ORDER BY f.doc_id"""
+  }
+
   def oracles: Map[String, String] = {
     val en = sqlStopList(StopLists.head._2)
     val langHits = StopLists.map { case (lang, words) =>
       s"len(list_filter(toks, t -> list_contains(${sqlStopList(words)}, t))) AS ${lang}_hits"
     }.mkString(",\n           ")
     Map(
+      // the perceptron epochs unrolled relationally: weights as a
+      // ClfB-row (b, w) table per epoch, margins/gradients/updates the
+      // same exact-integer expressions the engine folds
+      "q_text_classifier" -> classifierOracle,
       "q_text_tokens_bpe" ->
         s"""WITH b AS (SELECT doc_id, text, $bpeSymbolsSql AS sym
                        FROM documents)
