@@ -967,6 +967,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Overlapping document chunking — the RAG-indexing / context-prep
+    // step (fixed window, fixed stride, tail chunk kept): every doc
+    // becomes ⌈max(n−64,0)/48⌉+1 chunks of ≤ 64 tokens starting every
+    // 48 — all INTEGER window arithmetic (no float chunk counts), one
+    // narrow codegen pass, no shuffle but the presentation sort, at
+    // any corpus size. chunk_md5 gives the downstream chunk identity
+    // (dedup/index key); slice clamps the tail identically on both
+    // engines.
+    "q_text_chunk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), "\\s+"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (greatest(size(toks) - 64, 0) + 47) " +
+            "div 48), k -> slice(toks, k * 48 + 1, 64))"))
+          .as(Seq("chunk_id", "ctoks")))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ctoks")).cast("long").as("n_tok"),
+          md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Quality-classifier TRAINING inside the engine — the GPT-3/
     // CCNet-style curated-vs-crawl filter (Brown'20 App. A), here the
     // batch perceptron over hashed bag-of-words so the whole training
@@ -1515,6 +1536,18 @@ object TextQueries {
       // ClfB-row (b, w) table per epoch, margins/gradients/updates the
       // same exact-integer expressions the engine folds
       "q_text_classifier" -> classifierOracle,
+      // same integer window arithmetic; DuckDB's inclusive slice
+      // toks[a : a+63] is the 64-length clamped window
+      "q_text_chunk" ->
+        """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                      FROM documents),
+            c AS (SELECT doc_id, u.k AS chunk_id,
+                    toks[u.k * 48 + 1 : u.k * 48 + 64] AS ctoks
+                  FROM t, UNNEST(range(0,
+                    ((GREATEST(len(toks) - 64, 0) + 47) // 48) + 1)) AS u(k))
+           SELECT doc_id, chunk_id, CAST(len(ctoks) AS BIGINT) AS n_tok,
+                  md5(array_to_string(ctoks, ' ')) AS chunk_md5
+           FROM c ORDER BY doc_id, chunk_id""",
       "q_text_tokens_bpe" ->
         s"""WITH b AS (SELECT doc_id, text, $bpeSymbolsSql AS sym
                        FROM documents)
