@@ -130,9 +130,7 @@ object DedupQueries {
     "q_dedup_split" -> ((s, d) =>
       lshClusters(s, d)
         .select(col("doc_id"), col("canonical_id"),
-          when(conv(substring(md5(col("canonical_id").cast("string")), 1, 8),
-              16, 10).cast("long") % 10 === 0, lit("test"))
-            .otherwise(lit("train")).as("split"))
+          splitCol(col("canonical_id")).as("split"))
         .orderBy(col("doc_id"))),
 
     // SimHash 32-bit signatures (term-frequency-weighted bit votes).
@@ -301,6 +299,23 @@ object DedupQueries {
       fin
     }
   }
+
+  /** THE leakage-safe split law — one definition for every consumer
+    * (q_dedup_split, q_text_curate, both oracles): md5 of the
+    * canonical id's decimal string, first 8 hex chars, mod 10;
+    * bucket 0 → test, else train. */
+  private[graft] def splitCol(canon: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(conv(substring(md5(canon.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10 === 0, lit("test")).otherwise(lit("train"))
+
+  /** [[splitCol]] as the identical DuckDB expression over a canonical
+    * id SQL fragment. */
+  private[graft] def splitSql(canonExpr: String): String =
+    s"""CASE WHEN CAST(('0x' ||
+              substring(md5(CAST($canonExpr AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10 = 0
+        THEN 'test' ELSE 'train' END"""
 
   private val clusterCache =
     scala.collection.concurrent.TrieMap
@@ -806,10 +821,7 @@ object DedupQueries {
     "q_dedup_split" ->
       s"""$clusterCompCtes
          SELECT c.page AS doc_id, c.canonical_id,
-                CASE WHEN CAST(('0x' ||
-                       substring(md5(CAST(c.canonical_id AS VARCHAR)), 1, 8))
-                       AS BIGINT) % 10 = 0
-                     THEN 'test' ELSE 'train' END AS split
+                ${splitSql("c.canonical_id")} AS split
          FROM comp c ORDER BY doc_id""",
     "q_dedup_source_sketch" ->
       s"""WITH t AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks

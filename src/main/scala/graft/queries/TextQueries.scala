@@ -153,10 +153,19 @@ object TextQueries {
         coalesce(col("pred_dist"), lit(0L)).as("pred_dist"))
   }
 
+  private val qcCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   /** The q_text_quality_cut engine body, shared with q_text_curate:
     * (doc_id, source, quality, kept) with the quantized-score p75
-    * per-source cut (see the gate comment for the float contract). */
-  private def qualityCutFrame(s: SparkSession, d: String): DataFrame = {
+    * per-source cut (see the gate comment for the float contract).
+    * MEMOIZED per (session, dir) — both consumers read one scored
+    * checkpoint and one percentile run (the lshClusters pattern). */
+  private def qualityCutFrame(s: SparkSession, d: String): DataFrame =
+    graft.plans.Lineage.memo(qcCache, s, d)(qualityCutBuild(s, d))
+
+  private def qualityCutBuild(s: SparkSession, d: String): DataFrame = {
     val scored = graft.plans.Lineage.scratchCheckpoint(
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
@@ -364,9 +373,7 @@ object TextQueries {
           Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("canonical_id"),
           col("quality"), col("kept"),
-          when(conv(substring(md5(col("canonical_id").cast("string")),
-              1, 8), 16, 10).cast("long") % 10 === 0, lit("test"))
-            .otherwise(lit("train")).as("split"),
+          DedupQueries.splitCol(col("canonical_id")).as("split"),
           (col("kept") && col("doc_id") === col("canonical_id"))
             .as("selected"))
         .orderBy(col("doc_id"))
@@ -1638,10 +1645,7 @@ object TextQueries {
                    FROM qs GROUP BY source)
             SELECT q.doc_id, q.source, c.canonical_id, q.quality,
                    q.qq > cc.cut AS kept,
-                   CASE WHEN CAST(('0x' ||
-                          substring(md5(CAST(c.canonical_id AS VARCHAR)),
-                                    1, 8)) AS BIGINT) % 10 = 0
-                        THEN 'test' ELSE 'train' END AS split,
+                   ${DedupQueries.splitSql("c.canonical_id")} AS split,
                    (q.qq > cc.cut) AND q.doc_id = c.canonical_id
                      AS selected
             FROM qs q JOIN comp c ON c.page = q.doc_id
