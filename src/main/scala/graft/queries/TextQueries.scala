@@ -1027,19 +1027,21 @@ object TextQueries {
     // not a shortcut. All counts exact ints; the one division is the
     // same IEEE op both engines.
     "q_text_plagiarism" -> ((s, d) => {
-      // the size filter goes ABOVE the cache boundary: pushed into the
-      // projection it would substitute the winnow expression into the
-      // predicate, where the slice lambda re-derives the ENTIRE shingle
-      // array per window — O(len²) md5 per doc (observed: one task
-      // pinned for 10+ min at sf0.1; winnowExpr's scaladoc warns about
-      // exactly this re-derivation)
-      val fpsAll = Tables.documents(s, d)
-        .withColumn("hs", expr(TextFunctions.shingleHashesExpr("text", 8)))
-        .select(col("doc_id"),
-          expr(TextFunctions.winnowExpr("hs", 4)).as("fps"))
-        .persist()
-      val fps = fpsAll.filter(size(col("fps")) > 0)
-      val post = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      // materialize the FLAT postings (doc_id, fp) — not the fps
+      // arrays: the winnow pass runs exactly once feeding the explode
+      // (hs stays a bound reference under the generator, so the slice
+      // lambda never re-derives the shingle array — the O(len²)
+      // pushdown trap an earlier filter-below-cache form hit), and
+      // every consumer reads the checkpointed long pairs instead of
+      // deserializing array-typed cache batches (array cache measured
+      // ~4.7 s/rep at sf0.1; this form ~1 s). n_fp = the per-doc
+      // posting count (fps is distinct per doc), so the arrays are
+      // never needed again.
+      val post = graft.plans.Lineage.scratchCheckpoint(
+        Tables.documents(s, d)
+          .withColumn("hs", expr(TextFunctions.shingleHashesExpr("text", 8)))
+          .select(col("doc_id"),
+            explode(expr(TextFunctions.winnowExpr("hs", 4))).as("fp")))
       val keep = post.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= PlagMaxDf)
       val p2 = post.join(keep.select("fp"), Seq("fp"), "left_semi")
@@ -1048,17 +1050,16 @@ object TextQueries {
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(count(lit(1)).as("shared_fp"))
         .filter(col("shared_fp") >= PlagMinShared)
-      val sizes = fps.select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"))
-      val out = graft.plans.Lineage.scratchCheckpoint(pairs
+      val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      pairs
         .join(sizes.select(col("doc_id").as("a"), col("n_fp").as("n_fp_a")), "a")
         .join(sizes.select(col("doc_id").as("b"), col("n_fp").as("n_fp_b")), "b")
         .select(col("a"), col("b"), col("shared_fp"),
           col("n_fp_a"), col("n_fp_b"),
           (col("shared_fp").cast("double") /
             least(col("n_fp_a"), col("n_fp_b")).cast("double"))
-            .as("overlap")))
-      fpsAll.unpersist(blocking = true)
-      out.orderBy(col("a"), col("b"))
+            .as("overlap"))
+        .orderBy(col("a"), col("b"))
     }),
 
     // Heavy hitters via a count-min sketch ([[graft.functions.CountMinAgg]]
