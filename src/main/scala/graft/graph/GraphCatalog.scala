@@ -54,7 +54,7 @@ object GraphCatalog {
     * so the stale-session sweep lives in these two. */
   def tpch(spark: SparkSession, dir: String): LinkGraphData = {
     sweepStopped()
-    graphs.getOrElseUpdate((spark, dir), {
+    graft.plans.Lineage.once(graphs, (spark, dir))({
       val pages = LinkGraph.tpchPages(spark, dir)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val edges = LinkGraph
@@ -69,7 +69,7 @@ object GraphCatalog {
     * computed once per (session, dir, iters), persisted. */
   def tpchRanks(spark: SparkSession, dir: String,
                 iters: Int = PageRank.DefaultIters): DataFrame =
-    ranks.getOrElseUpdate((spark, dir, iters), {
+    graft.plans.Lineage.once(ranks, (spark, dir, iters))({
       val g = tpch(spark, dir)
       val r = PageRank.run(g.pages, g.edges, iters)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -86,7 +86,7 @@ object GraphCatalog {
     * a 1-row scalar aggregate (the same driver-side role as the N
     * counter), not a data collect. */
   def tpchPersonalizedRanks(spark: SparkSession, dir: String): DataFrame =
-    pranks.getOrElseUpdate((spark, dir), {
+    graft.plans.Lineage.once(pranks, (spark, dir))({
       val g = tpch(spark, dir)
       val src = g.edges
         .agg(org.apache.spark.sql.functions.min("src").as("s"))
@@ -107,7 +107,7 @@ object GraphCatalog {
     * aggregation over orders⋈lineitem, so it shares only the cached
     * vertex set with the unweighted graph. */
   def tpchWeightedRanks(spark: SparkSession, dir: String): DataFrame =
-    wranks.getOrElseUpdate((spark, dir), {
+    graft.plans.Lineage.once(wranks, (spark, dir))({
       val g = tpch(spark, dir)
       val we = LinkGraph
         .removeRedLinks(LinkGraph.tpchWeightedEdges(spark, dir), g.pages)
@@ -126,7 +126,7 @@ object GraphCatalog {
     * persisted. [[Hits.run]] ends with an eager localCheckpoint, so the
     * extra persist here only pins the small result blocks. */
   def tpchHits(spark: SparkSession, dir: String): DataFrame =
-    hitsCache.getOrElseUpdate((spark, dir), {
+    graft.plans.Lineage.once(hitsCache, (spark, dir))({
       val g = tpch(spark, dir)
       val r = Hits.run(g.pages, g.edges)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -143,7 +143,7 @@ object GraphCatalog {
     * filter, red-link semi-join — built once per (session, dir). */
   def wiki(spark: SparkSession, dir: String): LinkGraphData = {
     sweepStopped()
-    wikiGraphs.getOrElseUpdate((spark, dir), {
+    graft.plans.Lineage.once(wikiGraphs, (spark, dir))({
       import graft.wiki.{WikiDump, WikiIngest}
       // The parsed (title, text) pages feed BOTH the vertex set and the
       // edge extraction; without a pin the XML synthesis + from_xml parse
@@ -175,7 +175,7 @@ object GraphCatalog {
     * internal cache/unpersist, no Catalyst plan growth across the 8
     * iterations. */
   def wikiRanks(spark: SparkSession, dir: String): DataFrame =
-    wikiRankCache.getOrElseUpdate((spark, dir), {
+    graft.plans.Lineage.once(wikiRankCache, (spark, dir))({
       val g = wiki(spark, dir)
       val r = PageRankGraphX.run(g.pages, g.edges)
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -120,13 +120,28 @@ object Lineage {
   def memo[K](cache: TrieMap[(SparkSession, K), DataFrame],
               s: SparkSession, key: K)(build: => DataFrame): DataFrame = {
     sweepStoppedKeys(cache)(_._1)
-    cache.getOrElseUpdate((s, key), {
+    once(cache, (s, key)) {
       val a = build.persist(StorageLevel.MEMORY_AND_DISK)
       a.count()
       pin(a)
       a
-    })
+    }
   }
+
+  /** Build-at-most-once cache insert — the race-safe form of
+    * `TrieMap.getOrElseUpdate`, which may evaluate the by-name build
+    * MORE THAN ONCE under concurrent first access. A losing build in
+    * these catalogs is persisted / pinned (pins are irreversible by
+    * design) and then discarded — a permanent block-store leak. The
+    * fast path stays lock-free; only a key's FIRST build takes the
+    * cache lock (distinct keys of one cache serialize their first
+    * builds, fine for rare driver-side events). Every memoizing
+    * catalog (this file, GraphCatalog, WikiDump, the query caches)
+    * funnels through here. */
+  def once[K, V](cache: TrieMap[K, V], key: K)(build: => V): V =
+    cache.get(key).getOrElse(cache.synchronized {
+      cache.getOrElseUpdate(key, build)
+    })
 
   /** Exempt a memoized, session-shared result (a GraphCatalog entry)
     * from scratch freeing — permanently. Freeing a truncated-lineage

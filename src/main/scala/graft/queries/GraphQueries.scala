@@ -216,7 +216,7 @@ object GraphQueries {
   private def triangleCountsMemo(s: SparkSession, d: String,
       minQty: Int): DataFrame = {
     graft.plans.Lineage.sweepStoppedKeys(triCache)(_._1)
-    triCache.getOrElseUpdate((s, d, minQty), {
+    graft.plans.Lineage.once(triCache, (s, d, minQty))({
       val t = triangleCounts(coEdges(s, d, minQty))
       graft.plans.Lineage.pin(t)
       t

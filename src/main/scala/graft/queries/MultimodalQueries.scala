@@ -198,12 +198,18 @@ object MultimodalQueries {
   /** The q_mm_phash pair derivation down to `hd(a, b, hamming)` —
     * shared by the q_mm_phash and q_mm_phash_cluster oracles (mirrors
     * the engine sharing one memoized [[phashPairs]] run). The `b` CTE
-    * is also the hashed-asset vertex universe for the closure. */
+    * is also the hashed-asset vertex universe for the closure; its
+    * size filter is `strlen` (BYTES) to match the engine's
+    * `octet_length(payload) >= 256` exactly — `len(text)` counts
+    * characters and silently shrinks the universe on multi-byte UTF-8
+    * (the q_dedup_editdist lesson). The char-code indexing inside the
+    * CTEs still rides the family-wide ASCII contract (char ≡ byte on
+    * this corpus, stated at each decode gate). */
   private def phashPairCtes: String =
     """b AS (SELECT doc_id, len(text) // 32 AS h,
                     [unicode(substring(text, k, 1))
                      for k in range(1, (len(text) // 32) * 32 + 1)] AS c
-                    FROM documents WHERE len(text) >= 256),
+                    FROM documents WHERE strlen(text) >= 256),
           cells AS (SELECT doc_id,
                       [list_sum([c[((m // 8) * (h // 8) + t // 4) * 32
                                    + (m % 8) * 4 + (t % 4) + 1]

@@ -545,11 +545,11 @@ object SimilarityQueries {
   private def pcaSetup(s: SparkSession, d: String)
       : (DataFrame, Array[Array[Double]], Array[Double]) = {
     graft.plans.Lineage.sweepStoppedKeys(pcaCache)(_._1)
-    pcaCache.getOrElseUpdate((s, d), {
+    graft.plans.Lineage.once(pcaCache, (s, d)) {
       val r = pcaSetupBuild(s, d)
       graft.plans.Lineage.pin(r._1)
       r
-    })
+    }
   }
 
   private def pcaSetupBuild(s: SparkSession, d: String)
@@ -637,8 +637,15 @@ object SimilarityQueries {
     //     mean ride as 64-double literals).
     // Float contract: covariance doubles derive from IDENTICAL exact
     // integers via one fixed expression tree (n·P − S·S, then the same
-    // division chain; all moment integers < 2⁵³ here so even the
-    // int→double casts are exact); iteration folds run in index order
+    // division chain). The raw moments P, S and the per-cell difference
+    // n·P − S·S DO exceed 2⁵³ as the corpus grows (n·P ~ n²·2⁴⁰), so
+    // the int→double cast is NOT exact there; cross-engine equality
+    // instead rests on both casts being CORRECTLY ROUNDED — Scala
+    // BigInt.toDouble (java.math.BigInteger.doubleValue, correctly
+    // rounded since JDK 8, pinned above 2⁵³ by PcaMomentSpec) and
+    // DuckDB HUGEINT→DOUBLE (verified empirically by this gate at
+    // every SF). Same exact integers + correctly rounded casts ⇒ the
+    // same double on both engines; iteration folds run in index order
     // on both engines and every normalized component snaps to the 1e-9
     // grid per step; sign canonicalized on the snapped first component;
     // projection folds index-ordered, presented on the 1e-6 grid.
@@ -1054,7 +1061,12 @@ object SimilarityQueries {
     // the same left-assoc double expression both engines evaluate, and
     // rounding is half-away-from-zero in both; ±max elements hit ±127
     // exactly (127·m/m). All-zero vectors (m = 0) code to all-zeros
-    // instead of dividing by zero.
+    // instead of dividing by zero. The scale presents on the 1e-6
+    // FLOOR grid (floor(m·1e6 + 0.5)/1e6, m ≥ 0) — the HllShared/est2
+    // convention — because Spark's round() is BigDecimal half-up while
+    // DuckDB's is platform rint, and the two diverged on a real value
+    // once (689.355 at 2dp); the floor form is order-identical IEEE
+    // arithmetic on both engines.
     "q_embed_quantize" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
@@ -1065,7 +1077,7 @@ object SimilarityQueries {
             "cast(round(cast(127 as double) * cast(x as double) / m) as int)))")
             .as("codes"))
         .select(col("vec_id"),
-          round(col("m"), 6).as("scale"),
+          (floor(col("m") * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("scale"),
           size(col("codes")).cast("long").as("n_dims"),
           expr("aggregate(codes, 0L, (a, x) -> a + x)").as("sum_codes"),
           expr("aggregate(codes, 0L, (a, x) -> a + abs(x))").as("sum_abs"),
@@ -1766,7 +1778,8 @@ object SimilarityQueries {
     },
     // same float→double widening, same left-assoc 127·x/m double
     // expression, same half-away-from-zero rounding; integer sums are
-    // order-free so the list_sum needs no ordered fold
+    // order-free so the list_sum needs no ordered fold; scale on the
+    // same 1e-6 floor grid as the engine (m ≥ 0)
     "q_embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding,
                       list_max(list_transform(embedding,
@@ -1779,7 +1792,7 @@ object SimilarityQueries {
                                          CAST(x AS DOUBLE) / m) AS INT)
                          END) AS codes
                 FROM e)
-          SELECT vec_id, round(m, 6) AS scale,
+          SELECT vec_id, floor(m * 1.0e6 + 0.5) / 1.0e6 AS scale,
                  CAST(len(codes) AS BIGINT) AS n_dims,
                  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
                  CAST(list_sum(list_transform(codes, x -> abs(x)))

@@ -1044,7 +1044,13 @@ object TextQueries {
             explode(expr(TextFunctions.winnowExpr("hs", 4))).as("fp")))
       val keep = post.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= PlagMaxDf)
-      val p2 = post.join(keep.select("fp"), Seq("fp"), "left_semi")
+      // checkpointed BEFORE the self-join (the SURVEY §8 self-join
+      // rule, applied to post above but previously missed here):
+      // without it Catalyst plans TWO copies of the keep-agg +
+      // semi-join — a full postings aggregation duplicated at any
+      // scale. PlanShapeSpec pins the single-agg shape.
+      val p2 = graft.plans.Lineage.scratchCheckpoint(
+        post.join(keep.select("fp"), Seq("fp"), "left_semi"))
       val pairs = p2.as("x").join(p2.as("y"),
           col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

@@ -86,7 +86,7 @@ object WikiDump {
     // stale-session sweep (ADVICE-r8 feedCache leak class); the temp
     // dirs themselves are OS-cleaned, only the map entry pins memory
     graft.plans.Lineage.sweepStoppedKeys(dumps)(_._1)
-    dumps.getOrElseUpdate((spark, dir), {
+    graft.plans.Lineage.once(dumps, (spark, dir))({
       val out = java.nio.file.Files
         .createTempDirectory("graft-wikidump").toString
       xml(spark, dir).write.mode("overwrite").text(out)
