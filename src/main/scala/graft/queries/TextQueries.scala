@@ -93,10 +93,6 @@ object TextQueries {
         (col("score") > 0).as("pred_curated"))
   }
 
-  /** The composite quality score of q_text_quality — length saturation
-    * + stopword density + type/token ratio, all per-row arithmetic on
-    * exact integers (bit-equal cross-engine, see the q_text_quality
-    * rounding note). Shared with the per-source percentile cut. */
   /** q_text_langid_ngram's engine body over any (doc_id, lang, text)
     * frame — exposed for LangidNgramSpec, which feeds a constructed
     * corpus with REAL n-gram signal (the driver corpus's lang labels
@@ -172,13 +168,101 @@ object TextQueries {
           qualityScore.as("quality"))
         .withColumn("qq",
           floor(col("quality") * lit(1.0e6) + lit(0.5)) / lit(1.0e6)))
-    val cuts = scored.groupBy("source")
-      .agg(expr("percentile(qq, cast(3 as double)/4)").as("cut"))
-    scored.join(broadcast(cuts), Seq("source"))
+    scored.join(broadcast(narrowedP75(scored)), Seq("source"))
       .select(col("doc_id"), col("source"), col("quality"),
         (col("qq") > col("cut")).as("kept"))
   }
 
+  /** Histogram-narrowing bins for [[narrowedP75]] — also the
+    * PlanShapeSpec row bound: ≤ QcBins rows per source cross the
+    * first percentile shuffle. */
+  private[graft] val QcBins = 128
+
+  /** EXACT per-source p75 over the 1e-6-quantized `qq` column via
+    * 128-bin histogram NARROWING — bit-equal to Spark's
+    * `percentile(qq, 3/4)` (NarrowedPercentileSpec pins equality) but
+    * never buffering a source's value set on one reducer, which is
+    * exactly how the exact aggregate dies at scale (one popular
+    * source's scores = that source's row count on a single task; the
+    * r13 `weak`). Three bounded passes over the checkpointed scores:
+    *
+    *   1. per-source (lo, hi, n) — a 3-value agg, broadcast back;
+    *   2. the [[QcBins]]-bin equal-width histogram
+    *      (q_percentiles_sketch's binning rule, partial-agg'd: ≤ 128
+    *      rows per source cross the shuffle at ANY corpus size) —
+    *      a per-source cumulative scan finds the one bin holding each
+    *      of the two order-statistic ranks kLo = ⌊pos⌋+1,
+    *      kHi = ⌈pos⌉+1 (pos = 0.75·(n−1), Spark Percentile's
+    *      indexing);
+    *   3. distinct-`qq` counts RESTRICTED to those ≤ 2 bins per
+    *      source (a broadcast semi-filter) — the quantized grid
+    *      bounds this at ⌈(hi−lo)·1e6/128⌉+1 rows per selected bin
+    *      regardless of row count; offset by the bin's cum_before,
+    *      the running count yields the exact order statistics vLo,
+    *      vHi, and cut = vLo + (pos−⌊pos⌋)·(vHi−vLo) — the identical
+    *      IEEE expression Spark's exact percentile evaluates, on the
+    *      identical grid values, so the cut (and thus every strict->
+    *      keep flag, per the gate's ulp contract) is unchanged.
+    *
+    * The sketch here is a SEARCH structure, not an estimator — unlike
+    * q_percentiles_sketch's within-bin interpolation, narrowing
+    * resolves the true order statistics, so no accuracy knob exists
+    * to mis-set. Degenerate hi = lo sources collapse to bin 0 and
+    * cut = the single value (ties drop, matching exact percentile). */
+  private[graft] def narrowedP75(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = scored.groupBy("source")
+      .agg(min("qq").as("lo"), max("qq").as("hi"), count(lit(1)).as("n"))
+    val binCol = when(col("hi") === col("lo"), lit(0))
+      .otherwise(least(greatest(floor((col("qq") - col("lo"))
+        / (col("hi") - col("lo")) * QcBins), lit(0)), lit(QcBins - 1)))
+      .cast("int")
+    val ranks = bounds
+      .withColumn("pos", lit(0.75) * (col("n") - 1).cast("double"))
+      .withColumn("kLo", floor(col("pos")).cast("long") + 1)
+      .withColumn("kHi", ceil(col("pos")).cast("long") + 1)
+    val hist = scored.join(broadcast(bounds.select("source", "lo", "hi")),
+        Seq("source"))
+      .withColumn("bin", binCol)
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val wBin = Window.partitionBy("source").orderBy("bin")
+    val targetBins = hist
+      .withColumn("cum", sum("c").over(wBin))
+      .withColumn("cum_before", col("cum") - col("c"))
+      .join(broadcast(ranks.select("source", "kLo", "kHi")), Seq("source"))
+      .filter((col("cum_before") < col("kLo") && col("kLo") <= col("cum"))
+        || (col("cum_before") < col("kHi") && col("kHi") <= col("cum")))
+      .select(col("source"), col("bin"), col("cum_before"))
+    val wQq = Window.partitionBy("source", "bin").orderBy("qq")
+    scored.join(broadcast(bounds.select("source", "lo", "hi")), Seq("source"))
+      .withColumn("bin", binCol)
+      .join(broadcast(targetBins), Seq("source", "bin"))
+      .groupBy("source", "bin", "cum_before", "qq")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("gcum", col("cum_before") + sum("c").over(wQq))
+      .join(broadcast(ranks.select("source", "pos", "kLo", "kHi")),
+        Seq("source"))
+      .groupBy("source", "pos")
+      .agg(min(when(col("gcum") >= col("kLo"), col("qq"))).as("vLo"),
+        min(when(col("gcum") >= col("kHi"), col("qq"))).as("vHi"))
+      // Spark PercentileBase.getPercentile VERBATIM (bit-equality is
+      // the spec'd contract, not an accident): integral position or
+      // equal neighbors return the lower value; otherwise
+      // (⌈pos⌉−pos)·vLo + (pos−⌊pos⌋)·vHi — NOT the algebraically
+      // equal lo + frac·(hi−lo), which differs in IEEE rounding.
+      .select(col("source"),
+        when(col("vHi") === col("vLo")
+          || ceil(col("pos")).cast("double") === floor(col("pos")),
+          col("vLo"))
+          .otherwise((ceil(col("pos")).cast("double") - col("pos")) * col("vLo")
+            + (col("pos") - floor(col("pos"))) * col("vHi"))
+          .as("cut"))
+  }
+
+  /** The composite quality score of q_text_quality — length saturation
+    * + stopword density + type/token ratio, all per-row arithmetic on
+    * exact integers (bit-equal cross-engine, see the q_text_quality
+    * rounding note). Shared with the per-source percentile cut. */
   private def qualityScore: Column = {
     val nTok = size(toks).cast("double")
     val stopHits = size(filter(toks,
@@ -334,11 +418,11 @@ object TextQueries {
     // domains and keeps every doc of strong ones): keep a doc iff its
     // quality clears its source's p75. Scale shape: the scored frame
     // is checkpointed (two consumers — the cut agg and the keep pass);
-    // the cut table is one row per source (broadcast back); exact
-    // per-group percentile buffers each group's values on one reducer,
-    // the documented exact-percentile trade — the histogram-sketch
-    // path (q_percentiles_sketch) is the drop-in when a single source
-    // outgrows a reducer.
+    // the cut table is one row per source (broadcast back); the p75
+    // itself comes from [[narrowedP75]] — EXACT histogram narrowing
+    // (≤ 128 rows per source cross the percentile shuffle), never the
+    // exact `percentile` aggregate, which buffers a source's whole
+    // value set on one reducer (the r13 `weak`).
     // Ulp contract (the q_text_ppl_bucket pattern): the comparison
     // runs over scores QUANTIZED to the 1e-6 grid (the order-identical
     // floor form — bit-equal since the raw scores are), so the

@@ -665,4 +665,136 @@ class PlanShapeSpec extends SparkSpec {
         s.take(2000))
     }
   }
+
+  test("quality-cut narrowedP75 plan: no exact percentile aggregate, " +
+      "partial-agg'd 128-bin histogram (≤ QcBins rows per source cross " +
+      "the percentile shuffle), broadcast-only joins") {
+    withStaticPlans {
+    import spark.implicits._
+    val scored = (1 to 4000)
+      .map(i => (s"src${i % 5}", (i % 997).toDouble / 997.0))
+      .toDF("source", "qq")
+    val p = graft.queries.TextQueries.narrowedP75(scored)
+      .queryExecution.executedPlan
+    val s = p.toString
+    // the r13 weak: Spark's exact percentile buffers a source's whole
+    // value set on one task — it must be GONE from the plan
+    assert(!s.toLowerCase.contains("percentile"),
+      s"narrowedP75: the exact percentile aggregate came back:\n${s.take(2000)}")
+    // the histogram pass is a partial+final count keyed (source, bin):
+    // per mapper at most QcBins rows per source cross its exchange,
+    // regardless of source row count — the scale argument
+    assert(s.linesIterator.exists(l => l.contains("partial_count")
+      && l.contains("bin")),
+      s"narrowedP75: no partial (source, bin) histogram aggregate:\n${s.take(2000)}")
+    // bounds / ranks / target-bin tables are per-source-tiny and must
+    // ride broadcasts — a sort-merge join would re-shuffle the corpus
+    assert(count(p) { case _: SortMergeJoinExec => () } == 0,
+      s"narrowedP75: a tiny side-table join stopped broadcasting:\n${s.take(2000)}")
+    assertNoAllPairs("narrowedP75", p)
+    }
+  }
+
+  test("q_text_plagiarism plan: the df-capped postings feed the pair " +
+      "self-join from ONE checkpoint — the keep-agg + semi-join never " +
+      "replan, and the join is fp-keyed, never cartesian") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_text_plagiarism")(spark, Dir)
+      .queryExecution.executedPlan
+    val s = p.toString
+    assertNoAllPairs("q_text_plagiarism", p)
+    // the df keep-agg ran ONCE, inside the eager checkpoint build —
+    // dropping the checkpoint would replant it TWICE here (both
+    // self-join sides), the duplicated postings aggregation of the
+    // r13 finding
+    assert(!s.linesIterator.exists(l => l.contains("HashAggregate")
+      && l.contains("keys=[fp")),
+      s"q_text_plagiarism: the keep-agg re-planned past the checkpoint:\n" +
+        s.take(2000))
+    // both pair sides read materialized postings (RDD scans of the
+    // checkpoint), not a re-derived winnow pipeline
+    assert(count(p) {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => ()
+    } == 0,
+      s"q_text_plagiarism: the corpus re-scanned past the checkpoints:\n" +
+        s.take(2000))
+    }
+  }
+
+  test("q_text_classifier epoch pass plan: one doc-keyed window + a " +
+      "ClfB-bounded gradient agg — the corpus never collects") {
+    withStaticPlans {
+    import org.apache.spark.sql.functions.{col, element_at, sum, typedLit}
+    import spark.implicits._
+    // replicate one epoch's plan over a constructed feature frame (the
+    // shipped loop collects ≤ ClfB gradient rows per epoch — the
+    // N-counter contract; here we pin the plan it collects FROM)
+    val feat = (1 to 512).map(i =>
+      (i.toLong % 64, if (i % 2 == 0) 1L else -1L, i.toLong % 256, 1L))
+      .toDF("doc_id", "y", "b", "c")
+    val wCol = typedLit(Array.fill(256)(0L).toSeq)
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val epoch = feat
+      .withColumn("m", col("y") *
+        sum(element_at(wCol, (col("b") + 1).cast("int")) * col("c"))
+          .over(byDoc))
+      .filter(col("m") <= 0)
+      .groupBy("b").agg(sum(col("y") * col("c")).as("g"))
+    val p = epoch.queryExecution.executedPlan
+    val s = p.toString
+    assert(count(p) { case _: WindowExec => () } == 1,
+      s"classifier epoch: expected exactly one margin window:\n${s.take(2000)}")
+    // the gradient agg is partial+final keyed b (≤ ClfB rows final) —
+    // never a corpus-sized collect
+    assert(s.linesIterator.exists(l => l.contains("partial_sum")
+      && l.contains("keys=[b")),
+      s"classifier epoch: gradient agg lost its partial phase:\n${s.take(2000)}")
+    assert(equiJoins(p) == 0 && shuffles(p) <= 2,
+      s"classifier epoch: expected window + gradient exchanges only:\n" +
+        s.take(2000))
+    }
+  }
+
+  test("q_embed_pca2 / q_embed_jl plans: one narrow projection pass — " +
+      "zero joins, zero corpus shuffles past the presentation sort") {
+    withStaticPlans {
+    for (name <- Seq("q_embed_pca2", "q_embed_jl")) {
+      val p = graft.SparkEntry.queries(name)(spark, Dir)
+        .queryExecution.executedPlan
+      assert(equiJoins(p) == 0,
+        s"$name: the literal-vector projection grew a join:\n" +
+          p.toString.take(2000))
+      assertNoAllPairs(name, p)
+      // rangepartitioning presentation sort only — the moment pass ran
+      // driver-side on fixed-size aggregates, never through a shuffle
+      val dataShuffles = p.collect {
+        case e: ShuffleExchangeExec
+          if !e.outputPartitioning.toString.contains("range") => e
+      }.size
+      assert(dataShuffles == 0,
+        s"$name: the projection pass shuffled corpus data:\n" +
+          p.toString.take(2000))
+    }
+    }
+  }
+
+  test("q_text_curate plan: composes two memoized artifacts with a " +
+      "single doc_id-keyed join — no new corpus-wide work") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_text_curate")(spark, Dir)
+      .queryExecution.executedPlan
+    val s = p.toString
+    assertNoAllPairs("q_text_curate", p)
+    assert(equiJoins(p) == 1,
+      s"q_text_curate: expected exactly the doc_id join of the two " +
+        s"memoized inputs, got ${equiJoins(p)}:\n${s.take(2000)}")
+    // both inputs are build-once artifacts (memoized persists /
+    // checkpoints) — the corpus itself must not re-scan here
+    assert(count(p) {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => ()
+    } == 0,
+      s"q_text_curate: the corpus re-scanned past the memoized inputs:\n" +
+        s.take(2000))
+    }
+  }
 }
