@@ -331,8 +331,73 @@ object TextQueries {
   /** BPE merge training (q_text_bpe_train): how many merge rules the
     * gate learns. Each rule is one pair-count shuffle over the
     * vocabulary-sized word-frequency table; the production path runs
-    * the same loop to 10k+ rules. Shared engine/oracle. */
-  private val BpeTrainK = 6
+    * the same loop to 10k+ rules. 64 exercises two full checkpoint
+    * cadences (the gate corpus supports 89 merges before pair
+    * exhaustion). Shared engine/oracle. */
+  private val BpeTrainK = 64
+
+  /** Chain-reset cadence for [[bpeTrain]]: every this-many merges the
+    * symbol frame is re-checkpointed, so iteration r replays at most
+    * (r mod 32) stacked `replace`s instead of r — per-merge cost is
+    * flat (the r13 `weak`: the unreset loop was O(K²) total replays
+    * and built a K-deep Catalyst projection, the exact plan shape
+    * BpeSymbols' native expression exists to avoid). The lazy-loop
+    * PageRank cadence pattern. */
+  private val BpeCkptEvery = 32
+
+  /** q_text_bpe_train's engine body over any (text) frame — exposed
+    * for TextBpeTrainSpec (replay equality, plan-depth cadence pin,
+    * learned-table application through BpeSymbolsUtil's
+    * alternate-table seam). `onSyms` observes the symbol frame after
+    * each merge, the PageRank `onIterationPlan` pattern. Semantics and
+    * scale notes live on the gate entry below. */
+  private[graft] def bpeTrain(docs: DataFrame, k: Int,
+      onSyms: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val SEP = BpeSep
+    val vocab = graft.plans.Lineage.scratchCheckpoint(
+      docs
+        .select(explode(toks).as("w")).filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .select(regexp_replace(col("w"), "(.)", "$1" + SEP).as("sym"),
+          col("c")))
+    val pairsOf =
+      "CASE WHEN size(ss) < 3 " +
+        "THEN cast(array() as array<struct<a:string,b:string>>) " +
+        "ELSE transform(sequence(1, size(ss) - 2), " +
+        "i -> struct(element_at(ss, i) AS a, element_at(ss, i + 1) AS b)) " +
+        "END"
+    var syms = vocab
+    val learned = (1 to k).map { r =>
+      val top = syms
+        .select(split(col("sym"), SEP).as("ss"), col("c"))
+        .select(explode(expr(pairsOf)).as("p"), col("c"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      // a corpus can exhaust its pairs (every word one symbol) before
+      // k rules — fail loudly rather than return a short table the
+      // oracle replay would disagree with (gate corpora have headroom:
+      // 89 merges at sf0.01)
+      require(top.nonEmpty,
+        s"BPE training exhausted all pairs at merge $r of $k")
+      val best = top(0)
+      val (a, b) = (best.getString(0), best.getString(1))
+      // narrow re-derivation on the checkpointed vocab: no new shuffle;
+      // the replace chain resets every BpeCkptEvery merges so its depth
+      // (= per-iteration replay work) never exceeds the cadence
+      syms = syms.select(
+        replace(col("sym"), lit(a + SEP + b + SEP), lit(a + b + SEP))
+          .as("sym"), col("c"))
+      if (r % BpeCkptEvery == 0 && r < k)
+        syms = graft.plans.Lineage.scratchCheckpoint(syms)
+      onSyms(r, syms)
+      (r, a, b, best.getLong(2))
+    }
+    learned.toDF("rk", "a", "b", "cnt").orderBy(col("rk"))
+  }
 
   /** All-pairs similarity join (q_text_allpairs): the frequent-feature
     * cut (features in more than ApMaxDf docs leave the space — the
@@ -520,40 +585,8 @@ object TextQueries {
     // counts use the textbook naive overlap count ("aaa" counts (a,a)
     // twice though one merge fires); argmax is total-ordered by
     // (count DESC, a, b) so the learned table is deterministic.
-    "q_text_bpe_train" -> ((s, d) => {
-      import s.implicits._
-      val SEP = BpeSep
-      val vocab = graft.plans.Lineage.scratchCheckpoint(
-        Tables.documents(s, d)
-          .select(explode(toks).as("w")).filter(col("w") =!= "")
-          .groupBy("w").agg(count(lit(1)).as("c"))
-          .select(regexp_replace(col("w"), "(.)", "$1" + SEP).as("sym"),
-            col("c")))
-      val pairsOf =
-        "CASE WHEN size(ss) < 3 " +
-          "THEN cast(array() as array<struct<a:string,b:string>>) " +
-          "ELSE transform(sequence(1, size(ss) - 2), " +
-          "i -> struct(element_at(ss, i) AS a, element_at(ss, i + 1) AS b)) " +
-          "END"
-      var syms = vocab
-      val learned = (1 to BpeTrainK).map { r =>
-        val best = syms
-          .select(split(col("sym"), SEP).as("ss"), col("c"))
-          .select(explode(expr(pairsOf)).as("p"), col("c"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("c")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()(0)
-        val (a, b) = (best.getString(0), best.getString(1))
-        // narrow re-derivation on the checkpointed vocab: iteration r
-        // stacks r replaces — constant work per word, no new shuffle
-        syms = syms.select(
-          replace(col("sym"), lit(a + SEP + b + SEP), lit(a + b + SEP))
-            .as("sym"), col("c"))
-        (r, a, b, best.getLong(2))
-      }
-      learned.toDF("rk", "a", "b", "cnt").orderBy(col("rk"))
-    }),
+    "q_text_bpe_train" -> ((s, d) =>
+      bpeTrain(Tables.documents(s, d), BpeTrainK)),
 
     // EXACT all-pairs similarity join (the SSJoin/APSS family —
     // Bayardo'07 "All-Pairs", Chaudhuri'06): every document pair whose

@@ -62,4 +62,45 @@ class TextBpeTrainSpec extends SparkSpec {
     assert(got.exists { case (a, b) => a.length > 1 || b.length > 1 },
       "no rule consumed an earlier merge — K too small to pin composition")
   }
+
+  test("per-merge cost is flat: the replace chain resets on the " +
+      "checkpoint cadence — iteration r replays at most (r mod 32) " +
+      "replaces, never r") {
+    val depths = scala.collection.mutable.Map.empty[Int, Int]
+    graft.queries.TextQueries.bpeTrain(Tables.documents(spark, dir), 40,
+      onSyms = (r, syms) => {
+        val plan = syms.queryExecution.analyzed.toString
+        depths(r) = "(?i)replace\\(".r.findAllIn(plan).length
+      })
+    // pre-cadence the chain grows one replace per merge…
+    assert(depths(31) == 31, s"expected depth 31 at merge 31, got ${depths(31)}")
+    // …then the 32-merge checkpoint truncates it (an RDD-scan leaf)…
+    assert(depths(32) == 0, s"chain not reset at the cadence: ${depths(32)}")
+    // …and growth restarts from the new leaf — the O(K²) replay of the
+    // unreset loop is structurally impossible
+    assert(depths(33) == 1 && depths(40) == 8,
+      s"post-cadence depths drifted: ${depths(33)}, ${depths(40)}")
+  }
+
+  test("the learned table loads through the alternate-table seam and " +
+      "tokenizes the corpus it was trained on") {
+    val learned = SparkEntry.queries("q_text_bpe_train")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    assert(learned.size == 64)
+    val texts = Tables.documents(spark, dir).select("text")
+      .limit(50).collect().map(_.getString(0))
+    val sep = graft.functions.BpeSymbolsUtil.Sep
+    texts.foreach { t =>
+      val syms = graft.functions.BpeSymbolsUtil.applyMerges(t, learned)
+      val n = syms.count(_ == sep)
+      val chars = t.count(_ != '\n')
+      // a 64-rule table trained ON this corpus must genuinely compress:
+      // strictly fewer symbols than characters on any multi-word doc
+      assert(n > 0 && n < chars,
+        s"learned table failed to compress: $n symbols / $chars chars")
+      // round-trip safety: stripping separators recovers the text
+      // modulo the regex-skipped newlines (the BpeSpec contract)
+      assert(syms.filter(_ != sep) == t.filter(_ != '\n'))
+    }
+  }
 }
