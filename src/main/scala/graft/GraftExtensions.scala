@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{BloomMightContain, BpeSymbols, CharEntropy,
-  CharShingleHashes, CosineSimilarity, DotProduct, MinHashSig, PqAdc,
-  SimHash32, SortedIntersectCount, WordShingleHashes}
+  CharGrams, CharShingleHashes, CosineSimilarity, DotProduct, MinHashSig,
+  PqAdc, SimHash32, SortedIntersectCount, WordShingleHashes}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -83,6 +83,7 @@ object GraftFunctions {
       WordShingleHashes.apply),
     withIntParam("char_shingle_hashes", classOf[CharShingleHashes],
       CharShingleHashes.apply),
+    withIntParam("char_grams", classOf[CharGrams], CharGrams.apply),
     withIntParam("minhash_sig", classOf[MinHashSig], MinHashSig.apply),
     unary("simhash32", classOf[SimHash32], SimHash32.apply),
     unary("char_entropy", classOf[CharEntropy], CharEntropy.apply),

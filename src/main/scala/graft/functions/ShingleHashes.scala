@@ -160,6 +160,40 @@ object ShingleHashUtil {
     sortedDistinct(hashes, nh)
   }
 
+  /** ALL character k-grams IN ORDER, duplicates kept — the gram stream
+    * a count-based model consumes (Cavnar-Trenkle language ID), vs
+    * [[charShingleHashes]]'s sorted-distinct hash sketch. Exactly
+    * `transform(sequence(1, length(t)-k+1), i -> substring(t, i, k))`
+    * (character semantics, matching Spark/DuckDB `substring`), but as
+    * one compiled loop instead of an interpreted per-element lambda —
+    * the same interpreted-HOF trade documented on the object scaladoc,
+    * which made the gram explode the engine's slowest text stage.
+    * Texts shorter than k chars → empty array. One `getBytes` + one
+    * boundary walk; each gram is an (offset, len) view of the shared
+    * byte array. */
+  def charGrams(text: UTF8String, k: Int): ArrayData = {
+    val n = text.numChars()
+    if (n < k) return new GenericArrayData(new Array[AnyRef](0))
+    val bytes = text.getBytes
+    val starts = new Array[Int](n + 1) // byte offset of each char
+    var i = 0
+    var off = 0
+    while (i < n) {
+      starts(i) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      i += 1
+    }
+    starts(n) = bytes.length
+    val out = new Array[AnyRef](n - k + 1)
+    i = 0
+    while (i < out.length) {
+      val o = starts(i)
+      out(i) = UTF8String.fromBytes(bytes, o, starts(i + k) - o)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct sorted hash32 of character k-gram shingles (character
     * semantics, matching Spark/DuckDB `substring`). Texts shorter than
     * k chars → empty array. Zero-copy: one `getBytes` per document, a
@@ -269,6 +303,31 @@ case class WordShingleHashes(child: Expression, w: Int)
       c => s"graft.functions.ShingleHashUtil.wordShingleHashes($c, $w)")
 
   override protected def withNewChildInternal(c: Expression): WordShingleHashes =
+    copy(child = c)
+}
+
+/** `char_grams(text, k)` → `array<string>` of ALL character k-grams in
+  * order, duplicates kept (the count-preserving gram stream; cited
+  * semantics on [[ShingleHashUtil.charGrams]]). */
+case class CharGrams(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"gram width must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_grams expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+
+  override def nullSafeEval(text: Any): Any =
+    ShingleHashUtil.charGrams(text.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashUtil.charGrams($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): CharGrams =
     copy(child = c)
 }
 

@@ -102,11 +102,14 @@ object TextQueries {
     * ints. Unordered. */
   private[graft] def langidNgram(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // native codegen'd gram stream ([[graft.functions.CharGrams]]) —
+    // bit-identical to the interpreted
+    // `transform(sequence(…), i -> substring(text, i, 3))` lambda it
+    // replaces, which was the slowest text stage (the round-3
+    // interpreted-HOF lesson applied to the one hot path it had missed)
+    graft.GraftFunctions.register(docs.sparkSession)
     val grams = docs.select(col("doc_id"), col("lang"),
-      explode(expr("IF(length(text) >= 3, " +
-        "transform(sequence(1, length(text) - 2), " +
-        "i -> substring(text, i, 3)), " +
-        "cast(array() as array<string>))")).as("g"))
+      explode(call_function("char_grams", col("text"), lit(3))).as("g"))
     // ONE corpus-scale explode + partial-agg'd shuffle; both profiles
     // derive from the aggregated (doc, lang, gram) counts (lang is
     // functionally determined by doc_id, so (doc_id, g) stays unique

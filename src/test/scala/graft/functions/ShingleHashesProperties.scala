@@ -60,4 +60,22 @@ class ShingleHashesProperties extends SparkSpec {
       .withColumn("got", call_function("char_shingle_hashes", col("text"), lit(4)))
     assert(df.filter(not(col("ref") === col("got"))).count() == 0)
   }
+
+  test("char_grams matches the interpreted transform/substring lambda " +
+      "on random unicode texts — order AND duplicates preserved") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    // the exact lambda q_text_langid_ngram shipped before the native
+    // expression — grams must be IDENTICAL element-for-element (counts
+    // feed the rank model, so dedup or reorder breaks the gate)
+    val df = (docs(60) ++ Seq("", "ab", "abc", "aaaa", "日本語で書く"))
+      .toDF("text")
+      .withColumn("ref", expr("IF(length(text) >= 3, " +
+        "transform(sequence(1, length(text) - 2), " +
+        "i -> substring(text, i, 3)), cast(array() as array<string>))"))
+      .withColumn("got", call_function("char_grams", col("text"), lit(3)))
+    assert(df.filter(not(col("ref") === col("got"))).count() == 0)
+    assert(df.count() == 65)
+  }
 }
