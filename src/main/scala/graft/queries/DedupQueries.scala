@@ -82,6 +82,40 @@ object DedupQueries {
     // only. Output: verified near-dup pairs (J ≥ 0.5).
     "q_dedup_lsh" -> ((s, d) => lshPairs(s, d).orderBy(col("a"), col("b"))),
 
+    // INCREMENTAL cross-dump dedup — the production deployment shape
+    // (every prior gate re-sketches the full corpus per session; a
+    // real pipeline sketches each dump once): the standing corpus
+    // lives as a persisted band-signature store bucketed on the LSH
+    // key ([[signatureStore]]), the "new dump" ([[IncNewSource]]) is
+    // sketched alone ([[incNewBanded]] — source pushdown, standing
+    // bytes never read), and verified pairs come from two bounded
+    // routes sharing one probe checkpoint: new⋈store (the store side
+    // joins WITHOUT a shuffle — bucket-co-located) and new⋈new (the
+    // dump self-join, small by construction). Identical sketch, bands,
+    // and exact-Jaccard verify as q_dedup_lsh, so the result equals
+    // the full-corpus pair list restricted to pairs touching the new
+    // dump — which is exactly what the oracle states. Scale: query
+    // cost is O(new dump) + collision-bounded probes; the 100 TB
+    // standing corpus contributes only bucket-local store reads.
+    "q_dedup_incremental" -> ((s, d) => {
+      val store = signatureStore(s, d)
+      val nb = incNewBanded(s, d)
+      val cross = nb.as("x").join(store.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+          Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
+      val within = nb.as("x").join(nb.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
+      cross.unionByName(within)
+        .groupBy("a", "b").agg(max("j").as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Near-dup CLUSTERING — the step an LLM pipeline actually ships:
     // pair lists don't deduplicate a corpus, canonical assignments do.
     // The verified LSH pairs ([[lshPairs]]) form an undirected graph;
@@ -398,6 +432,80 @@ object DedupQueries {
   private val lshCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
+
+  /** q_dedup_incremental: the source slice playing "the new dump".
+    * Chosen for gate non-vacuity — 6 verified pairs touch it at
+    * sf0.01, 26 at sf0.1 (the wiki-hub-page precedent: a gate slice
+    * must exercise both join routes, not return empty). */
+  private[graft] val IncNewSource = "src7"
+
+  /** Signature-store bucket count: the persisted band table is
+    * bucketed on (band, bkey), so the probe join never shuffles the
+    * standing corpus's signatures — only the (small) new dump's. */
+  private val IncBuckets = 8
+
+  private val sigStoreCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), String]
+  private val incNewCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  /** The banded signature frame (doc_id, hs, band, bkey) over any
+    * documents slice — the exact q_dedup_lsh sketch (same shingles,
+    * same 16-perm signatures, same 4×4 banding), factored out so the
+    * signature store build and the new-dump probe share ONE
+    * definition (a drifted sketch would silently miss pairs). */
+  private def bandedSigs(docs: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("hs",
+        call_function("word_shingle_hashes", col("toks"), lit(3)))
+      .withColumn("sig", call_function("minhash_sig", col("hs"), lit(16)))
+      .select(col("doc_id"), col("hs"),
+        posexplode(expr(Dedup.bandKeysExpr("sig", 4, 4))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+  }
+
+  /** PERSISTED bucketed MinHash signature store over the STANDING
+    * corpus (every source but [[IncNewSource]]) — the production
+    * cross-dump dedup artifact: sketch each dump ONCE, write its band
+    * signatures `bucketBy(band, bkey)`, and every later dump LSH-joins
+    * against the store without re-reading or re-sketching a byte of
+    * standing text (the BucketedJoinSpec zero-shuffle machinery; at
+    * 100 TB the store is the only copy of the corpus the dedup path
+    * ever touches again). Built once per (session, dir); in production
+    * the table outlives the session — the store IS the state. The `hs`
+    * sketch rides along so candidate verification stays exact without
+    * a corpus lookup. */
+  private[graft] def signatureStore(s: SparkSession, d: String): DataFrame = {
+    val name = graft.plans.Lineage.once(sigStoreCache, (s, d)) {
+      val tbl = "graft_sig_store_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      bandedSigs(Tables.documents(s, d)
+          .filter(col("source") =!= IncNewSource))
+        .write.bucketBy(IncBuckets, "band", "bkey").sortBy("band", "bkey")
+        .mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
+  /** The new dump's banded signatures — the ONLY sketching
+    * q_dedup_incremental performs at query time. The source filter
+    * reaches the parquet scan (pushdown — the standing corpus's bytes
+    * are never read), and the result is memoized so both join routes
+    * (vs-store, within-new) read one checkpoint.
+    * `materialize = false` returns the lazy plan for pushdown
+    * inspection only (PlanShapeSpec). */
+  private[graft] def incNewBanded(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
+    val build = bandedSigs(Tables.documents(s, d)
+      .filter(col("source") === IncNewSource))
+    if (!materialize) build
+    else graft.plans.Lineage.memo(incNewCache, s, d)(build)
+  }
 
   /** Verified MinHash-LSH near-dup pairs (a < b, exact Jaccard ≥ 0.5):
     * 4 bands × 4 rows over 16-perm signatures of word-3-gram shingles;
@@ -780,6 +888,35 @@ object DedupQueries {
                         AS jaccard
                     FROM cand GROUP BY a, b)
           SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY a, b""",
+    // the FULL q_dedup_lsh pair derivation restricted to pairs touching
+    // the new-dump slice — the incremental store+probe must equal
+    // exactly this without ever re-sketching the standing corpus
+    "q_dedup_incremental" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+          s AS (SELECT doc_id, $shingle3 AS sh FROM t),
+          hh AS (SELECT doc_id, $shingleHash AS hs FROM s),
+          g AS (SELECT doc_id, hs, $minhash16 AS sig FROM hh),
+          bands AS (SELECT doc_id, hs, b.range AS band,
+                           md5(array_to_string(sig[1 + b.range * 4 : 4 + b.range * 4], ','))
+                             AS bkey
+                    FROM g CROSS JOIN range(0, 4) b),
+          cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                          len(list_intersect(x.hs, y.hs)) AS inter,
+                          len(x.hs) AS la, len(y.hs) AS lb
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                        AND x.doc_id < y.doc_id),
+          pairs AS (SELECT a, b,
+                      MAX(CAST(inter AS DOUBLE) / (la + lb - inter))
+                        AS jaccard
+                    FROM cand GROUP BY a, b)
+          SELECT p.a, p.b, p.jaccard FROM pairs p
+          JOIN documents da ON da.doc_id = p.a
+          JOIN documents db ON db.doc_id = p.b
+          WHERE p.jaccard >= 0.5
+            AND (da.source = '$IncNewSource' OR db.source = '$IncNewSource')
+          ORDER BY a, b""",
     // same pair CTEs as q_dedup_lsh, then a recursive min-label closure
     // (the q_components_converged trick) for canonical assignment
     "q_dedup_cluster" ->

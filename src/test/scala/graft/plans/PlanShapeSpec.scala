@@ -778,6 +778,74 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_incremental plan: the standing corpus is never " +
+      "re-sketched — no shingle/minhash pass anywhere, the one file " +
+      "scan is the bucketed store joining with zero exchanges on its " +
+      "side") {
+    withStaticPlans {
+    // force the at-scale join strategy: a 100 TB store never broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = graft.SparkEntry.queries("q_dedup_incremental")(spark, Dir)
+      .queryExecution.executedPlan
+    val s = p.toString
+    assertNoAllPairs("q_dedup_incremental", p)
+    // both sketch passes pre-materialized: the probe reads its memoized
+    // cache, the store reads parquet — query time sketches NOTHING
+    // (node collection, not the plan string: the probe's
+    // InMemoryRelation RENDERS its build subtree but does not re-run
+    // it — cached batches serve the scan)
+    val sketchy = p.collect {
+      case n if n.expressions.exists(_.find {
+        case _: graft.functions.WordShingleHashes => true
+        case _: graft.functions.MinHashSig => true
+        case _ => false
+      }.isDefined) => n
+    }
+    assert(sketchy.isEmpty,
+      s"q_dedup_incremental: a sketch pass re-planned at query time:\n" +
+        s.take(2000))
+    // exactly one file scan — the signature store; the documents table
+    // (the standing corpus's text) is never read
+    val scans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1 && scans.head.toString.contains("Bucketed: true"),
+      s"q_dedup_incremental: expected exactly the bucketed store scan:\n" +
+        s.take(2000))
+    // the store side of its join is bucket-co-located: no exchange
+    // between the scan and the join — the probe side alone shuffles
+    val storeJoins = p.collect {
+      case j: SortMergeJoinExec
+        if j.left.collectFirst {
+          case _: org.apache.spark.sql.execution.FileSourceScanExec => ()
+        }.isDefined ||
+          j.right.collectFirst {
+            case _: org.apache.spark.sql.execution.FileSourceScanExec => ()
+          }.isDefined => j
+    }
+    assert(storeJoins.nonEmpty,
+      s"q_dedup_incremental: the store join disappeared:\n${s.take(2000)}")
+    storeJoins.foreach { j =>
+      val side = if (j.left.collectFirst {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => ()
+      }.isDefined) j.left else j.right
+      assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"q_dedup_incremental: the standing store shuffled:\n${s.take(2000)}")
+    }
+    }
+  }
+
+  test("q_dedup_incremental probe build: the new-dump filter reaches " +
+      "the parquet scan — the standing corpus's bytes are never read " +
+      "to sketch the probe") {
+    val p = graft.queries.DedupQueries
+      .incNewBanded(spark, Dir, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("src7"),
+      s"q_dedup_incremental: the source filter did not push down:\n" +
+        p.take(2000))
+  }
+
   test("q_text_curate plan: composes two memoized artifacts with a " +
       "single doc_id-keyed join — no new corpus-wide work") {
     withStaticPlans {
