@@ -155,6 +155,69 @@ object TextQueries {
   private val qcCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
+  private val decontCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  /** q_text_decontaminate_bloom's engine body, MEMOIZED per (session,
+    * dir) — shared with q_text_curate (the recipe consumes the
+    * verified overlap flags as a ride-along column; one window pass +
+    * bloom build serves both). (doc_id, n_windows, n_overlap,
+    * contaminated) over the non-src0 corpus. Physical-plan and
+    * exactness notes live on the gate entry. */
+  private def decontBloom(s: SparkSession, d: String): DataFrame =
+    graft.plans.Lineage.once(decontCache, (s, d)) {
+      val fin = decontBloomBuild(s, d)
+      graft.plans.Lineage.pin(fin)
+      fin
+    }
+
+  private def decontBloomBuild(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val w = 8
+    val wins = Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"IF(size(toks) >= $w, transform(sequence(1, size(toks) - ${w - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $w))), array())")).as("g"))
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      .persist()
+    val evalGrams = wins.filter(col("source") === "src0")
+      .select("h").distinct()
+    // sized for a benchmark-suite-scale digest set (1e6 grams → ~1.2
+    // MB at 1% fpp) — a constant, not a count job: oversizing a bloom
+    // costs bytes, undersizing only costs fpp, never correctness.
+    // Built on the NON-distinct digests: bloom inserts are
+    // idempotent, so the build skips the distinct's shuffle entirely
+    // (treeAggregate over the cached window pass) — only the exact
+    // verify join needs the deduplicated set.
+    val bloom = wins.filter(col("source") === "src0")
+      .stat.bloomFilter("h", 1000000L, 0.01)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val corpus = wins.filter(col("source") =!= "src0")
+    val candidates = corpus.filter(
+      call_function("bloom_might_contain", lit(bloomBytes), col("h")))
+    val overlap = candidates.join(evalGrams, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val out = Tables.documents(s, d).filter(col("source") =!= "src0")
+      .select("doc_id")
+      .join(tot, Seq("doc_id"), "left")
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+    val fin = graft.plans.Lineage.scratchCheckpoint(out)
+    wins.unpersist(blocking = true)
+    fin
+  }
 
   /** The q_text_quality_cut engine body, shared with q_text_curate:
     * (doc_id, source, quality, kept) with the quantized-score p75
@@ -165,15 +228,20 @@ object TextQueries {
     graft.plans.Lineage.memo(qcCache, s, d)(qualityCutBuild(s, d))
 
   private def qualityCutBuild(s: SparkSession, d: String): DataFrame = {
+    // gopher_keep rides the SAME corpus scan as the quality score
+    // (q_text_curate consumes it; q_text_quality_cut's select drops
+    // it) — the recipe's rule screen costs no extra scan or join
     val scored = graft.plans.Lineage.scratchCheckpoint(
       Tables.documents(s, d)
+        .withColumn("toks", toks)
         .select(col("doc_id"), col("source"),
-          qualityScore.as("quality"))
+          qualityScore.as("quality"),
+          gopherRuleCols.map(_._2).reduce(_ && _).as("gopher_keep"))
         .withColumn("qq",
           floor(col("quality") * lit(1.0e6) + lit(0.5)) / lit(1.0e6)))
     scored.join(broadcast(narrowedP75(scored)), Seq("source"))
       .select(col("doc_id"), col("source"), col("quality"),
-        (col("qq") > col("cut")).as("kept"))
+        (col("qq") > col("cut")).as("kept"), col("gopher_keep"))
   }
 
   /** Histogram-narrowing bins for [[narrowedP75]] — also the
@@ -260,6 +328,38 @@ object TextQueries {
           .otherwise((ceil(col("pos")).cast("double") - col("pos")) * col("vLo")
             + (col("pos") - floor(col("pos"))) * col("vHi"))
           .as("cut"))
+  }
+
+  /** The Gopher rule screen (Rae'21 Table A1's cheap subset) over an
+    * in-scope `toks` column — ONE definition shared by q_text_gopher
+    * (the per-rule gate) and q_text_curate (the composed recipe), so
+    * the curate ride-along column is per-column equal to the gate by
+    * construction (CurateSpec asserts it anyway). All per-row
+    * arithmetic on exact integers, bit-equal cross-engine. */
+  private def gopherRuleCols: Seq[(String, Column)] = {
+    val en = StopLists.head._2
+    def dupFrac(w: Int): Column = {
+      val ng = expr(
+        s"transform(sequence(1, size(toks) - ${w - 1})," +
+          s" i -> concat_ws(' ', slice(toks, i, $w)))")
+      when(size(col("toks")) < w, lit(0.0))
+        .otherwise(lit(1.0) -
+          size(array_distinct(ng)).cast("double") / size(ng).cast("double"))
+    }
+    val nTok = size(col("toks"))
+    val meanLen = expr("aggregate(toks, 0L, (a, t) -> a + length(t))")
+      .cast("double") / nTok.cast("double")
+    val alphaFrac = size(filter(col("toks"),
+      t => t.rlike("[A-Za-z]"))).cast("double") / nTok.cast("double")
+    val nStops = size(array_distinct(filter(col("toks"),
+      t => t.isin(en: _*))))
+    Seq(
+      "r_wordcount" -> (nTok >= 50 && nTok <= 100000),
+      "r_meanlen" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "r_alpha" -> (alphaFrac >= 0.8),
+      "r_stopwords" -> (nStops >= 2),
+      "r_dup2" -> (dupFrac(2) <= 0.20),
+      "r_dup3" -> (dupFrac(3) <= 0.18))
   }
 
   /** The composite quality score of q_text_quality — length saturation
@@ -506,27 +606,40 @@ object TextQueries {
         .orderBy(col("doc_id"))),
 
     // END-TO-END corpus curation — the decision frame a training-data
-    // pipeline actually materializes, composing three verified gates
-    // into one per-document verdict: near-dup canonicalization
+    // pipeline actually materializes, composing the FULL published
+    // recipe (RefinedWeb/FineWeb: dedup → rule screen → quality filter
+    // → decontaminate → split) into one per-document verdict from five
+    // verified gates: near-dup canonicalization
     // ([[DedupQueries.lshClusters]] — ONE memoized LSH + components run
     // shared with q_dedup_cluster/q_dedup_split), the per-source
-    // quality cut ([[qualityCutFrame]] — same score, same p75
-    // interpolation contract), and the leakage-safe split (the
-    // canonical-hash bucket, so near-duplicates never straddle
-    // train/test). selected = kept ∧ canonical — drop every non-
-    // canonical near-dup and every below-cut document; the RefinedWeb /
-    // FineWeb "dedup then filter" recipe as one gated frame. Scale:
-    // both inputs are already-bounded artifacts; this adds one
-    // doc_id-keyed join and a narrow hash — no new quadratic or
-    // corpus-wide-sort path.
+    // quality cut and the Gopher rule screen (BOTH riding
+    // [[qualityCutFrame]]'s single scored scan — same score, same p75
+    // interpolation contract, same rule columns as q_text_gopher),
+    // eval-overlap decontamination ([[decontBloom]] — the bloom gate's
+    // verified flags, memoized; the eval dump itself carries
+    // is_eval = true and contaminated = false, since the eval set is
+    // excluded wholesale, not "contaminated"), and the leakage-safe
+    // split (the canonical-hash bucket, so near-duplicates never
+    // straddle train/test). selected = kept ∧ canonical ∧ gopher_keep
+    // ∧ ¬contaminated ∧ ¬is_eval. Scale: every input is an
+    // already-bounded memoized artifact; this adds two doc_id-keyed
+    // joins and a narrow hash — no new quadratic or corpus-wide-sort
+    // path.
     "q_text_curate" -> ((s, d) => {
       qualityCutFrame(s, d)
         .join(DedupQueries.lshClusters(s, d).drop("cluster_n"),
           Seq("doc_id"))
+        .join(decontBloom(s, d).select(col("doc_id"), col("contaminated")),
+          Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"), col("canonical_id"),
-          col("quality"), col("kept"),
+          col("quality"), col("kept"), col("gopher_keep"),
+          (col("source") === "src0").as("is_eval"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"),
           DedupQueries.splitCol(col("canonical_id")).as("split"),
-          (col("kept") && col("doc_id") === col("canonical_id"))
+          (col("kept") && col("doc_id") === col("canonical_id")
+            && col("gopher_keep")
+            && !coalesce(col("contaminated"), lit(false))
+            && col("source") =!= "src0")
             .as("selected"))
         .orderBy(col("doc_id"))
     }),
@@ -994,52 +1107,8 @@ object TextQueries {
     // Result is exact regardless of fpp (false negatives impossible,
     // false positives verified away), which is why one oracle serves
     // both variants.
-    "q_text_decontaminate_bloom" -> ((s, d) => {
-      graft.GraftFunctions.register(s)
-      val w = 8
-      val wins = Tables.documents(s, d)
-        .withColumn("toks", toks)
-        .select(col("doc_id"), col("source"),
-          explode(expr(
-            s"IF(size(toks) >= $w, transform(sequence(1, size(toks) - ${w - 1}), " +
-              s"i -> concat_ws(' ', slice(toks, i, $w))), array())")).as("g"))
-        .select(col("doc_id"), col("source"),
-          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
-        .persist()
-      val evalGrams = wins.filter(col("source") === "src0")
-        .select("h").distinct()
-      // sized for a benchmark-suite-scale digest set (1e6 grams → ~1.2
-      // MB at 1% fpp) — a constant, not a count job: oversizing a bloom
-      // costs bytes, undersizing only costs fpp, never correctness.
-      // Built on the NON-distinct digests: bloom inserts are
-      // idempotent, so the build skips the distinct's shuffle entirely
-      // (treeAggregate over the cached window pass) — only the exact
-      // verify join needs the deduplicated set.
-      val bloom = wins.filter(col("source") === "src0")
-        .stat.bloomFilter("h", 1000000L, 0.01)
-      val bloomBytes = {
-        val bos = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(bos)
-        bos.toByteArray
-      }
-      val corpus = wins.filter(col("source") =!= "src0")
-      val candidates = corpus.filter(
-        call_function("bloom_might_contain", lit(bloomBytes), col("h")))
-      val overlap = candidates.join(evalGrams, Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-      val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
-      val out = Tables.documents(s, d).filter(col("source") =!= "src0")
-        .select("doc_id")
-        .join(tot, Seq("doc_id"), "left")
-        .join(overlap, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
-      val fin = graft.plans.Lineage.scratchCheckpoint(out)
-      wins.unpersist(blocking = true)
-      fin.orderBy(col("doc_id"))
-    }),
+    "q_text_decontaminate_bloom" -> ((s, d) =>
+      decontBloom(s, d).orderBy(col("doc_id"))),
 
     // Greedy sequence PACKING — the pretraining step that concatenates
     // documents into fixed-token-budget training sequences (first-fit in
@@ -1257,29 +1326,7 @@ object TextQueries {
     // expression order as the oracle, so no boolean cut can flip on an
     // ulp.
     "q_text_gopher" -> ((s, d) => {
-      val en = StopLists.head._2
-      def dupFrac(w: Int): Column = {
-        val ng = expr(
-          s"transform(sequence(1, size(toks) - ${w - 1})," +
-            s" i -> concat_ws(' ', slice(toks, i, $w)))")
-        when(size(col("toks")) < w, lit(0.0))
-          .otherwise(lit(1.0) -
-            size(array_distinct(ng)).cast("double") / size(ng).cast("double"))
-      }
-      val nTok = size(col("toks"))
-      val meanLen = expr("aggregate(toks, 0L, (a, t) -> a + length(t))")
-        .cast("double") / nTok.cast("double")
-      val alphaFrac = size(filter(col("toks"),
-        t => t.rlike("[A-Za-z]"))).cast("double") / nTok.cast("double")
-      val nStops = size(array_distinct(filter(col("toks"),
-        t => t.isin(en: _*))))
-      val rules = Seq(
-        "r_wordcount" -> (nTok >= 50 && nTok <= 100000),
-        "r_meanlen" -> (meanLen >= 3.0 && meanLen <= 10.0),
-        "r_alpha" -> (alphaFrac >= 0.8),
-        "r_stopwords" -> (nStops >= 2),
-        "r_dup2" -> (dupFrac(2) <= 0.20),
-        "r_dup3" -> (dupFrac(3) <= 0.18))
+      val rules = gopherRuleCols
       Tables.documents(s, d)
         .withColumn("toks", toks)
         .select(col("doc_id") +:
@@ -1591,34 +1638,46 @@ object TextQueries {
       "replace(acc, r || chr(1), replace(r, chr(1), '') || chr(1)))"
   }
 
+  /** Decontamination CTE chain under `p`-prefixed names, ending in
+    * `${p}fin(doc_id, n_windows, n_overlap, contaminated)` over the
+    * non-src0 corpus — standalone below ([[decontaminateSql]]) and
+    * embedded by the q_text_curate oracle (the composed recipe). The
+    * window-digest CTE is MATERIALIZED: three consumers would
+    * otherwise re-run the window pass (the r9 CTE-inlining lesson). */
+  private def decontCtes(p: String): String =
+    s"""${p}t AS (SELECT doc_id, source,
+                    string_split_regex(text, '\\s+') AS toks
+                  FROM documents),
+       ${p}w AS (SELECT doc_id, source,
+               unnest([array_to_string(toks[i:i+7], ' ')
+                       for i in range(1, len(toks) - 6)]) AS g
+             FROM ${p}t WHERE len(toks) >= 8),
+       ${p}hh AS MATERIALIZED (SELECT doc_id, source,
+                CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h
+              FROM ${p}w),
+       ${p}ev AS (SELECT DISTINCT h FROM ${p}hh WHERE source = 'src0'),
+       ${p}corpus AS (SELECT doc_id, h FROM ${p}hh
+                      WHERE source <> 'src0'),
+       ${p}ov AS (SELECT doc_id, count(*) AS n_overlap FROM ${p}corpus
+              WHERE h IN (SELECT h FROM ${p}ev) GROUP BY doc_id),
+       ${p}tot AS (SELECT doc_id, count(*) AS n_windows FROM ${p}corpus
+               GROUP BY doc_id),
+       ${p}fin AS (SELECT d.doc_id,
+              COALESCE(${p}tot.n_windows, 0) AS n_windows,
+              COALESCE(${p}ov.n_overlap, 0) AS n_overlap,
+              COALESCE(${p}ov.n_overlap, 0) > 0 AS contaminated
+       FROM documents d
+       LEFT JOIN ${p}tot ON ${p}tot.doc_id = d.doc_id
+       LEFT JOIN ${p}ov ON ${p}ov.doc_id = d.doc_id
+       WHERE d.source <> 'src0')"""
+
   /** Shared by q_text_decontaminate and q_text_decontaminate_bloom: the
     * bloom variant's output is exact (prefilter false positives die in
     * the verify join), so one oracle pins both physical plans. */
   private val decontaminateSql =
-    """WITH t AS (SELECT doc_id, source,
-                    string_split_regex(text, '\s+') AS toks
-                  FROM documents),
-       w AS (SELECT doc_id, source,
-               unnest([array_to_string(toks[i:i+7], ' ')
-                       for i in range(1, len(toks) - 6)]) AS g
-             FROM t WHERE len(toks) >= 8),
-       hh AS (SELECT doc_id, source,
-                CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h
-              FROM w),
-       ev AS (SELECT DISTINCT h FROM hh WHERE source = 'src0'),
-       corpus AS (SELECT doc_id, h FROM hh WHERE source <> 'src0'),
-       ov AS (SELECT doc_id, count(*) AS n_overlap FROM corpus
-              WHERE h IN (SELECT h FROM ev) GROUP BY doc_id),
-       tot AS (SELECT doc_id, count(*) AS n_windows FROM corpus
-               GROUP BY doc_id)
-       SELECT d.doc_id,
-              COALESCE(tot.n_windows, 0) AS n_windows,
-              COALESCE(ov.n_overlap, 0) AS n_overlap,
-              COALESCE(ov.n_overlap, 0) > 0 AS contaminated
-       FROM documents d
-       LEFT JOIN tot ON tot.doc_id = d.doc_id
-       LEFT JOIN ov ON ov.doc_id = d.doc_id
-       WHERE d.source <> 'src0' ORDER BY d.doc_id"""
+    s"""WITH ${decontCtes("")}
+       SELECT doc_id, n_windows, n_overlap, contaminated
+       FROM fin ORDER BY doc_id"""
 
   /** q_text_classifier's oracle: ClfEpochs unrolled epochs, weights as
     * a ClfB-row (b, w) table per epoch — margin join, misclassified
@@ -1747,11 +1806,14 @@ object TextQueries {
             ORDER BY q.doc_id""",
       // the q_dedup_cluster closure (shared clusterCompCtes — its own
       // t..comp names) + the quality-cut CTEs under q-prefixed names +
-      // the q_dedup_split canonical-hash bucket, composed exactly as
-      // the engine composes the three gates
+      // the q_text_gopher rules (qg-prefixed, from the same qt token
+      // CTE) + the decontamination chain (dc-prefixed, shared
+      // decontCtes builder) + the q_dedup_split canonical-hash bucket,
+      // composed exactly as the engine composes the five gates
       "q_text_curate" ->
         s"""${DedupQueries.clusterCompCtes},
-            qt AS (SELECT doc_id, source,
+            ${decontCtes("dc")},
+            qt AS MATERIALIZED (SELECT doc_id, source,
                           string_split_regex(text, '\\s+') AS toks
                    FROM documents),
             qm AS (SELECT doc_id, source,
@@ -1769,14 +1831,49 @@ object TextQueries {
                         FROM qm)),
             qc AS (SELECT source,
                     quantile_cont(qq, CAST(3 AS DOUBLE)/4) AS cut
-                   FROM qs GROUP BY source)
+                   FROM qs GROUP BY source),
+            qgg AS (SELECT doc_id, toks, len(toks) AS n,
+                      [array_to_string(toks[i:i+1], ' ')
+                       for i in range(1, len(toks))] AS ng2,
+                      [array_to_string(toks[i:i+2], ' ')
+                       for i in range(1, len(toks) - 1)] AS ng3
+                    FROM qt),
+            qgm AS (SELECT doc_id, n,
+                      CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS DOUBLE) / CAST(n AS DOUBLE) AS ml,
+                      CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                        / CAST(n AS DOUBLE) AS af,
+                      len(list_distinct(list_filter(toks,
+                        x -> x IN ${sqlStopList(StopLists.head._2)
+                          .replace("[", "(").replace("]", ")")}))) AS stp,
+                      CASE WHEN n < 2 THEN 0.0
+                           ELSE 1.0 - CAST(len(list_distinct(ng2)) AS DOUBLE)
+                                      / CAST(len(ng2) AS DOUBLE) END AS d2,
+                      CASE WHEN n < 3 THEN 0.0
+                           ELSE 1.0 - CAST(len(list_distinct(ng3)) AS DOUBLE)
+                                      / CAST(len(ng3) AS DOUBLE) END AS d3
+                    FROM qgg),
+            qgk AS (SELECT doc_id,
+                      n >= 50 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
+                        AND af >= 0.8 AND stp >= 2 AND d2 <= 0.20
+                        AND d3 <= 0.18 AS keep
+                    FROM qgm)
             SELECT q.doc_id, q.source, c.canonical_id, q.quality,
                    q.qq > cc.cut AS kept,
+                   gk.keep AS gopher_keep,
+                   q.source = 'src0' AS is_eval,
+                   COALESCE(dd.contaminated, FALSE) AS contaminated,
                    ${DedupQueries.splitSql("c.canonical_id")} AS split,
                    (q.qq > cc.cut) AND q.doc_id = c.canonical_id
+                     AND gk.keep
+                     AND NOT COALESCE(dd.contaminated, FALSE)
+                     AND q.source <> 'src0'
                      AS selected
             FROM qs q JOIN comp c ON c.page = q.doc_id
             JOIN qc cc ON cc.source = q.source
+            JOIN qgk gk ON gk.doc_id = q.doc_id
+            LEFT JOIN dcfin dd ON dd.doc_id = q.doc_id
             ORDER BY q.doc_id""",
       // same integer ranks (count DESC, gram ASC), same LidK penalty,
       // same (dist, lang) argmin — every value an exact integer

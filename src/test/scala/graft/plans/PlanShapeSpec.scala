@@ -846,16 +846,17 @@ class PlanShapeSpec extends SparkSpec {
         p.take(2000))
   }
 
-  test("q_text_curate plan: composes two memoized artifacts with a " +
-      "single doc_id-keyed join — no new corpus-wide work") {
+  test("q_text_curate plan: composes three memoized artifacts with " +
+      "two doc_id-keyed joins — no new corpus-wide work") {
     withStaticPlans {
     val p = graft.SparkEntry.queries("q_text_curate")(spark, Dir)
       .queryExecution.executedPlan
     val s = p.toString
     assertNoAllPairs("q_text_curate", p)
-    assert(equiJoins(p) == 1,
-      s"q_text_curate: expected exactly the doc_id join of the two " +
-        s"memoized inputs, got ${equiJoins(p)}:\n${s.take(2000)}")
+    assert(equiJoins(p) == 2,
+      s"q_text_curate: expected exactly the doc_id joins of the " +
+        s"memoized inputs (clusters, decontaminate), got " +
+        s"${equiJoins(p)}:\n${s.take(2000)}")
     // both inputs are build-once artifacts (memoized persists /
     // checkpoints) — the corpus itself must not re-scan here
     assert(count(p) {
