@@ -483,6 +483,15 @@ object DedupQueries {
     val name = graft.plans.Lineage.once(sigStoreCache, (s, d)) {
       val tbl = "graft_sig_store_" + org.apache.commons.codec.digest
         .DigestUtils.md5Hex(d).take(8)
+      // a previous JVM may have left the managed LOCATION on disk
+      // without this session's catalog knowing the table — saveAsTable
+      // refuses to adopt an orphaned location, so drop both halves
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       bandedSigs(Tables.documents(s, d)
           .filter(col("source") =!= IncNewSource))
         .write.bucketBy(IncBuckets, "band", "bkey").sortBy("band", "bkey")
