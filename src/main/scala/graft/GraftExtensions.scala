@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{BloomMightContain, BpeSymbols, CharEntropy,
-  CharGrams, CharShingleHashes, CosineSimilarity, DotProduct, MinHashSig,
-  PqAdc, SimHash32, SortedIntersectCount, WordShingleHashes}
+  CharGramHashes, CharGrams, CharShingleHashes, CosineSimilarity,
+  DotProduct, MinHashSig, PqAdc, SimHash32, SortedIntersectCount, Winnow,
+  WordShingleHashes}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -84,6 +85,9 @@ object GraftFunctions {
     withIntParam("char_shingle_hashes", classOf[CharShingleHashes],
       CharShingleHashes.apply),
     withIntParam("char_grams", classOf[CharGrams], CharGrams.apply),
+    withIntParam("char_gram_hashes", classOf[CharGramHashes],
+      CharGramHashes.apply),
+    withIntParam("winnow", classOf[Winnow], Winnow.apply),
     withIntParam("minhash_sig", classOf[MinHashSig], MinHashSig.apply),
     unary("simhash32", classOf[SimHash32], SimHash32.apply),
     unary("char_entropy", classOf[CharEntropy], CharEntropy.apply),

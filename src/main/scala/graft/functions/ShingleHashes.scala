@@ -194,6 +194,64 @@ object ShingleHashUtil {
     new GenericArrayData(out)
   }
 
+  /** hash32 of ALL character k-grams IN ORDER, duplicates kept — the
+    * positional hash stream winnowing slides its window over (vs
+    * [[charShingleHashes]]'s sorted-distinct sketch, which destroys
+    * the positions winnowing needs). Exactly
+    * `transform(<ordered k-grams>, s -> hash32(s))`
+    * (TextFunctions.shingleHashesExpr) as one compiled loop; texts
+    * shorter than k chars → empty. Same zero-copy (offset, len)
+    * hashing as the sketch form. */
+  def charGramHashes(text: UTF8String, k: Int): ArrayData = {
+    val n = text.numChars()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val bytes = text.getBytes
+    val starts = new Array[Int](n + 1)
+    var i = 0
+    var off = 0
+    while (i < n) {
+      starts(i) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      i += 1
+    }
+    starts(n) = bytes.length
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i < out.length) {
+      out(i) = hash32(bytes, starts(i), starts(i + k) - starts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Winnowing fingerprint selection (Schleimer'03) over an ORDERED
+    * hash stream: per-window (width `w`) minima, deduplicated keeping
+    * FIRST occurrence order — exactly
+    * `array_distinct(transform(sequence(1, n-w+1), i -> array_min(slice(hs, i, w))))`
+    * (TextFunctions.winnowExpr) as one compiled loop. Streams shorter
+    * than w → empty. O(n·w) scan (w is a small constant, 4 in the
+    * gates); the dedup set is bounded by the output (~2n/(w+1)). */
+  def winnow(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long](n)
+    val out = new Array[Long](n - w + 1)
+    var nOut = 0
+    var i = 0
+    while (i <= n - w) {
+      var m = hashes.getLong(i)
+      var j = i + 1
+      while (j < i + w) {
+        val v = hashes.getLong(j)
+        if (v < m) m = v
+        j += 1
+      }
+      if (seen.add(m)) { out(nOut) = m; nOut += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+  }
+
   /** Distinct sorted hash32 of character k-gram shingles (character
     * semantics, matching Spark/DuckDB `substring`). Texts shorter than
     * k chars → empty array. Zero-copy: one `getBytes` per document, a
@@ -328,6 +386,57 @@ case class CharGrams(child: Expression, k: Int) extends UnaryExpression {
       c => s"graft.functions.ShingleHashUtil.charGrams($c, $k)")
 
   override protected def withNewChildInternal(c: Expression): CharGrams =
+    copy(child = c)
+}
+
+/** `char_gram_hashes(text, k)` → `array<bigint>` hash32 of ALL
+  * character k-grams in order, duplicates kept (the positional stream
+  * winnowing consumes; semantics on [[ShingleHashUtil.charGramHashes]]). */
+case class CharGramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"gram width must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_gram_hashes expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+
+  override def nullSafeEval(text: Any): Any =
+    ShingleHashUtil.charGramHashes(text.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashUtil.charGramHashes($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): CharGramHashes =
+    copy(child = c)
+}
+
+/** `winnow(hashes, w)` → `array<bigint>` first-occurrence-ordered
+  * distinct per-window minima (Schleimer'03 fingerprint selection;
+  * semantics on [[ShingleHashUtil.winnow]]). */
+case class Winnow(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"window width must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow expects array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override def nullSafeEval(hashes: Any): Any =
+    ShingleHashUtil.winnow(hashes.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashUtil.winnow($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Winnow =
     copy(child = c)
 }
 

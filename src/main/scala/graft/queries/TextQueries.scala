@@ -1151,11 +1151,17 @@ object TextQueries {
 
     // Winnowing fingerprints (k=8 char shingles, window w=4): per doc
     // the fingerprint-set size and its min/max — the join key shape a
-    // plagiarism / near-dup pass would bucket on.
+    // plagiarism / near-dup pass would bucket on. The gram-hash and
+    // winnow passes run in the native codegen'd expressions
+    // (ShingleHashesProperties pins them element-for-element equal to
+    // TextFunctions' interpreted SQL forms, which remain the oracle's
+    // statement of the semantics) — the interpreted lambdas were ~2000
+    // expression-tree walks per document on this hot path.
     "q_text_fingerprint" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
       Tables.documents(s, d)
-        .withColumn("hs", expr(TextFunctions.shingleHashesExpr("text", 8)))
-        .withColumn("fps", expr(TextFunctions.winnowExpr("hs", 4)))
+        .withColumn("hs", call_function("char_gram_hashes", col("text"), lit(8)))
+        .withColumn("fps", call_function("winnow", col("hs"), lit(4)))
         .select(col("doc_id"),
           size(col("fps")).cast("long").as("n_fp"),
           array_min(col("fps")).as("min_fp"),
@@ -1226,11 +1232,18 @@ object TextQueries {
       // ~4.7 s/rep at sf0.1; this form ~1 s). n_fp = the per-doc
       // posting count (fps is distinct per doc), so the arrays are
       // never needed again.
-      val post = graft.plans.Lineage.scratchCheckpoint(
-        Tables.documents(s, d)
-          .withColumn("hs", expr(TextFunctions.shingleHashesExpr("text", 8)))
-          .select(col("doc_id"),
-            explode(expr(TextFunctions.winnowExpr("hs", 4))).as("fp")))
+      // native codegen'd gram-hash + winnow (pinned equal to the
+      // interpreted SQL forms the oracle states) — this pass WAS the
+      // query's cost: 4.2 s of the 4.4 s total at sf0.1 interpreted
+      val post = {
+        graft.GraftFunctions.register(s)
+        graft.plans.Lineage.scratchCheckpoint(
+          Tables.documents(s, d)
+            .withColumn("hs",
+              call_function("char_gram_hashes", col("text"), lit(8)))
+            .select(col("doc_id"),
+              explode(call_function("winnow", col("hs"), lit(4))).as("fp")))
+      }
       val keep = post.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= PlagMaxDf)
       // checkpointed BEFORE the self-join (the SURVEY §8 self-join

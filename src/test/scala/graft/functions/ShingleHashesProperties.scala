@@ -61,6 +61,24 @@ class ShingleHashesProperties extends SparkSpec {
     assert(df.filter(not(col("ref") === col("got"))).count() == 0)
   }
 
+  test("char_gram_hashes + winnow match TextFunctions' interpreted SQL " +
+      "forms on random unicode texts — positional order, duplicates, " +
+      "first-occurrence dedup") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    import graft.functions.TextFunctions
+    val df = (docs(60) ++ Seq("", "ab", "abcdefgh", "aaaaaaaaaaaa",
+      "日本語で書かれた文章です")).toDF("text")
+      .withColumn("refH", expr(TextFunctions.shingleHashesExpr("text", 8)))
+      .withColumn("gotH", call_function("char_gram_hashes", col("text"), lit(8)))
+      .withColumn("refW", expr(TextFunctions.winnowExpr("refH", 4)))
+      .withColumn("gotW", call_function("winnow", col("gotH"), lit(4)))
+    assert(df.filter(not(col("refH") === col("gotH"))).count() == 0)
+    assert(df.filter(not(col("refW") === col("gotW"))).count() == 0)
+    assert(df.count() == 65)
+  }
+
   test("char_grams matches the interpreted transform/substring lambda " +
       "on random unicode texts — order AND duplicates preserved") {
     val s = spark
