@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BloomMightContain, BpeSymbols, CharEntropy,
   CharGramHashes, CharGrams, CharShingleHashes, CosineSimilarity,
   DotProduct, MinHashSig, PqAdc, SimHash32, SortedIntersectCount, Winnow,
-  WordShingleHashes}
+  WordGramHashes60, WordShingleHashes}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -88,6 +88,8 @@ object GraftFunctions {
     withIntParam("char_gram_hashes", classOf[CharGramHashes],
       CharGramHashes.apply),
     withIntParam("winnow", classOf[Winnow], Winnow.apply),
+    withIntParam("word_gram_hashes60", classOf[WordGramHashes60],
+      WordGramHashes60.apply),
     withIntParam("minhash_sig", classOf[MinHashSig], MinHashSig.apply),
     unary("simhash32", classOf[SimHash32], SimHash32.apply),
     unary("char_entropy", classOf[CharEntropy], CharEntropy.apply),

@@ -52,19 +52,12 @@ object ShingleHashUtil {
   private val blockLocal: ThreadLocal[Array[Int]] =
     ThreadLocal.withInitial(() => new Array[Int](16))
 
-  /** First 8 md5 hex digits of bytes[off, off+len), as an unsigned
-    * 32-bit value in a long — bit-identical to Spark
-    * `conv(substring(md5(s),1,8),16,10)` and DuckDB
-    * `('0x'||substring(md5(s),1,8))::BIGINT`. */
-  def hash32(bytes: Array[Byte], off: Int, len: Int): Long = {
-    if (len > 55) { // multi-block: delegate to MessageDigest
-      val md = mdLocal.get()
-      md.reset()
-      md.update(bytes, off, len)
-      val d = md.digest()
-      return ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    }
+  /** Digest words A and B of the single-block md5 of
+    * bytes[off, off+len) (len ≤ 55), packed big-endian:
+    * (digest bytes 0-3 as unsigned) << 32 | (digest bytes 4-7 as
+    * unsigned). [[hash32]] takes the high word; [[hash60]] the first
+    * 15 nibbles. */
+  private def md5AB(bytes: Array[Byte], off: Int, len: Int): Long = {
     val m = blockLocal.get()
     java.util.Arrays.fill(m, 0)
     var i = 0
@@ -93,8 +86,46 @@ object ShingleHashUtil {
       b = b + Integer.rotateLeft(x, MdS(i))
       i += 1
     }
-    // digest bytes 0..3 are the little-endian sum word A0+a
-    Integer.reverseBytes(0x67452301 + a).toLong & 0xffffffffL
+    // digest bytes 0..3 / 4..7 are the little-endian sum words A0+a,
+    // B0+b; reverseBytes renders each in digest (big-endian hex) order
+    ((Integer.reverseBytes(0x67452301 + a).toLong & 0xffffffffL) << 32) |
+      (Integer.reverseBytes(0xefcdab89 + b).toLong & 0xffffffffL)
+  }
+
+  /** First 8 md5 hex digits of bytes[off, off+len), as an unsigned
+    * 32-bit value in a long — bit-identical to Spark
+    * `conv(substring(md5(s),1,8),16,10)` and DuckDB
+    * `('0x'||substring(md5(s),1,8))::BIGINT`. */
+  def hash32(bytes: Array[Byte], off: Int, len: Int): Long = {
+    if (len > 55) { // multi-block: delegate to MessageDigest
+      val md = mdLocal.get()
+      md.reset()
+      md.update(bytes, off, len)
+      val d = md.digest()
+      return ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    md5AB(bytes, off, len) >>> 32
+  }
+
+  /** First 15 md5 hex digits of bytes[off, off+len) as an unsigned
+    * 60-bit value — bit-identical to Spark
+    * `conv(substring(md5(s),1,15),16,10)` and DuckDB
+    * `('0x'||substring(md5(s),1,15))::BIGINT` (the 8-byte join-key
+    * form the allpairs/decontaminate families shuffle). */
+  def hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    if (len > 55) { // multi-block: delegate to MessageDigest
+      val md = mdLocal.get()
+      md.reset()
+      md.update(bytes, off, len)
+      val d = md.digest()
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      return (v << 4) | ((d(7) & 0xffL) >>> 4)
+    }
+    val ab = md5AB(bytes, off, len)
+    ((ab >>> 32) << 28) | ((ab & 0xffffffffL) >>> 4)
   }
 
   def hash32(bytes: Array[Byte]): Long = hash32(bytes, 0, bytes.length)
@@ -118,6 +149,54 @@ object ShingleHashUtil {
   /** Distinct sorted hash32 of word w-gram shingles (shingle = w
     * consecutive tokens joined by ' ', concat_ws semantics: null tokens
     * skipped). Inputs shorter than w tokens → empty array. */
+  /** hash60 of ALL word k-gram join-keys IN ORDER, duplicates kept —
+    * the positional 60-bit stream the allpairs tf pass and the
+    * decontamination window pass consume (their `groupBy` needs the
+    * multiplicities [[wordShingleHashes]]'s sorted-distinct sketch
+    * destroys). Exactly
+    * `transform(<ordered k-grams>, g -> conv(substring(md5(g),1,15),16,10))`
+    * with grams = `concat_ws(' ', slice(toks, i, k))` (nulls skipped,
+    * the concat_ws rule), as one compiled loop. Fewer than k tokens →
+    * empty. */
+  def wordGramHashes60(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) tokBytes(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    var sb = new Array[Byte](64)
+    i = 0
+    while (i < out.length) {
+      var len = 0
+      var j = 0
+      var parts = 0
+      while (j < k) { // concat_ws(' ', ...) skips nulls
+        val tb = tokBytes(i + j)
+        if (tb != null) { len += tb.length + (if (parts > 0) 1 else 0); parts += 1 }
+        j += 1
+      }
+      if (sb.length < len) sb = new Array[Byte](len)
+      var off = 0
+      j = 0; parts = 0
+      while (j < k) {
+        val tb = tokBytes(i + j)
+        if (tb != null) {
+          if (parts > 0) { sb(off) = ' '; off += 1 }
+          System.arraycopy(tb, 0, sb, off, tb.length); off += tb.length
+          parts += 1
+        }
+        j += 1
+      }
+      out(i) = hash60(sb, 0, len)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def wordShingleHashes(toks: ArrayData, w: Int): ArrayData = {
     val n = toks.numElements()
     if (n < w) return new GenericArrayData(Array.emptyLongArray)
@@ -412,6 +491,32 @@ case class CharGramHashes(child: Expression, k: Int)
       c => s"graft.functions.ShingleHashUtil.charGramHashes($c, $k)")
 
   override protected def withNewChildInternal(c: Expression): CharGramHashes =
+    copy(child = c)
+}
+
+/** `word_gram_hashes60(toks, k)` → `array<bigint>` hash60 of all word
+  * k-gram join-keys in order, duplicates kept (semantics on
+  * [[ShingleHashUtil.wordGramHashes60]]). */
+case class WordGramHashes60(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"gram width must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_gram_hashes60 expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_gram_hashes60"
+
+  override def nullSafeEval(toks: Any): Any =
+    ShingleHashUtil.wordGramHashes60(toks.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashUtil.wordGramHashes60($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): WordGramHashes60 =
     copy(child = c)
 }
 

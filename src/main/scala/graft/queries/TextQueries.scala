@@ -175,14 +175,14 @@ object TextQueries {
   private def decontBloomBuild(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.register(s)
     val w = 8
+    // native ordered 60-bit window stream — the window strings never
+    // materialize (pinned equal to the interpreted form by
+    // ShingleHashesProperties; the oracle still states the
+    // transform/concat_ws/md5 derivation)
     val wins = Tables.documents(s, d)
-      .withColumn("toks", toks)
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          s"IF(size(toks) >= $w, transform(sequence(1, size(toks) - ${w - 1}), " +
-            s"i -> concat_ws(' ', slice(toks, i, $w))), array())")).as("g"))
-      .select(col("doc_id"), col("source"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+        explode(call_function("word_gram_hashes60", toks, lit(w)))
+          .as("h"))
       .persist()
     val evalGrams = wins.filter(col("source") === "src0")
       .select("h").distinct()
@@ -732,16 +732,14 @@ object TextQueries {
     // presented on the 1e-6 floor grid and τ sits far from any pair
     // (measured gap: planted near-dups ≥ 0.9, everything else < 0.3).
     "q_text_allpairs" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
       val n = docs.count() // driver-side exact integer
-      val shingles = expr(
-        "CASE WHEN size(toks) < 3 THEN cast(array() as array<string>) " +
-          "ELSE transform(sequence(1, size(toks) - 2), " +
-          "i -> concat_ws(' ', slice(toks, i, 3))) END")
-      val tf = docs.select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), explode(shingles).as("sh"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+      // native codegen'd ordered 60-bit gram stream (pinned equal to
+      // the interpreted transform/concat_ws/md5 form the oracle
+      // states) — the shingle strings never materialize at all
+      val tf = docs.select(col("doc_id"),
+          explode(call_function("word_gram_hashes60", toks, lit(3)))
             .as("hv"))
         .groupBy("doc_id", "hv").agg(count(lit(1)).as("n_sh"))
       // vocabulary-sized df table: no broadcast hint (the q_text_tfidf
@@ -1063,15 +1061,13 @@ object TextQueries {
     // corpus self-join anywhere. The one explode pass is cached and the
     // small per-doc result materialized (triangles pattern).
     "q_text_decontaminate" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
       val w = 8
+      // native ordered 60-bit window stream (see decontBloomBuild)
       val wins = Tables.documents(s, d)
-        .withColumn("toks", toks)
         .select(col("doc_id"), col("source"),
-          explode(expr(
-            s"IF(size(toks) >= $w, transform(sequence(1, size(toks) - ${w - 1}), " +
-              s"i -> concat_ws(' ', slice(toks, i, $w))), array())")).as("g"))
-        .select(col("doc_id"), col("source"),
-          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+          explode(call_function("word_gram_hashes60", toks, lit(w)))
+            .as("h"))
         .persist()
       val evalGrams = wins.filter(col("source") === "src0")
         .select("h").distinct()

@@ -79,6 +79,29 @@ class ShingleHashesProperties extends SparkSpec {
     assert(df.count() == 65)
   }
 
+  test("word_gram_hashes60 matches the interpreted concat_ws/md5/conv " +
+      "form on random unicode docs — positional order, duplicates, " +
+      "60-bit values") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    def refForm(k: Int) = expr(
+      s"CASE WHEN size(toks) < $k THEN cast(array() as array<bigint>) " +
+        s"ELSE transform(transform(sequence(1, size(toks) - ${k - 1}), " +
+        s"i -> concat_ws(' ', slice(toks, i, $k))), " +
+        "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)) END")
+    val df = (docs(60) ++ Seq("", "a", "a a a a a a a a a a"))
+      .toDF("text")
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("ref3", refForm(3))
+      .withColumn("got3", call_function("word_gram_hashes60", col("toks"), lit(3)))
+      .withColumn("ref8", refForm(8))
+      .withColumn("got8", call_function("word_gram_hashes60", col("toks"), lit(8)))
+    assert(df.filter(not(col("ref3") === col("got3"))).count() == 0)
+    assert(df.filter(not(col("ref8") === col("got8"))).count() == 0)
+    assert(df.count() == 63)
+  }
+
   test("char_grams matches the interpreted transform/substring lambda " +
       "on random unicode texts — order AND duplicates preserved") {
     val s = spark
