@@ -1029,6 +1029,45 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF+PQ+refine against the PERSISTED index ([[annStore]]) — the
+    // deployment shape: the index is a stored artifact (FAISS encodes
+    // offline and serves from disk), and a probe reads ONLY the probed
+    // cells' buckets — the `cell IN (…)` literal (the union of the
+    // query batch's probed cells, a fixed-size N-count-contract
+    // collect) prunes buckets at the scan, so index bytes read scale
+    // with nprobe, not with the corpus. Search semantics are identical
+    // to q_ann_ivfpq (same probes, ADC, shortlist, refine), proven by
+    // AnnStoredSpec's row-for-row equality and the shared oracle.
+    "q_ann_ivfpq_stored" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val store = annStore(s, d)
+      val cents = ivfCentroids(e)
+      val probes = ivfProbes(e, cents, nprobe = 3)
+        .select(col("qid"), col("pcell"))
+      val cellSet = probes.select("pcell").distinct()
+        .collect().map(_.getLong(0))
+      val wA = Window.partitionBy(col("qid"))
+        .orderBy(col("adc"), col("vec_id"))
+      val shortlist = store.filter(col("cell").isin(cellSet: _*))
+        .join(broadcast(probes),
+          col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+        .join(broadcast(pqQueryTabs(e)), "qid")
+        .select(col("qid"), col("vec_id"),
+          call_function("pq_adc", col("qtab"), col("codes")).as("adc"))
+        .withColumn("srank", row_number().over(wA))
+        .filter(col("srank") <= RerankT)
+        .select(col("qid"), col("vec_id"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(queryVecs(e)), "qid")
+        .select(col("qid"), col("vec_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // PQ top-k (product quantization, Jégou'11 — the storage/
     // bandwidth scale path the other ANN variants don't cover): every
     // corpus vector is ENCODED once into M=16 4-bit codes (nearest of
@@ -1093,6 +1132,40 @@ object SimilarityQueries {
   private val semClusterCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
+
+  private val annStoreCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), String]
+
+  /** PERSISTED IVF-PQ index: the per-vector (cell, codes) rows written
+    * as a table bucketed on the IVF cell — the FAISS on-disk inverted
+    * list made literal in Spark storage (the q_dedup_incremental
+    * signature-store pattern for the similarity family). A probe
+    * filters `cell IN (probed cells)`, which PRUNES BUCKETS at the
+    * scan: only nprobe cells' worth of index bytes are ever read — at
+    * 100 TB the index scan cost is the probed lists, not the corpus
+    * (PlanShapeSpec pins SelectedBucketsCount < total). Built once per
+    * (session, dir); in production the table outlives the session. */
+  private[graft] def annStore(s: SparkSession, d: String): DataFrame = {
+    val name = graft.plans.Lineage.once(annStoreCache, (s, d)) {
+      val tbl = "graft_ann_store_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      // clear a stale catalog entry AND an orphaned managed location
+      // from a previous JVM (the signature-store lesson)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val e = Tables.embeddings(s, d)
+      pqIndex(s, d).join(ivfAssign(e, ivfCentroids(e)), "vec_id")
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
 
   private val pqIndexCache =
     scala.collection.concurrent.TrieMap
@@ -1542,7 +1615,13 @@ object SimilarityQueries {
         FROM e, vf, vf2, mu ORDER BY vec_id"""
   }
 
-  def oracles: Map[String, String] = Map(
+  // the stored-index probe computes the identical output through the
+  // persisted bucketed table, so ONE oracle pins both physical plans
+  // (the q_text_decontaminate / _bloom precedent)
+  def oracles: Map[String, String] =
+    oraclesBase + ("q_ann_ivfpq_stored" -> oraclesBase("q_ann_ivfpq"))
+
+  private def oraclesBase: Map[String, String] = Map(
     "q_embed_pca" -> pcaOracle,
     "q_embed_pca2" -> pca2Oracle,
     // same md5-parity sign matrix, i-ascending fold, exact /sqrt(k)

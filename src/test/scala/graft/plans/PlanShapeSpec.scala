@@ -846,6 +846,34 @@ class PlanShapeSpec extends SparkSpec {
         p.take(2000))
   }
 
+  test("q_ann_ivfpq_stored plan: the persisted index scan is bucketed " +
+      "AND bucket-pruned to the probed cells — index bytes read scale " +
+      "with nprobe, not the corpus; codes are never re-encoded") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_ann_ivfpq_stored")(spark, Dir)
+      .queryExecution.executedPlan
+    val s = p.toString
+    val storeScans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("graft_ann_store_") => f
+    }
+    assert(storeScans.size == 1,
+      s"q_ann_ivfpq_stored: expected exactly one index scan:\n${s.take(2000)}")
+    val scanStr = storeScans.head.toString
+    assert(scanStr.contains("Bucketed: true"),
+      s"q_ann_ivfpq_stored: the index scan lost its bucketing:\n$scanStr")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(scanStr)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"q_ann_ivfpq_stored: bucket pruning did not engage:\n$scanStr")
+    // the PQ encode pass (subspace distance tables against the
+    // codebook) must not re-plan — codes come from the stored table
+    assert(!s.contains("dtab"),
+      s"q_ann_ivfpq_stored: the encoder re-planned at query time:\n" +
+        s.take(2000))
+    }
+  }
+
   test("q_text_curate plan: composes three memoized artifacts with " +
       "two doc_id-keyed joins — no new corpus-wide work") {
     withStaticPlans {
