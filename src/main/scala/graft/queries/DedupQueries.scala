@@ -116,6 +116,39 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // STREAMING incremental dedup — the INGEST-TIME shape of
+    // q_dedup_incremental (the batch gate answers "dedup a dump I
+    // already have"; a production crawler dedups WHILE the dump
+    // arrives): the new dump is replayed chronologically through a
+    // MemoryStream, each micro-batch is sketched in-flight with the
+    // shared [[bandedSigs]] sketch, and band rows stream-static join
+    // the persisted bucketed [[signatureStore]] — the standing
+    // corpus's bytes are never read, per micro-batch or ever.
+    // Emits the verified CROSS pairs only (new × standing, exact
+    // Jaccard ≥ 0.5): within-dump pairs are the batch route's job
+    // (a stream-stream self-join needs an event-time bound this feed
+    // doesn't have; the two gates together cover exactly
+    // q_dedup_incremental's pair set). The mid-feed barrier proves
+    // cross-batch behavior: a pair whose band collision lands in
+    // batch 2 must still emit, and `dropDuplicates(a, b)` state
+    // written by batch 1 must suppress batch-2 re-collisions.
+    // Chunking-invariant: every collision of a pair computes the
+    // same exact Jaccard (a function of the two sketches alone), so
+    // first-seen dedup emits exactly the distinct verified pairs.
+    "q_stream_inc_dedup" -> ((s, d) => {
+      import s.implicits._
+      val store = signatureStore(s, d)
+      val chunks = EventQueries.cachedChunks(s, d, "incdedup")(
+        EventQueries.sortedFeed(Tables.documents(s, d)
+          .filter(col("source") === IncNewSource)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)], "doc_id"))
+      EventQueries.replayToTable(s, chunks)(stream =>
+        graft.streaming.DedupStreams.incDedupStream(
+          stream.toDF.toDF("doc_id", "text"), store))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Near-dup CLUSTERING — the step an LLM pipeline actually ships:
     // pair lists don't deduplicate a corpus, canonical assignments do.
     // The verified LSH pairs ([[lshPairs]]) form an undirected graph;
@@ -925,6 +958,36 @@ object DedupQueries {
           JOIN documents db ON db.doc_id = p.b
           WHERE p.jaccard >= 0.5
             AND (da.source = '$IncNewSource' OR db.source = '$IncNewSource')
+          ORDER BY a, b""",
+    // the same full-corpus pair derivation restricted to CROSS pairs
+    // (exactly one side in the new dump) — the streaming stream-static
+    // route must equal this without re-sketching the standing corpus
+    "q_stream_inc_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+          s AS (SELECT doc_id, $shingle3 AS sh FROM t),
+          hh AS (SELECT doc_id, $shingleHash AS hs FROM s),
+          g AS (SELECT doc_id, hs, $minhash16 AS sig FROM hh),
+          bands AS (SELECT doc_id, hs, b.range AS band,
+                           md5(array_to_string(sig[1 + b.range * 4 : 4 + b.range * 4], ','))
+                             AS bkey
+                    FROM g CROSS JOIN range(0, 4) b),
+          cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                          len(list_intersect(x.hs, y.hs)) AS inter,
+                          len(x.hs) AS la, len(y.hs) AS lb
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                        AND x.doc_id < y.doc_id),
+          pairs AS (SELECT a, b,
+                      MAX(CAST(inter AS DOUBLE) / (la + lb - inter))
+                        AS jaccard
+                    FROM cand GROUP BY a, b)
+          SELECT p.a, p.b, p.jaccard FROM pairs p
+          JOIN documents da ON da.doc_id = p.a
+          JOIN documents db ON db.doc_id = p.b
+          WHERE p.jaccard >= 0.5
+            AND ((da.source = '$IncNewSource') <>
+                 (db.source = '$IncNewSource'))
           ORDER BY a, b""",
     // same pair CTEs as q_dedup_lsh, then a recursive min-label closure
     // (the q_components_converged trick) for canonical assignment

@@ -44,7 +44,7 @@ object EventQueries {
     * micro-batch scheduling across the five gates for no additional
     * coverage (measured: one barrier is ~2× fewer micro-batches).
     */
-  private def replayToTable[A](s: SparkSession, chunks: Seq[Seq[A]],
+  private[queries] def replayToTable[A](s: SparkSession, chunks: Seq[Seq[A]],
       outputMode: String = "append")(
       build: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
         => DataFrame)(
@@ -105,7 +105,7 @@ object EventQueries {
   private[graft] def clearFeeds(s: SparkSession): Unit =
     feedCache.keys.foreach { k => if (k._1 eq s) feedCache.remove(k) }
 
-  private def cachedChunks[A](s: SparkSession, d: String, gate: String)(
+  private[queries] def cachedChunks[A](s: SparkSession, d: String, gate: String)(
       mk: => (Long, Int, Iterator[A])): Vector[Vector[A]] = {
     // a stopped session can never replay again — evict its feeds so the
     // cache cannot pin dead sessions or their heap (ADVICE r8: strong
@@ -128,7 +128,7 @@ object EventQueries {
     * `toLocalIterator` is a handful of jobs, not 32 (measured: an
     * explicit repartitionByRange(4) is ~20% SLOWER than letting AQE
     * pick — the extra sampling pass costs more than it saves). */
-  private def sortedFeed[A](ds: org.apache.spark.sql.Dataset[A],
+  private[queries] def sortedFeed[A](ds: org.apache.spark.sql.Dataset[A],
       tsCol: String): (Long, Int, Iterator[A]) = {
     import scala.jdk.CollectionConverters._
     val n = ds.count()
