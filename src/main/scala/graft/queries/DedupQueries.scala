@@ -795,11 +795,11 @@ object DedupQueries {
           comp AS (SELECT page, MIN(reach) AS canonical_id FROM r
                    GROUP BY page)"""
 
-  private val shingle3 =
+  private[queries] val shingle3 =
     """list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                       for i in range(1, len(toks) - 1)])"""
 
-  private val shingleHash =
+  private[queries] val shingleHash =
     """list_distinct(list_transform(sh,
          s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)))"""
 

@@ -49,6 +49,13 @@ import graft.Tables
 object SimilarityQueries {
 
   private val K = 5
+
+  /** Hybrid retrieval (q_ann_hybrid): df cap for the rare-shingle
+    * inverted index that blocks the lexical leg's candidates — the
+    * same linear-candidate-volume bound as q_dedup_containment's
+    * ContainMaxDf (each rare shingle yields ≤ df postings per query
+    * posting, so candidates stay linear in corpus size). */
+  private val HybridMaxDf = 10
   private val Planes = 6
   // LSH: number of independent hash tables. One 6-plane table with
   // Hamming-1 multiprobe measured recall@5 = 0.28 on sf0.01 (exactly
@@ -1068,6 +1075,78 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // HYBRID retrieval — the RAG-serving shape every retrieval stack
+    // ships (lexical + dense, fused): a DENSE leg (exact cosine top-K;
+    // the dense retriever is pluggable — q_ann_ivfpq_stored proves the
+    // sublinear route with the same output shape) and a LEXICAL leg
+    // (word-3-gram shingle Jaccard top-K — the dedup sketch machinery
+    // re-aimed at retrieval; candidates come from the rare-shingle
+    // inverted index, df ≤ HybridMaxDf, so the leg never goes
+    // quadratic), fused by reciprocal-rank fusion (Cormack'09:
+    // score = Σ 1/(60 + rank) over the lists the doc appears in).
+    // RRF needs no score calibration between legs — only ranks cross
+    // the fusion boundary, which is also what makes it exact
+    // cross-engine: each 1/(60+r) is one IEEE division and the sum is
+    // one addition, identical expressions both sides. Scale: dense leg
+    // = one narrow corpus pass (broadcast queries); lexical leg =
+    // df-capped postings join; fusion joins two K-row-per-query lists.
+    "q_ann_hybrid" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val wD = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val dense = e.crossJoin(broadcast(queryVecs(e)))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cos.as("cos"))
+        .withColumn("drk", row_number().over(wD))
+        .filter(col("drk") <= K)
+        .select(col("qid"), col("vec_id").as("id"), col("drk"))
+      // lexical leg: shared sketch with the dedup gates (same
+      // word_shingle_hashes → sorted distinct hash32 sets). The hs
+      // frame feeds the postings explode AND both sides of the
+      // candidate-scoring join — persist it so the narrow shingle
+      // pass runs once, not three times (the self-join rule); the
+      // K-row-per-query result is checkpointed, then the cache drops.
+      val hsM = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), "\\s+"))
+        .select(col("doc_id"),
+          call_function("word_shingle_hashes", col("toks"), lit(3)).as("hs"))
+        .persist()
+      val ex = hsM.select(col("doc_id"), explode(col("hs")).as("g"))
+      val rare = ex.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, HybridMaxDf)).select("g")
+      val posts = ex.join(rare, "g")
+      val qp = posts.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), col("g"))
+      val cand = posts.join(qp, "g")
+        .filter(col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id").as("id")).distinct()
+      val wL = Window.partitionBy(col("qid"))
+        .orderBy(col("lex").desc, col("id"))
+      val lex0 = cand
+        .join(hsM.select(col("doc_id").as("qid"), col("hs").as("qhs")), "qid")
+        .join(hsM.select(col("doc_id").as("id"), col("hs").as("dhs")), "id")
+        .select(col("qid"), col("id"),
+          graft.dedup.Dedup.jaccardSorted(col("qhs"), col("dhs")).as("lex"))
+        .withColumn("lrk", row_number().over(wL))
+        .filter(col("lrk") <= K)
+        .select(col("qid"), col("id"), col("lrk"))
+      val lex = graft.plans.Lineage.scratchCheckpoint(lex0)
+      hsM.unpersist(blocking = true)
+      // RRF fusion: full outer join of the two K-lists; a doc missing
+      // from a leg contributes 0 from that leg (the standard rule)
+      val fused = dense.join(lex, Seq("qid", "id"), "full_outer")
+        .select(col("qid"), col("id"),
+          (coalesce(lit(1.0) / (lit(60) + col("drk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("lrk")), lit(0.0))).as("rrf"))
+      val wF = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("id"))
+      fused.withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= K)
+        .select(col("qid"), col("rank"), col("id"), col("rrf"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // PQ top-k (product quantization, Jégou'11 — the storage/
     // bandwidth scale path the other ANN variants don't cover): every
     // corpus vector is ENCODED once into M=16 4-bit codes (nearest of
@@ -1667,6 +1746,62 @@ object SimilarityQueries {
                 FROM sc)
           SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
           ORDER BY qid, rank""",
+    // dense leg = the bruteforce CTEs; lexical leg = the dedup gates'
+    // shingle-hash CTEs + rare-shingle blocking; RRF = 1/(60+rank)
+    // per present leg. hh is MATERIALIZED: it feeds three consumers
+    // and DuckDB re-evaluates inlined CTEs per reference.
+    "q_ann_hybrid" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
+                     FROM embeddings),
+          q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
+                WHERE vec_id % 100 = 0),
+          sc AS (SELECT q.qid, e.vec_id,
+                        list_sum([q.qv[i] * e.v[i]
+                                  for i in range(1, len(q.qv) + 1)]) /
+                              (q.qn * e.nrm) AS cos
+                 FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+          dense AS (SELECT qid, vec_id AS id,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY cos DESC, vec_id) AS drk
+                    FROM sc QUALIFY drk <= $K),
+          t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM documents),
+          s2 AS (SELECT doc_id, ${DedupQueries.shingle3} AS sh FROM t),
+          hh AS MATERIALIZED (SELECT doc_id,
+                                     ${DedupQueries.shingleHash} AS hs
+                              FROM s2),
+          ex AS (SELECT doc_id, UNNEST(hs) AS g FROM hh),
+          rare AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM ex
+                                  GROUP BY g)
+                   WHERE df BETWEEN 2 AND $HybridMaxDf),
+          posts AS (SELECT e2.doc_id, e2.g FROM ex e2
+                    JOIN rare r ON r.g = e2.g),
+          qp AS (SELECT doc_id AS qid, g FROM posts WHERE doc_id % 100 = 0),
+          cand AS (SELECT DISTINCT qp.qid, p.doc_id AS id FROM posts p
+                   JOIN qp ON qp.g = p.g AND p.doc_id <> qp.qid),
+          lexsc AS (SELECT c.qid, c.id,
+                      CAST(len(list_intersect(hq.hs, hd.hs)) AS DOUBLE) /
+                        (CAST(len(hq.hs) AS DOUBLE) + CAST(len(hd.hs) AS DOUBLE)
+                         - CAST(len(list_intersect(hq.hs, hd.hs)) AS DOUBLE))
+                        AS lex
+                    FROM cand c JOIN hh hq ON hq.doc_id = c.qid
+                    JOIN hh hd ON hd.doc_id = c.id),
+          lex AS (SELECT qid, id,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY lex DESC, id) AS lrk
+                  FROM lexsc QUALIFY lrk <= $K),
+          fused AS (SELECT COALESCE(d.qid, l.qid) AS qid,
+                           COALESCE(d.id, l.id) AS id,
+                           COALESCE(CAST(1 AS DOUBLE) / (60 + d.drk),
+                                    CAST(0 AS DOUBLE)) +
+                           COALESCE(CAST(1 AS DOUBLE) / (60 + l.lrk),
+                                    CAST(0 AS DOUBLE)) AS rrf
+                    FROM dense d FULL OUTER JOIN lex l
+                      ON d.qid = l.qid AND d.id = l.id)
+          SELECT qid, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY rrf DESC, id) AS rank, id, rrf
+          FROM fused QUALIFY rank <= $K ORDER BY qid, rank""",
     "q_ann_lsh" ->
       s"""WITH planes AS (SELECT tt.range AS t, tj.range AS j,
                   [(CAST(('0x' || substring(md5(CAST(tt.range AS VARCHAR) || ':' ||
