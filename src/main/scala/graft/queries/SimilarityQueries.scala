@@ -56,6 +56,49 @@ object SimilarityQueries {
     * ContainMaxDf (each rare shingle yields ≤ df postings per query
     * posting, so candidates stay linear in corpus size). */
   private val HybridMaxDf = 10
+
+  /** q_ann_hybrid's LEXICAL leg: word-3-gram shingle Jaccard top-K per
+    * query over rare-shingle inverted-index candidates — the dedup
+    * sketch machinery re-aimed at retrieval. The hs frame feeds the
+    * postings explode AND both sides of the candidate-scoring join —
+    * persisted so the narrow shingle pass runs once, not three times
+    * (the self-join rule); the K-row-per-query result is checkpointed,
+    * then the cache drops. `materialize = false` returns the lazy leg
+    * plan for shape inspection only (AnnPlanShapeSpec). */
+  private[graft] def hybridLexical(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val hs0 = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"),
+        call_function("word_shingle_hashes", col("toks"), lit(3)).as("hs"))
+    val hsM = if (materialize) hs0.persist() else hs0
+    val ex = hsM.select(col("doc_id"), explode(col("hs")).as("g"))
+    val rare = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, HybridMaxDf)).select("g")
+    val posts = ex.join(rare, "g")
+    val qp = posts.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("g"))
+    val cand = posts.join(qp, "g")
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id").as("id")).distinct()
+    val wL = Window.partitionBy(col("qid"))
+      .orderBy(col("lex").desc, col("id"))
+    val lex0 = cand
+      .join(hsM.select(col("doc_id").as("qid"), col("hs").as("qhs")), "qid")
+      .join(hsM.select(col("doc_id").as("id"), col("hs").as("dhs")), "id")
+      .select(col("qid"), col("id"),
+        graft.dedup.Dedup.jaccardSorted(col("qhs"), col("dhs")).as("lex"))
+      .withColumn("lrk", row_number().over(wL))
+      .filter(col("lrk") <= K)
+      .select(col("qid"), col("id"), col("lrk"))
+    if (!materialize) lex0
+    else {
+      val fin = graft.plans.Lineage.scratchCheckpoint(lex0)
+      hsM.unpersist(blocking = true)
+      fin
+    }
+  }
   private val Planes = 6
   // LSH: number of independent hash tables. One 6-plane table with
   // Hamming-1 multiprobe measured recall@5 = 0.28 on sf0.01 (exactly
@@ -1101,38 +1144,7 @@ object SimilarityQueries {
         .withColumn("drk", row_number().over(wD))
         .filter(col("drk") <= K)
         .select(col("qid"), col("vec_id").as("id"), col("drk"))
-      // lexical leg: shared sketch with the dedup gates (same
-      // word_shingle_hashes → sorted distinct hash32 sets). The hs
-      // frame feeds the postings explode AND both sides of the
-      // candidate-scoring join — persist it so the narrow shingle
-      // pass runs once, not three times (the self-join rule); the
-      // K-row-per-query result is checkpointed, then the cache drops.
-      val hsM = Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), "\\s+"))
-        .select(col("doc_id"),
-          call_function("word_shingle_hashes", col("toks"), lit(3)).as("hs"))
-        .persist()
-      val ex = hsM.select(col("doc_id"), explode(col("hs")).as("g"))
-      val rare = ex.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, HybridMaxDf)).select("g")
-      val posts = ex.join(rare, "g")
-      val qp = posts.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("qid"), col("g"))
-      val cand = posts.join(qp, "g")
-        .filter(col("doc_id") =!= col("qid"))
-        .select(col("qid"), col("doc_id").as("id")).distinct()
-      val wL = Window.partitionBy(col("qid"))
-        .orderBy(col("lex").desc, col("id"))
-      val lex0 = cand
-        .join(hsM.select(col("doc_id").as("qid"), col("hs").as("qhs")), "qid")
-        .join(hsM.select(col("doc_id").as("id"), col("hs").as("dhs")), "id")
-        .select(col("qid"), col("id"),
-          graft.dedup.Dedup.jaccardSorted(col("qhs"), col("dhs")).as("lex"))
-        .withColumn("lrk", row_number().over(wL))
-        .filter(col("lrk") <= K)
-        .select(col("qid"), col("id"), col("lrk"))
-      val lex = graft.plans.Lineage.scratchCheckpoint(lex0)
-      hsM.unpersist(blocking = true)
+      val lex = hybridLexical(s, d)
       // RRF fusion: full outer join of the two K-lists; a doc missing
       // from a leg contributes 0 from that leg (the standard rule)
       val fused = dense.join(lex, Seq("qid", "id"), "full_outer")

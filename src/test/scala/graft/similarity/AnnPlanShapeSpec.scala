@@ -48,6 +48,34 @@ class AnnPlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_hybrid plan: equi-joined legs — no cartesian product") {
+    withPinnedConfs {
+      val df = graft.SparkEntry.queries("q_ann_hybrid")(spark, Dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // the dense leg's query broadcast is a deliberate
+      // BroadcastNestedLoopJoin (bounded query set × corpus scan);
+      // everything else must stay equi-keyed. The fusion join is two
+      // K-row-per-query lists — any join strategy is fine there, just
+      // never a cartesian product.
+      assert(!plan.contains("CartesianProduct"),
+        s"q_ann_hybrid: a leg degenerated to a cartesian product:\n" +
+          plan.take(2000))
+      // the LEXICAL leg (checkpointed out of the fused plan): postings,
+      // candidates and scoring are all equi-joins over the df-capped
+      // inverted index — a CartesianProduct or non-equi BNLJ here means
+      // the leg degenerated to all-pairs
+      val lexPlan = graft.queries.SimilarityQueries
+        .hybridLexical(spark, Dir, materialize = false)
+        .queryExecution.sparkPlan.toString
+      assert(!lexPlan.contains("CartesianProduct"),
+        s"lexical leg degenerated to a cartesian product:\n" +
+          lexPlan.take(2000))
+      assert(!lexPlan.contains("BroadcastNestedLoopJoin"),
+        s"lexical leg has a non-equi join:\n" + lexPlan.take(2000))
+    }
+  }
+
   test("q_text_mixture plan: totals broadcast back, no sort-merge") {
     withPinnedConfs {
       val df = graft.SparkEntry.queries("q_text_mixture")(spark, Dir)
