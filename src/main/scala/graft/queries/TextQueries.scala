@@ -523,6 +523,12 @@ object TextQueries {
     * [[graft.functions.BpeSymbolsUtil.Sep]]. */
   private val BpeSep = graft.functions.BpeSymbolsUtil.Sep.toString
 
+  /** Per-source token budget for the ONLINE admission gate
+    * (q_stream_mixture) — sized so every source both admits documents
+    * and exhausts its budget at the gate SFs (the non-vacuity rule:
+    * an admission gate that never rejects tests nothing). */
+  private val StreamMixBudget = 2000L
+
   /** The merged symbol string for `text` under the TRAINED 1200-rule
     * merge table (resources/graft/bpe_merges.txt, trained by
     * tools/train_bpe.py on public English prose — VERDICT r8 item 5;
@@ -1007,6 +1013,37 @@ object TextQueries {
         .withColumn("epochs",
           col("alloc").cast("double") / col("tot").cast("double"))
         .orderBy(col("source"))
+    }),
+
+    // ONLINE token-budget admission — q_text_mixture's fill rule AS A
+    // STREAM ([[graft.streaming.TextStreams.mixtureAdmitStream]]): the
+    // batch gate sorts a corpus it already has; a production ingest
+    // admits or rejects documents AS THEY ARRIVE, with each source's
+    // spent budget carried across micro-batches in
+    // flatMapGroupsWithState state (one long per source). Documents
+    // feed in deterministic md5(doc_id) order, are BPE-tokenized
+    // IN-FLIGHT (same native bpe_symbols expression as the batch
+    // gates), and a doc is admitted iff its cumulative total fits the
+    // budget — or it is the source's first (the q_text_pack
+    // oversized-first rule); the total advances by every doc, admitted
+    // or not, exactly the batch window's cumulative-sum semantics, so
+    // the emitted set is the md5-order prefix per source —
+    // chunking-invariant, and the mid-feed barrier proves the spent
+    // totals survive the batch boundary. No phase-1 prune here: the
+    // stream can't know totals it hasn't seen — the two gates state
+    // the same rule from both deployment shapes.
+    "q_stream_mixture" -> ((s, d) => {
+      import s.implicits._
+      val chunks = EventQueries.cachedChunks(s, d, "mixture")(
+        EventQueries.sortedFeed(Tables.documents(s, d)
+          .select(md5(col("doc_id").cast("string")).as("h"),
+            col("doc_id"), col("source"), col("text"))
+          .as[(String, Long, String, String)], "h"))
+      EventQueries.replayToTable(s, chunks)(stream =>
+        graft.streaming.TextStreams.mixtureAdmitStream(
+          stream.toDF.toDF("h", "doc_id", "source", "text"),
+          StreamMixBudget).toDF())
+        .orderBy(col("source"), col("cum_tok"), col("doc_id"))
     }),
 
     // PII detection + redaction — the mandatory privacy pass of a
@@ -2050,6 +2087,25 @@ object TextQueries {
                  FROM p)
            SELECT source, doc_id, n_tok, cum_tok FROM c
            WHERE cum_tok <= 1000 OR cum_tok - n_tok = 0
+           ORDER BY source, cum_tok, doc_id""",
+      // the ONLINE admission gate: the same fill rule, no phase-1
+      // prune (a stream can't know totals it hasn't seen), cumulative
+      // window in full-md5-hex feed order — must equal the streamed
+      // flatMapGroupsWithState fold exactly
+      "q_stream_mixture" ->
+        s"""WITH d AS (SELECT doc_id, source,
+                    CAST(len(sym) - len(replace(sym, chr(1), '')) AS BIGINT)
+                      AS n_tok,
+                    md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM (SELECT doc_id, source, $bpeSymbolsSql AS sym
+                      FROM documents)),
+           c AS (SELECT source, doc_id, n_tok,
+                        CAST(SUM(n_tok) OVER (PARTITION BY source
+                          ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum_tok
+                 FROM d)
+           SELECT doc_id, source, n_tok, cum_tok FROM c
+           WHERE cum_tok <= $StreamMixBudget OR cum_tok - n_tok = 0
            ORDER BY source, cum_tok, doc_id""",
       // same sqrt temperature weights (source-sorted fold), same floor'd
       // per-source budgets, same fill rule

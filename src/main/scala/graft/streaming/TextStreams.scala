@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Streaming text-pipeline transforms — the ingest-time counterparts
+  * of the batch `TextQueries` gates (Spark's unified model: the same
+  * expressions run under both engines; what streaming ADDS here is
+  * genuine cross-batch state).
+  */
+object TextStreams {
+
+  /** One admitted document: its BPE token count and the source's
+    * running total INCLUDING it (the batch q_text_mixture columns). */
+  final case class Admitted(doc_id: Long, source: String,
+                            n_tok: Long, cum_tok: Long)
+
+  /** ONLINE token-budget admission — the ingest-time shape of
+    * q_text_mixture's fill rule (the batch gate fills a per-source
+    * budget from a corpus it can sort; a production ingest admits or
+    * rejects documents AS THEY ARRIVE and must remember how much of
+    * each source's budget is spent across micro-batches): documents
+    * stream in deterministic hash order, each is BPE-tokenized
+    * in-flight (the same native `bpe_symbols` expression as the batch
+    * gates), and a per-source running total lives in
+    * `flatMapGroupsWithState` state. A document is admitted iff the
+    * budget was not already filled before it — admitted when its
+    * cumulative total fits, or when it is the source's FIRST document
+    * (the q_text_pack oversized-first rule); the total advances by
+    * EVERY document, admitted or not, exactly like the batch window's
+    * cumulative sum over the ordered feed.
+    *
+    * Scale: state is ONE long per source; per-batch work is one sort
+    * of that batch's per-source rows (the chronological-feed contract
+    * all replay gates share — cross-batch order rides the feed, the
+    * in-batch sort restores what `groupByKey` shuffles away).
+    *
+    * `docs` columns: (h: md5 hex of doc_id — the deterministic feed
+    * order, doc_id, source, text). */
+  def mixtureAdmitStream(docs: DataFrame, budget: Long): Dataset[Admitted] = {
+    val s = docs.sparkSession
+    graft.GraftFunctions.register(s)
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sep = graft.functions.BpeSymbolsUtil.Sep.toString
+    val sym = call_function("bpe_symbols", col("text"))
+    val withTok = docs
+      .withColumn("n_bpe",
+        (length(sym) - length(replace(sym, lit(sep), lit("")))).cast("long"))
+      .select(col("h"), col("doc_id"), col("source"), col("n_bpe"))
+      .as[(String, Long, String, Long)]
+    withTok.groupByKey(_._3)
+      .flatMapGroupsWithState[Long, Admitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source, rows, state) =>
+          var total = state.getOption.getOrElse(0L)
+          val admitted = Seq.newBuilder[Admitted]
+          // in-batch hash order; cross-batch order rides the sorted feed
+          rows.toSeq.sortBy(r => (r._1, r._2)).foreach {
+            case (_, id, _, n) =>
+              val prior = total
+              total += n
+              if (total <= budget || prior == 0L)
+                admitted += Admitted(id, source, n, total)
+          }
+          state.update(total)
+          admitted.result().iterator
+      }
+  }
+}
