@@ -10,6 +10,36 @@ import org.apache.spark.sql.functions._
   */
 object TextStreams {
 
+  /** Streaming decontamination — the INGEST-TIME contamination screen
+    * (q_text_decontaminate's flag as documents arrive): each streamed
+    * document's word-8-gram 60-bit digests are generated in-flight
+    * (the same native `word_gram_hashes60` expression as the batch
+    * gates), pruned by the STATIC eval-set bloom INSIDE the stream's
+    * scan stage (only the surviving sliver — true overlaps +
+    * fpp·windows — reaches any join), then exactly verified by a
+    * stream-static left-semi join against the deduplicated eval gram
+    * set, which kills the bloom's false positives (false negatives are
+    * impossible, so the emitted set is exact regardless of fpp — the
+    * q_text_decontaminate_bloom law, restated under the stream).
+    * Emits each contaminated doc_id once: `dropDuplicates` state is
+    * bounded by the CONTAMINATED population, not the corpus.
+    * Window counting (n_overlap / n_windows) stays the batch gate's
+    * job — a stream in append mode flags, it doesn't aggregate. */
+  def decontaminateStream(docs: DataFrame, evalGrams: DataFrame,
+      bloomBytes: Array[Byte]): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        explode(call_function("word_gram_hashes60",
+          graft.functions.TextFunctions.tokens(col("text")), lit(8)))
+          .as("h"))
+      .filter(call_function("bloom_might_contain",
+        lit(bloomBytes), col("h")))
+      .join(evalGrams, Seq("h"), "left_semi")
+      .select("doc_id")
+      .dropDuplicates("doc_id")
+  }
+
   /** One admitted document: its BPE token count and the source's
     * running total INCLUDING it (the batch q_text_mixture columns). */
   final case class Admitted(doc_id: Long, source: String,
