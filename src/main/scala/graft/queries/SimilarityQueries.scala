@@ -1118,6 +1118,54 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // INCREMENTAL index maintenance — the q_dedup_incremental shape
+    // for the ANN family (a production index is APPENDED to, never
+    // rebuilt): the new dump (the id range above the high-water mark —
+    // a range predicate, so the encode's scan never reads a standing
+    // byte) is PQ-encoded + IVF-assigned at query time under the
+    // FROZEN quantizers ([[annStoreStanding]] — FAISS add vs train),
+    // unioned with the persisted standing store, and searched with
+    // exactly the q_ann_ivfpq_stored strategy. Because encoding is
+    // per-row under one codebook, encode(standing) ∪ encode(new) ≡
+    // encode(full) — the search result equals the full stored index's
+    // row for row (AnnIncrementalSpec pins it; the oracle is shared
+    // with q_ann_ivfpq). Scale: query cost = O(new dump encode) +
+    // the stored search's bucket-pruned probes.
+    "q_ann_incremental" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val standing = annStoreStanding(s, d)
+      val newE = e.filter(col("vec_id") >= incVecThreshold(s, d))
+      val newEnc = pqEncode(newE, PqSeedRule, cbFrom = Some(e))
+        .join(ivfAssign(newE, ivfCentroids(e)), "vec_id")
+      val store = standing.unionByName(
+        newEnc.select(standing.columns.map(col).toIndexedSeq: _*))
+      val cents = ivfCentroids(e)
+      val probes = ivfProbes(e, cents, nprobe = 3)
+        .select(col("qid"), col("pcell"))
+      val cellSet = probes.select("pcell").distinct()
+        .collect().map(_.getLong(0))
+      val wA = Window.partitionBy(col("qid"))
+        .orderBy(col("adc"), col("vec_id"))
+      val shortlist = store.filter(col("cell").isin(cellSet: _*))
+        .join(broadcast(probes),
+          col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+        .join(broadcast(pqQueryTabs(e)), "qid")
+        .select(col("qid"), col("vec_id"),
+          call_function("pq_adc", col("qtab"), col("codes")).as("adc"))
+        .withColumn("srank", row_number().over(wA))
+        .filter(col("srank") <= RerankT)
+        .select(col("qid"), col("vec_id"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(queryVecs(e)), "qid")
+        .select(col("qid"), col("vec_id"), cos.as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // HYBRID retrieval — the RAG-serving shape every retrieval stack
     // ships (lexical + dense, fused): a DENSE leg (exact cosine top-K;
     // the dense retriever is pluggable — q_ann_ivfpq_stored proves the
@@ -1258,6 +1306,55 @@ object SimilarityQueries {
     s.table(name)
   }
 
+  /** q_ann_incremental: the "new dump" is the id range ABOVE the
+    * high-water mark (appends get new ids — the realistic incremental
+    * shape, and a RANGE predicate pushes to the parquet scan, unlike a
+    * modulo rule: the standing corpus's bytes are never read by the
+    * query-time encode). Threshold = max_id − max_id/10, a ~10% slice
+    * at any SF; the 1-row max agg is the N-counter contract. Memoized
+    * per (session, dir). */
+  private val incVecThrCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), Long]
+
+  private[graft] def incVecThreshold(s: SparkSession, d: String): Long =
+    graft.plans.Lineage.once(incVecThrCache, (s, d)) {
+      val hi = Tables.embeddings(s, d).agg(max("vec_id")).head.getLong(0)
+      hi - hi / 10
+    }
+
+  private val annStandingCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), String]
+
+  /** The STANDING ANN store — [[annStore]] minus the new dump
+    * ([[incVecThreshold]] and above): the persisted index as it
+    * existed before the dump arrived. Codebook and IVF centroids are
+    * FROZEN INDEX PARAMETERS derived from the full corpus (a real
+    * index never re-trains its quantizers on append — FAISS add vs
+    * train; and the gate needs encode(standing) ∪ encode(new) ≡
+    * encode(full), which only holds under one codebook). */
+  private[graft] def annStoreStanding(s: SparkSession, d: String): DataFrame = {
+    val name = graft.plans.Lineage.once(annStandingCache, (s, d)) {
+      val tbl = "graft_ann_standing_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val e = Tables.embeddings(s, d)
+      val standing = e.filter(col("vec_id") < incVecThreshold(s, d))
+      pqEncode(standing, PqSeedRule, cbFrom = Some(e))
+        .join(ivfAssign(standing, ivfCentroids(e)), "vec_id")
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
   private val pqIndexCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
@@ -1299,9 +1396,10 @@ object SimilarityQueries {
     * An empty codebook (no seed-rule matches) encodes to zero rows —
     * total, never an ANSI element_at error. */
   private[graft] def pqEncode(e0: DataFrame,
-      seedRule: Column = PqSeedRule): DataFrame = {
+      seedRule: Column = PqSeedRule,
+      cbFrom: Option[DataFrame] = None): DataFrame = {
     val e = widen(e0)
-    e.crossJoin(broadcast(centroids(e, seedRule)))
+    e.crossJoin(broadcast(centroids(cbFrom.getOrElse(e), seedRule)))
       .withColumn("dtab", expr(dtabExpr("embedding", "cs")))
       .select(col("vec_id"),
         expr("transform(dtab, dl -> cast(array_position(dl, array_min(dl)) - 1 as int))")
@@ -1710,7 +1808,11 @@ object SimilarityQueries {
   // persisted bucketed table, so ONE oracle pins both physical plans
   // (the q_text_decontaminate / _bloom precedent)
   def oracles: Map[String, String] =
-    oraclesBase + ("q_ann_ivfpq_stored" -> oraclesBase("q_ann_ivfpq"))
+    oraclesBase +
+      ("q_ann_ivfpq_stored" -> oraclesBase("q_ann_ivfpq")) +
+      // appending to an index never changes an answer: encode is
+      // per-row under frozen quantizers, so standing ∪ new ≡ full
+      ("q_ann_incremental" -> oraclesBase("q_ann_ivfpq"))
 
   private def oraclesBase: Map[String, String] = Map(
     "q_embed_pca" -> pcaOracle,

@@ -184,20 +184,31 @@ object TextQueries {
       .empty[(SparkSession, String), (DataFrame, Array[Byte])]
 
   private def decontEvalArtifacts(s: SparkSession,
-      d: String): (DataFrame, Array[Byte]) =
+      d: String): (DataFrame, Array[Byte]) = {
+    // a stopped session's artifacts can never serve again — evict, so
+    // the cache can't pin dead sessions, their checkpoint or the bloom
+    // bytes (the ADVICE r8 strong-key lesson)
+    graft.plans.Lineage.sweepStoppedKeys(decontEvalCache)(_._1)
     graft.plans.Lineage.once(decontEvalCache, (s, d)) {
       graft.GraftFunctions.register(s)
       val evalWins = Tables.documents(s, d)
         .filter(col("source") === "src0")
         .select(explode(call_function("word_gram_hashes60", toks, lit(8)))
           .as("h"))
+      // checkpoint + PIN: this frame is memoized ACROSS queries, so it
+      // must be exempt from the harness's per-query freeScratch (the
+      // decontBloom precedent — an unpinned memoized checkpoint loses
+      // its blocks after the first bench query and every later reuse
+      // dies with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
       val evalGrams = graft.plans.Lineage.scratchCheckpoint(
         evalWins.distinct())
+      graft.plans.Lineage.pin(evalGrams)
       val bloom = evalWins.stat.bloomFilter("h", 1000000L, 0.01)
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       (evalGrams, bos.toByteArray)
     }
+  }
 
   private def decontBloomBuild(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.register(s)
