@@ -527,7 +527,12 @@ case class Winnow(child: Expression, w: Int) extends UnaryExpression {
   require(w >= 1, s"window width must be >= 1, got $w")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      // getLong on a null slot would silently read 0 — and 0 wins every
+      // window minimum, fabricating a fingerprint; reject at analysis
+      "winnow expects array<bigint> with non-null elements " +
+        "(wrap with filter(x, h -> h is not null) first)")
     case other => TypeCheckResult.TypeCheckFailure(
       s"winnow expects array<bigint>, got ${other.simpleString}")
   }

@@ -477,9 +477,15 @@ object DedupQueries {
     * standing corpus's signatures — only the (small) new dump's. */
   private val IncBuckets = 8
 
+  /** Keyed by SparkContext, not SparkSession: the persisted table is a
+    * CATALOG artifact — sibling sessions of one context share the
+    * catalog, and a per-session key would have the second session
+    * destructively DROP + rewrite the store the first is serving
+    * (FileNotFoundException mid-probe, or silently partial pairs).
+    * Stopped contexts are swept so dead drivers don't pin. */
   private val sigStoreCache =
     scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), String]
+      .empty[(org.apache.spark.SparkContext, String), String]
   private val incNewCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
@@ -489,7 +495,7 @@ object DedupQueries {
     * same 16-perm signatures, same 4×4 banding), factored out so the
     * signature store build and the new-dump probe share ONE
     * definition (a drifted sketch would silently miss pairs). */
-  private def bandedSigs(docs: DataFrame): DataFrame = {
+  private[graft] def bandedSigs(docs: DataFrame): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("toks", split(col("text"), "\\s+"))
@@ -513,7 +519,10 @@ object DedupQueries {
     * sketch rides along so candidate verification stays exact without
     * a corpus lookup. */
   private[graft] def signatureStore(s: SparkSession, d: String): DataFrame = {
-    val name = graft.plans.Lineage.once(sigStoreCache, (s, d)) {
+    sigStoreCache.keys.foreach { k =>
+      if (k._1.isStopped) sigStoreCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(sigStoreCache, (s.sparkContext, d)) {
       val tbl = "graft_sig_store_" + org.apache.commons.codec.digest
         .DigestUtils.md5Hex(d).take(8)
       // a previous JVM may have left the managed LOCATION on disk

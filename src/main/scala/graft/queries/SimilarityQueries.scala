@@ -1088,35 +1088,8 @@ object SimilarityQueries {
     // with nprobe, not with the corpus. Search semantics are identical
     // to q_ann_ivfpq (same probes, ADC, shortlist, refine), proven by
     // AnnStoredSpec's row-for-row equality and the shared oracle.
-    "q_ann_ivfpq_stored" -> ((s, d) => {
-      graft.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-      val store = annStore(s, d)
-      val cents = ivfCentroids(e)
-      val probes = ivfProbes(e, cents, nprobe = 3)
-        .select(col("qid"), col("pcell"))
-      val cellSet = probes.select("pcell").distinct()
-        .collect().map(_.getLong(0))
-      val wA = Window.partitionBy(col("qid"))
-        .orderBy(col("adc"), col("vec_id"))
-      val shortlist = store.filter(col("cell").isin(cellSet: _*))
-        .join(broadcast(probes),
-          col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
-        .join(broadcast(pqQueryTabs(e)), "qid")
-        .select(col("qid"), col("vec_id"),
-          call_function("pq_adc", col("qtab"), col("codes")).as("adc"))
-        .withColumn("srank", row_number().over(wA))
-        .filter(col("srank") <= RerankT)
-        .select(col("qid"), col("vec_id"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      e.join(broadcast(shortlist), "vec_id")
-        .join(broadcast(queryVecs(e)), "qid")
-        .select(col("qid"), col("vec_id"), cos.as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .orderBy(col("qid"), col("rank"))
-    }),
+    "q_ann_ivfpq_stored" -> ((s, d) =>
+      storedSearch(Tables.embeddings(s, d), annStore(s, d))),
 
     // INCREMENTAL index maintenance — the q_dedup_incremental shape
     // for the ANN family (a production index is APPENDED to, never
@@ -1138,32 +1111,8 @@ object SimilarityQueries {
       val newE = e.filter(col("vec_id") >= incVecThreshold(s, d))
       val newEnc = pqEncode(newE, PqSeedRule, cbFrom = Some(e))
         .join(ivfAssign(newE, ivfCentroids(e)), "vec_id")
-      val store = standing.unionByName(
-        newEnc.select(standing.columns.map(col).toIndexedSeq: _*))
-      val cents = ivfCentroids(e)
-      val probes = ivfProbes(e, cents, nprobe = 3)
-        .select(col("qid"), col("pcell"))
-      val cellSet = probes.select("pcell").distinct()
-        .collect().map(_.getLong(0))
-      val wA = Window.partitionBy(col("qid"))
-        .orderBy(col("adc"), col("vec_id"))
-      val shortlist = store.filter(col("cell").isin(cellSet: _*))
-        .join(broadcast(probes),
-          col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
-        .join(broadcast(pqQueryTabs(e)), "qid")
-        .select(col("qid"), col("vec_id"),
-          call_function("pq_adc", col("qtab"), col("codes")).as("adc"))
-        .withColumn("srank", row_number().over(wA))
-        .filter(col("srank") <= RerankT)
-        .select(col("qid"), col("vec_id"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      e.join(broadcast(shortlist), "vec_id")
-        .join(broadcast(queryVecs(e)), "qid")
-        .select(col("qid"), col("vec_id"), cos.as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .orderBy(col("qid"), col("rank"))
+      storedSearch(e, standing.unionByName(
+        newEnc.select(standing.columns.map(col).toIndexedSeq: _*)))
     }),
 
     // HYBRID retrieval — the RAG-serving shape every retrieval stack
@@ -1272,9 +1221,10 @@ object SimilarityQueries {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
 
+  /** Context-keyed + swept — see [[annStandingCache]]. */
   private val annStoreCache =
     scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), String]
+      .empty[(org.apache.spark.SparkContext, String), String]
 
   /** PERSISTED IVF-PQ index: the per-vector (cell, codes) rows written
     * as a table bucketed on the IVF cell — the FAISS on-disk inverted
@@ -1286,7 +1236,11 @@ object SimilarityQueries {
     * (PlanShapeSpec pins SelectedBucketsCount < total). Built once per
     * (session, dir); in production the table outlives the session. */
   private[graft] def annStore(s: SparkSession, d: String): DataFrame = {
-    val name = graft.plans.Lineage.once(annStoreCache, (s, d)) {
+    graft.GraftFunctions.register(s) // the encode/assign exprs need them
+    annStoreCache.keys.foreach { k =>
+      if (k._1.isStopped) annStoreCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(annStoreCache, (s.sparkContext, d)) {
       val tbl = "graft_ann_store_" + org.apache.commons.codec.digest
         .DigestUtils.md5Hex(d).take(8)
       // clear a stale catalog entry AND an orphaned managed location
@@ -1315,17 +1269,60 @@ object SimilarityQueries {
     * per (session, dir). */
   private val incVecThrCache =
     scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), Long]
+      .empty[(org.apache.spark.SparkContext, String), Long]
 
-  private[graft] def incVecThreshold(s: SparkSession, d: String): Long =
-    graft.plans.Lineage.once(incVecThrCache, (s, d)) {
+  private[graft] def incVecThreshold(s: SparkSession, d: String): Long = {
+    incVecThrCache.keys.foreach { k =>
+      if (k._1.isStopped) incVecThrCache.remove(k)
+    }
+    graft.plans.Lineage.once(incVecThrCache, (s.sparkContext, d)) {
       val hi = Tables.embeddings(s, d).agg(max("vec_id")).head.getLong(0)
       hi - hi / 10
     }
+  }
 
+  /** ONE stored-index search strategy — q_ann_ivfpq_stored and
+    * q_ann_incremental differ ONLY in the store expression (the
+    * persisted full index vs standing ∪ freshly-encoded dump), so the
+    * probes / cell pruning / ADC shortlist / cosine rerank live here
+    * once: a strategy fix applied to one gate cannot silently diverge
+    * the other (AnnStoredSpec + AnnIncrementalSpec both claim
+    * strategy identity). `store` columns: (vec_id, codes, cell). */
+  private def storedSearch(e: DataFrame, store: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(e.sparkSession)
+    val cents = ivfCentroids(e)
+    val probes = ivfProbes(e, cents, nprobe = 3)
+      .select(col("qid"), col("pcell"))
+    val cellSet = probes.select("pcell").distinct()
+      .collect().map(_.getLong(0))
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("vec_id"))
+    val shortlist = store.filter(col("cell").isin(cellSet: _*))
+      .join(broadcast(probes),
+        col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .join(broadcast(pqQueryTabs(e)), "qid")
+      .select(col("qid"), col("vec_id"),
+        call_function("pq_adc", col("qtab"), col("codes")).as("adc"))
+      .withColumn("srank", row_number().over(wA))
+      .filter(col("srank") <= RerankT)
+      .select(col("qid"), col("vec_id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queryVecs(e)), "qid")
+      .select(col("qid"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Context-keyed like [[DedupQueries.signatureStore]]: the persisted
+    * table is a catalog artifact shared by sibling sessions — a
+    * per-session key would destructively rebuild it under a live
+    * reader. Stopped contexts swept. */
   private val annStandingCache =
     scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), String]
+      .empty[(org.apache.spark.SparkContext, String), String]
 
   /** The STANDING ANN store — [[annStore]] minus the new dump
     * ([[incVecThreshold]] and above): the persisted index as it
@@ -1335,7 +1332,11 @@ object SimilarityQueries {
     * train; and the gate needs encode(standing) ∪ encode(new) ≡
     * encode(full), which only holds under one codebook). */
   private[graft] def annStoreStanding(s: SparkSession, d: String): DataFrame = {
-    val name = graft.plans.Lineage.once(annStandingCache, (s, d)) {
+    graft.GraftFunctions.register(s) // the encode/assign exprs need them
+    annStandingCache.keys.foreach { k =>
+      if (k._1.isStopped) annStandingCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(annStandingCache, (s.sparkContext, d)) {
       val tbl = "graft_ann_standing_" + org.apache.commons.codec.digest
         .DigestUtils.md5Hex(d).take(8)
       s.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -1808,11 +1809,14 @@ object SimilarityQueries {
   // persisted bucketed table, so ONE oracle pins both physical plans
   // (the q_text_decontaminate / _bloom precedent)
   def oracles: Map[String, String] =
-    oraclesBase +
-      ("q_ann_ivfpq_stored" -> oraclesBase("q_ann_ivfpq")) +
-      // appending to an index never changes an answer: encode is
-      // per-row under frozen quantizers, so standing ∪ new ≡ full
-      ("q_ann_incremental" -> oraclesBase("q_ann_ivfpq"))
+    {
+      val base = oraclesBase
+      base +
+        ("q_ann_ivfpq_stored" -> base("q_ann_ivfpq")) +
+        // appending to an index never changes an answer: encode is
+        // per-row under frozen quantizers, so standing ∪ new ≡ full
+        ("q_ann_incremental" -> base("q_ann_ivfpq"))
+    }
 
   private def oraclesBase: Map[String, String] = Map(
     "q_embed_pca" -> pcaOracle,

@@ -165,12 +165,14 @@ object TextQueries {
     * bloom build serves both). (doc_id, n_windows, n_overlap,
     * contaminated) over the non-src0 corpus. Physical-plan and
     * exactness notes live on the gate entry. */
-  private def decontBloom(s: SparkSession, d: String): DataFrame =
+  private def decontBloom(s: SparkSession, d: String): DataFrame = {
+    graft.plans.Lineage.sweepStoppedKeys(decontCache)(_._1)
     graft.plans.Lineage.once(decontCache, (s, d)) {
       val fin = decontBloomBuild(s, d)
       graft.plans.Lineage.pin(fin)
       fin
     }
+  }
 
   /** STATIC eval-side artifacts for the streaming decontamination gate
     * (q_stream_decontaminate): the deduplicated eval gram set
@@ -191,10 +193,13 @@ object TextQueries {
     graft.plans.Lineage.sweepStoppedKeys(decontEvalCache)(_._1)
     graft.plans.Lineage.once(decontEvalCache, (s, d)) {
       graft.GraftFunctions.register(s)
+      // persisted: the window pass feeds TWO consumers (the distinct
+      // gram set and the bloom build) — the decontBloomBuild pattern
       val evalWins = Tables.documents(s, d)
         .filter(col("source") === "src0")
         .select(explode(call_function("word_gram_hashes60", toks, lit(8)))
           .as("h"))
+        .persist()
       // checkpoint + PIN: this frame is memoized ACROSS queries, so it
       // must be exempt from the harness's per-query freeScratch (the
       // decontBloom precedent — an unpinned memoized checkpoint loses
@@ -204,6 +209,7 @@ object TextQueries {
         evalWins.distinct())
       graft.plans.Lineage.pin(evalGrams)
       val bloom = evalWins.stat.bloomFilter("h", 1000000L, 0.01)
+      evalWins.unpersist(blocking = true)
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       (evalGrams, bos.toByteArray)

@@ -39,15 +39,11 @@ object DedupStreams {
     */
   def incDedupStream(newDocs: DataFrame, store: DataFrame,
       tau: Double = 0.5): DataFrame = {
-    graft.GraftFunctions.register(newDocs.sparkSession)
-    val banded = newDocs
-      .withColumn("toks", split(col("text"), "\\s+"))
-      .withColumn("hs",
-        call_function("word_shingle_hashes", col("toks"), lit(3)))
-      .withColumn("sig", call_function("minhash_sig", col("hs"), lit(16)))
-      .select(col("doc_id"), col("hs"),
-        posexplode(expr(Dedup.bandKeysExpr("sig", 4, 4))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    // literally the batch sketch ([[graft.queries.DedupQueries
+    // .bandedSigs]]) applied to the streaming frame — ONE definition,
+    // so the stream can never join drifted signatures against the
+    // store (drift here is silent: band keys just stop colliding)
+    val banded = graft.queries.DedupQueries.bandedSigs(newDocs)
     banded.as("x").join(store.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
