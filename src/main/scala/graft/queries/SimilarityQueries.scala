@@ -410,6 +410,13 @@ object SimilarityQueries {
     * (q_embed_knn). */
   private val KnnK = 3
 
+  /** Bitext-mining knobs (q_embed_bitext): the margin denominator's
+    * neighborhood size (Artetxe & Schwenk'19 use k=4) and the ratio
+    * threshold a mutual-best pair must clear to be mined. Shared
+    * engine/oracle. */
+  private val BtK = 4
+  private val BtThreshold = 1.05
+
   /** Σ_{i=1..64} (x_i − c_i)² in index order between embedding column
     * `x` and a plain array<double> column `c` — the [[kmDistExpr]]
     * fold with the center read from a column instead of a lambda
@@ -516,6 +523,79 @@ object SimilarityQueries {
           col("x.embedding"), col("y.embedding")).as("cos") +:
         carry.flatMap(cn => Seq(col(s"x.$cn").as(cn),
           col(s"y.$cn").as(s"nb_$cn"))): _*)
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk'19, the
+    * LASER/CCMatrix pair-mining criterion) over the blocked cross-side
+    * candidate pairs — q_embed_bitext's engine body, exposed for
+    * BitextSpec. The corpus parity split (even vec_id = "source" side,
+    * odd = "target") stands in for the two languages' encodings in a
+    * shared space; a deployment feeds two real encoder outputs.
+    *
+    *   margin(x, y) = cos(x, y) / ((avgₖ(x) + avgₖ(y)) / 2)
+    *
+    * where avgₖ(v) is the mean cosine of v's BtK nearest CROSS-SIDE
+    * candidates (the ratio margin — penalizes hubs whose neighborhoods
+    * are dense everywhere). Mined pairs are MUTUAL margin-argmaxes
+    * (forward best of x is y AND backward best of y is x) above
+    * [[BtThreshold]].
+    *
+    * Scale shape: candidates ride [[knnPairs]]' memoized k-means
+    * blocking (cluster equi-join — never corpus²); the candidate frame
+    * is checkpointed once for its two consumers (neighborhood stats +
+    * margin scoring); the stats frame is 16 B/vector and joins back on
+    * the pair endpoints (corpus-sized equi-joins, not broadcasts); the
+    * per-side argmaxes are windows bounded by cluster occupancy.
+    * Float contract: avgₖ folds in rank order over the sorted top-k
+    * list (the logprob discipline; DuckDB twin is
+    * list_sum(list(… ORDER BY rk))/n), the margin is the same
+    * division tree both engines, thresholding compares RAW doubles,
+    * and the mined margin presents on the 1e-6 floor grid (the
+    * HllShared/quantize convention). */
+  private[graft] def bitextMined(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
+    // materialize=false leaves the multi-consumer frames unmaterialized
+    // so BitextPlanSpec can pin the WHOLE shape (the hybridLexical
+    // pattern); the gate path checkpoints them (each has 2 consumers)
+    def ckpt(df: DataFrame): DataFrame =
+      if (materialize) graft.plans.Lineage.scratchCheckpoint(df) else df
+    val cross = ckpt(
+      knnPairs(s, d, Nil)
+        .filter(pmod(col("vec_id"), lit(2)) =!= pmod(col("nb"), lit(2))))
+    val wN = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nb"))
+    val stats = ckpt(
+      cross.withColumn("rk", row_number().over(wN))
+        .filter(col("rk") <= BtK)
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("nn"),
+          sort_array(collect_list(struct(col("rk"), col("cos")))).as("cs"))
+        .select(col("vec_id"),
+          (expr("aggregate(cs, cast(0.0 as double), (acc, x) -> acc + x.cos)")
+            / col("nn")).as("avgk")))
+    val scored = cross
+      .join(stats.select(col("vec_id"), col("avgk").as("ax")), Seq("vec_id"))
+      .join(stats.select(col("vec_id").as("nb"), col("avgk").as("ay")),
+        Seq("nb"))
+      .filter(col("ax") + col("ay") =!= lit(0.0))
+      .select(col("vec_id"), col("nb"),
+        (col("cos") / ((col("ax") + col("ay")) / lit(2.0))).as("margin"))
+    val wB = Window.partitionBy(col("vec_id"))
+      .orderBy(col("margin").desc, col("nb"))
+    val best = ckpt(
+      scored.withColumn("brk", row_number().over(wB))
+        .filter(col("brk") === 1))
+    val fwd = best.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("src_id"), col("nb").as("tgt_id"),
+        col("margin"))
+    val bwd = best.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("nb").as("src_id"), col("vec_id").as("tgt_id"))
+    fwd.join(bwd, Seq("src_id", "tgt_id"))
+      .filter(col("margin") > lit(BtThreshold))
+      .select(col("src_id"), col("tgt_id"),
+        (floor(col("margin") * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
+          .as("margin"))
+      .orderBy(col("src_id"))
   }
 
   /** PCA gate (q_embed_pca): fixed-point scale (2²⁰ — the
@@ -904,6 +984,18 @@ object SimilarityQueries {
             .as("clean"))
         .orderBy(col("vec_id"))
     }),
+
+    // Margin-based bitext mining (Artetxe & Schwenk'19) — the
+    // LASER/CCMatrix recipe for harvesting parallel training pairs
+    // from two embedding sets in a shared space: score cross-side
+    // candidates by the RATIO margin (cosine over the mean of both
+    // endpoints' k-NN cosines — calibrates away hub vectors), keep
+    // MUTUAL margin-argmax pairs above a threshold. The parity split
+    // of vec_id stands in for the two sides. Candidates ride the same
+    // memoized k-means blocking as the kNN family — a cluster
+    // equi-join, never corpus² ([[bitextMined]] has the full scale and
+    // float story).
+    "q_embed_bitext" -> ((s, d) => bitextMined(s, d)),
 
     // SemDeDup proper (Abbas et al. 2023): near-duplicate pairs found
     // only WITHIN the learned k-means clusters — the unsupervised
@@ -1637,6 +1729,42 @@ object SimilarityQueries {
   private lazy val knnGraphOracle: String = knnCtes + """
         SELECT vec_id, nb, cos, rank FROM knn ORDER BY vec_id, rank"""
 
+  /** knnCtes' pair join `p` restricted to cross-parity pairs, then the
+    * [[bitextMined]] replay: rank-ordered top-BtK cosine fold per
+    * vector (list_sum(list(… ORDER BY rk)) — the engine's sorted
+    * aggregate fold), the same ratio-margin division tree, per-side
+    * mutual argmaxes, raw-double thresholding, 1e-6 floor-grid
+    * presentation. The trailing `knn` CTE rides along unused. */
+  private lazy val bitextOracle: String = knnCtes + s""",
+        cx AS (SELECT vec_id, nb, cos FROM p
+               WHERE (vec_id % 2) <> (nb % 2)),
+        rkd AS (SELECT vec_id, nb, cos,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, nb ASC) AS rk
+                FROM cx),
+        st AS (SELECT vec_id,
+                      list_sum(list(cos ORDER BY rk)) / count(*) AS avgk
+               FROM rkd WHERE rk <= $BtK GROUP BY vec_id),
+        sc AS (SELECT c.vec_id, c.nb,
+                      c.cos / ((sx.avgk + sy.avgk) / 2) AS margin
+               FROM cx c JOIN st sx ON sx.vec_id = c.vec_id
+                         JOIN st sy ON sy.vec_id = c.nb
+               WHERE sx.avgk + sy.avgk <> 0),
+        bb AS (SELECT vec_id, nb, margin,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY margin DESC, nb ASC) AS brk
+               FROM sc),
+        fw AS (SELECT vec_id AS src_id, nb AS tgt_id, margin
+               FROM bb WHERE brk = 1 AND vec_id % 2 = 0),
+        bw AS (SELECT nb AS src_id, vec_id AS tgt_id
+               FROM bb WHERE brk = 1 AND vec_id % 2 = 1)
+        SELECT f.src_id, f.tgt_id,
+               FLOOR(f.margin * 1.0e6 + 0.5) / 1.0e6 AS margin
+        FROM fw f JOIN bw b
+          ON b.src_id = f.src_id AND b.tgt_id = f.tgt_id
+        WHERE f.margin > $BtThreshold
+        ORDER BY f.src_id"""
+
   /** knnCtes' multiprobe pair join `p`, label-filtered and ranked to
     * the per-anchor top-1 — the q_embed_hardneg replay. The WHERE runs
     * before the window, so the rank is over different-label candidates
@@ -1843,6 +1971,7 @@ object SimilarityQueries {
     "q_embed_kmeans" -> kmeansOracle,
     "q_embed_kcenter" -> kcenterOracle,
     "q_embed_knn" -> knnGraphOracle,
+    "q_embed_bitext" -> bitextOracle,
     "q_embed_label_clean" -> labelCleanOracle,
     "q_embed_smooth" -> smoothOracle,
     "q_dedup_semantic" -> semanticOracle,

@@ -453,6 +453,65 @@ object TextQueries {
           "(acc, x) -> acc + x.term)") / col("n_tok"), 6).as("logprob"))
   }
 
+  /** Interpolation weight on the bigram ML estimate in
+    * [[bigramLmBuild]] (the remaining mass backs off to the unigram) —
+    * 0.75 and 0.25 are exact binary fractions, so the mixture
+    * arithmetic is bit-identical cross-engine. Shared engine/oracle. */
+  private val BigramLambda = 0.75
+
+  /** q_text_bigram_lm's engine body over any (doc_id, text) frame —
+    * exposed for TextBigramLmSpec. Interpolated bigram LM scoring
+    * (Jelinek-Mercer smoothing, the KenLM-class upgrade of
+    * [[logprobPerDocBuild]]'s unigram filter — CCNet's actual
+    * perplexity model is an n-gram LM, not a unigram table):
+    *
+    *   score(doc) = Σ_{i≥2} ln P(wᵢ | wᵢ₋₁) / (n_tok − 1)
+    *   P(w₂ | w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N
+    *
+    * Scale shape: bigram extraction is a NARROW zip_with over each
+    * row's own token array (no self-join, no window — adjacent pairs
+    * never cross the wire raw); per-(doc, w₁, w₂) counts partial-agg
+    * before any shuffle; the bigram table, its context marginal, and
+    * the unigram table are all vocabulary-bounded and stay DISTRIBUTED
+    * (joined on their keys, never broadcast or collected — a
+    * production 5-gram table is far too big to broadcast); only the
+    * 1-row corpus total broadcasts. Float determinism: the per-doc Σ
+    * folds over the (w₁, w₂)-sorted term list (the logprob contract);
+    * the mixture is the same literal expression tree both engines;
+    * presentation is the 1e-6 floor grid (the HllShared convention for
+    * new float columns — round() half-up vs rint diverged once). */
+  private[graft] def bigramLmBuild(docs: DataFrame): DataFrame = {
+    val tt = docs.select(col("doc_id"), toks.as("w"))
+    val bg = tt.select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pd = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    val bgc = pd.groupBy("w1", "w2").agg(sum("m").as("cb"))
+    val ctx = bgc.groupBy("w1").agg(sum("cb").as("cc"))
+    val uni = tt.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").as("n"))
+    // model-table joins are vocabulary-sized; pd is the only
+    // corpus-scale frame and it joins the assembled model ONCE
+    val model = bgc.join(ctx, Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c")), Seq("w2"))
+    pd.join(model, Seq("w1", "w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("w1"), col("w2"),
+        (col("m") * log(lit(BigramLambda) * (col("cb") / col("cc")) +
+          lit(1.0 - BigramLambda) * (col("c") / col("n")))).as("term"),
+        col("m"))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_bigram"),
+        sort_array(collect_list(struct(col("w1"), col("w2"), col("term"))))
+          .as("ts"))
+      .select(col("doc_id"), col("n_bigram"),
+        (floor(expr("aggregate(ts, cast(0.0 as double), " +
+          "(acc, x) -> acc + x.term)") / col("n_bigram")
+          * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("logprob_bi"))
+  }
+
   /** DSIR hashed-feature bucket count (q_text_dsir): both distribution
     * tables are ≤ this many rows at ANY corpus scale — the paper's
     * hashed n-gram trick. Shared engine/oracle. */
@@ -1506,6 +1565,18 @@ object TextQueries {
     // wiggle is libm ln(), absorbed by round(…, 6)).
     "q_text_logprob" -> ((s, d) => logprobPerDoc(s, d).orderBy(col("doc_id"))),
 
+    // Interpolated BIGRAM-LM scoring (Jelinek-Mercer smoothing) — the
+    // n-gram upgrade of q_text_logprob: CCNet's real perplexity filter
+    // is a KenLM n-gram model, and the bigram mixture is its minimal
+    // faithful form (context-conditional ML estimate backed off to the
+    // unigram). Docs with a single token have no bigrams and drop out,
+    // same as the oracle. Scale + float story on [[bigramLmBuild]] —
+    // the headline property: every model table (bigram, context
+    // marginal, unigram) stays DISTRIBUTED and joined on its key; the
+    // vocabulary never broadcasts, exactly like q_text_logprob.
+    "q_text_bigram_lm" -> ((s, d) =>
+      bigramLmBuild(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
     // CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     // §4.4): partition the corpus into thirds by LM score — "head"
     // (most fluent) is what the paper keeps for pretraining. Buckets
@@ -1693,6 +1764,45 @@ object TextQueries {
            f AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tok,
                    list_sum(list(term ORDER BY tok)) AS s
                  FROM terms GROUP BY doc_id)"""
+
+  /** [[bigramLmBuild]]'s replay: the same \s+ tokenization, adjacent
+    * pairs via range(1, len(w)) (exclusive end — i = 1..len−1, the
+    * zip_with twin), the same count chain, the same λ-mixture
+    * expression tree (λ spelled as a DOUBLE cast so DuckDB's DECIMAL
+    * literal can't widen differently), the (w1, w2)-ordered fold, and
+    * the 1e-6 floor-grid presentation. */
+  private val bigramLmOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+                          string_split_regex(text, '\\s+') AS w
+                   FROM documents),
+        bp AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(w)),
+                        i -> {'w1': w[i], 'w2': w[i + 1]})) AS bg
+               FROM t),
+        b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bp),
+        pd AS (SELECT doc_id, w1, w2, count(*) AS m FROM b
+               GROUP BY 1, 2, 3),
+        bgc AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS cb FROM pd
+                GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cc FROM bgc
+                GROUP BY 1),
+        u AS (SELECT unnest(w) AS tok FROM t),
+        g AS (SELECT tok, count(*) AS c FROM u GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+        terms AS (SELECT pd.doc_id, pd.w1, pd.w2,
+                         pd.m * ln(CAST($BigramLambda AS DOUBLE) * (cb / cc)
+                           + CAST(${1.0 - BigramLambda} AS DOUBLE)
+                             * (c / (SELECT n FROM tot))) AS term,
+                         pd.m
+                  FROM pd JOIN bgc USING (w1, w2)
+                          JOIN ctx USING (w1)
+                          JOIN g ON g.tok = pd.w2),
+        f AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigram,
+                     list_sum(list(term ORDER BY w1, w2)) AS s
+              FROM terms GROUP BY doc_id)
+        SELECT doc_id, n_bigram,
+               FLOOR(s / n_bigram * 1.0e6 + 0.5) / 1.0e6 AS logprob_bi
+        FROM f ORDER BY doc_id"""
 
   private def sqlStopList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -2480,6 +2590,7 @@ object TextQueries {
         s"""WITH $logprobCtes
            SELECT doc_id, n_tok, round(s / n_tok, 6) AS logprob
            FROM f ORDER BY doc_id""",
+      "q_text_bigram_lm" -> bigramLmOracle,
       // same exact-interpolation tertile cuts (quantile_cont ≡ Spark
       // percentile, the q_percentiles contract) over the same
       // rounded-6 scores; strict > on both sides so cut-ties fall to

@@ -378,6 +378,68 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_embed_bitext plan: cross-side candidates stay the cluster " +
+      "equi-join; per-side argmaxes are the only windows — never all-pairs") {
+    withStaticPlans {
+    // materialize=false leaves the checkpointed stages inline so the
+    // WHOLE mining pipeline is one inspectable plan (hybridLexical
+    // pattern) — preparing it does not execute it
+    val p = graft.queries.SimilarityQueries
+      .bitextMined(spark, Dir, materialize = false)
+      .queryExecution.executedPlan
+    // candidate generation must remain the kNN family's cluster
+    // equi-join; a cartesian/nested-loop anywhere is the corpus² the
+    // margin criterion is supposed to avoid
+    assertNoAllPairs("q_embed_bitext", p)
+    assert(equiJoins(p) >= 1,
+      s"q_embed_bitext: cluster equi-join missing:\n${p.toString.take(2000)}")
+    // exactly two window classes: the top-BtK neighborhood rank
+    // (ordered by cos) and the per-side margin argmax (ordered by
+    // margin) — both partitioned by vec_id, so both are bounded by
+    // cluster occupancy; any other class means a global sort crept in.
+    // With the two-consumer stages inline each subtree is planned
+    // multiple times with fresh expr ids, so classify by the ordering
+    // column, not by expression equality.
+    val classes = p.collect { case w: WindowExec =>
+      val o = w.orderSpec.map(_.child.sql).mkString(",")
+      if (o.contains("margin")) "argmax"
+      else if (o.contains("cos")) "rank"
+      else s"UNEXPECTED($o)"
+    }
+    assert(classes.nonEmpty && classes.toSet == Set("argmax", "rank"),
+      s"q_embed_bitext: expected the 2 bounded window classes " +
+        s"(neighborhood rank + margin argmax), got ${classes.toSet}:\n" +
+        p.toString.take(2000))
+    }
+  }
+
+  test("q_text_bigram_lm plan: NARROW adjacent-pair extraction (no " +
+      "window, no self-join); model tables joined, 1-row total broadcast") {
+    withStaticPlans {
+    val p = graft.queries.TextQueries
+      .bigramLmBuild(graft.Tables.documents(spark, Dir))
+      .queryExecution.executedPlan
+    // bigrams come from zip_with over each row's own token array — a
+    // window/self-join here means adjacent pairs started crossing the
+    // wire raw (the per-token explode+lag shape this gate exists to
+    // avoid)
+    assert(count(p) { case _: WindowExec => () } == 0,
+      s"q_text_bigram_lm: window form crept in:\n${p.toString.take(2000)}")
+    assert(count(p) { case _: CartesianProductExec => () } == 0,
+      s"q_text_bigram_lm: cartesian product:\n${p.toString.take(2000)}")
+    // the 1-row corpus-total cross join is the only nested loop; the
+    // model assembly and the counts⋈model join are all equi-keyed
+    assert(count(p) { case _: BroadcastNestedLoopJoinExec => () } <= 1,
+      s"q_text_bigram_lm: more than the 1-row total cross join:\n" +
+        p.toString.take(2000))
+    // 3 equi-joins: the model assembly (bigram⋈context on w1,
+    // ⋈unigram on w2) and the single counts⋈model join
+    assert(equiJoins(p) >= 3,
+      s"q_text_bigram_lm: the model joins lost their equi keys:\n" +
+        p.toString.take(2000))
+    }
+  }
+
   test("q_text_dsir plan: corpus crosses the wire once (the checkpointed " +
       "per-doc bucket agg); the λ table joins back as a broadcast") {
     withStaticPlans {
