@@ -997,6 +997,56 @@ object SimilarityQueries {
     // float story).
     "q_embed_bitext" -> ((s, d) => bitextMined(s, d)),
 
+    // Nearest-class-mean domain labeling (the Rocchio'71 prototype
+    // classifier): per-label centroids from the labeled corpus, every
+    // vector assigned to its nearest centroid — the domain-tagging
+    // pass a mixture pipeline runs before per-domain budgeting, plus
+    // the self-consistency signal (agree = the vector's own label
+    // still wins) that flags mislabeled/drifted vectors — the
+    // centroid-based complement of q_embed_label_clean's kNN vote.
+    // Float-free BY CONSTRUCTION (the q_embed_smooth discipline):
+    // components quantize to floor(x·2²⁰) longs, centroids are
+    // floor(Σfix/n) longs (the Σ is an exact partial agg), and the
+    // argmin distance is an exact LONG fold — components < 2²¹ ⇒
+    // squared diffs < 2⁴², 64-term sums < 2⁴⁸, no overflow and no
+    // float anywhere — tie-broken on label.
+    // Scale shape: the centroid table is L×64 longs (an L-row
+    // broadcast at ANY corpus size); assignment is ONE narrow
+    // broadcast pass over the corpus; the only corpus-sized exchange
+    // is the (label, pos) partial agg, which map-side-combines to
+    // ≤ L·64 rows per partition.
+    "q_embed_domain" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"),
+          floor(col("v").cast("double") * expr(KmQ)).cast("long").as("fix"))
+        .groupBy("label", "pos")
+        .agg(sum("fix").as("sfix"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(sort_array(collect_list(struct(col("pos"),
+          floor(col("sfix").cast("double") / col("n")).cast("long")
+            .as("c")))).as("pc"))
+        .select(col("label").as("clabel"),
+          expr("transform(pc, x -> x.c)").as("carr"))
+      val centsRow = cents
+        .agg(sort_array(collect_list(struct(col("clabel"), col("carr"))))
+          .as("cs"))
+      emb.select(col("vec_id"), col("label"),
+          expr("transform(embedding, v -> " +
+            s"cast(floor(cast(v as double) * $KmQ) as long))").as("xf"))
+        .crossJoin(broadcast(centsRow))
+        .select(col("vec_id"), col("label"),
+          expr("array_min(transform(cs, cc -> named_struct(" +
+            "'d', aggregate(sequence(1, 64), 0L, (acc, i) -> acc + " +
+            "(element_at(xf, i) - element_at(cc.carr, i)) * " +
+            "(element_at(xf, i) - element_at(cc.carr, i))), " +
+            "'l', cc.clabel)))").as("b"))
+        .select(col("vec_id"), col("label"), col("b.l").as("domain"),
+          (col("label") === col("b.l")).as("agree"), col("b.d").as("d2"))
+        .orderBy(col("vec_id"))
+    }),
+
     // SemDeDup proper (Abbas et al. 2023): near-duplicate pairs found
     // only WITHIN the learned k-means clusters — the unsupervised
     // blocking that makes embedding near-dup sublinear (vs
@@ -1972,6 +2022,41 @@ object SimilarityQueries {
     "q_embed_kcenter" -> kcenterOracle,
     "q_embed_knn" -> knnGraphOracle,
     "q_embed_bitext" -> bitextOracle,
+    // same floor(x·2²⁰) quantization, the same floor(Σ/n) long
+    // centroids (pos-ordered), the same exact integer distance fold,
+    // the same (d2, label) argmin order — integer arithmetic end to
+    // end, zero float-formatting risk
+    "q_embed_domain" ->
+      s"""WITH x AS (SELECT label, u.i AS pos,
+                            CAST(FLOOR(CAST(u.v AS DOUBLE) * $KmQ)
+                              AS BIGINT) AS fix
+                     FROM (SELECT label, unnest(embedding) AS v,
+                                  unnest(range(1, 65)) AS i
+                           FROM embeddings) u),
+          g AS (SELECT label, pos, CAST(SUM(fix) AS BIGINT) AS sfix,
+                       COUNT(*) AS n
+                FROM x GROUP BY 1, 2),
+          c AS (SELECT label AS clabel,
+                       list(CAST(FLOOR(CAST(sfix AS DOUBLE) / n) AS BIGINT)
+                            ORDER BY pos) AS carr
+                FROM g GROUP BY label),
+          e AS (SELECT vec_id, label,
+                       list_transform(embedding, v ->
+                         CAST(FLOOR(CAST(v AS DOUBLE) * $KmQ) AS BIGINT))
+                         AS xf
+                FROM embeddings),
+          asg AS (SELECT e.vec_id, e.label, c.clabel,
+                         CAST(list_sum(list_transform(range(1, 65), i ->
+                           (xf[i] - carr[i]) * (xf[i] - carr[i])))
+                           AS BIGINT) AS d2,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_sum(list_transform(range(1, 65),
+                             i -> (xf[i] - carr[i]) * (xf[i] - carr[i])))
+                             ASC, c.clabel ASC) AS rn
+                  FROM e CROSS JOIN c)
+          SELECT vec_id, label, clabel AS domain, label = clabel AS agree,
+                 d2
+          FROM asg WHERE rn = 1 ORDER BY vec_id""",
     "q_embed_label_clean" -> labelCleanOracle,
     "q_embed_smooth" -> smoothOracle,
     "q_dedup_semantic" -> semanticOracle,

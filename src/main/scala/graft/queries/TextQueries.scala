@@ -1532,6 +1532,40 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer FERTILITY / compression audit per (lang, source) — the
+    // standard multilingual tokenizer-quality report (fertility =
+    // subword tokens per whitespace word; bytes per token is the
+    // compression a context window actually buys): a mixture pipeline
+    // budgets in TOKENS, so a source whose fertility runs hot consumes
+    // budget faster than its byte share suggests — this table is the
+    // per-source exchange rate. Applies the same trained 1200-rule BPE
+    // as q_text_tokens_bpe.
+    // Scale shape: ONE narrow codegen'd pass (the BPE expression) +
+    // one tiny partial agg — per-partition state is ≤ |lang×source|
+    // rows of exact long sums; the ratios divide those exact longs and
+    // present on the 1e-6 floor grid (identical left-assoc expression
+    // both engines — zero float risk beyond the shared division).
+    "q_text_fertility" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      val sym = bpeSymbols(col("text"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          octet_length(col("text")).cast("long").as("b"),
+          size(toks).cast("long").as("w"),
+          (length(sym) - length(replace(sym, lit(BpeSep), lit(""))))
+            .cast("long").as("t"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("b").as("n_bytes"),
+          sum("w").as("n_words"), sum("t").as("n_bpe"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_bytes"),
+          col("n_words"), col("n_bpe"),
+          (floor(col("n_bpe") / col("n_words") * lit(1.0e6) + lit(0.5))
+            / lit(1.0e6)).as("fertility"),
+          (floor(col("n_bytes") / col("n_bpe") * lit(1.0e6) + lit(0.5))
+            / lit(1.0e6)).as("bytes_per_token"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Character-distribution Shannon entropy — the "natural text vs
     // noise" signal (random junk ≈ log2(alphabet), template filler low).
     // Native codegen'd expression ([[graft.functions.CharEntropy]]):
@@ -1976,6 +2010,28 @@ object TextQueries {
                    CAST(len(text) AS BIGINT) AS n_chars,
                    md5(sym) AS bpe_md5
             FROM b ORDER BY doc_id""",
+      // same trained merge-table replay as q_text_tokens_bpe, bytes
+      // via strlen (engine: octet_length), exact long sums, identical
+      // left-assoc ratio + 1e-6 floor grid
+      "q_text_fertility" ->
+        s"""WITH b AS (SELECT lang, source, strlen(text) AS b,
+                              len(string_split_regex(text, '\\s+')) AS w,
+                              len(sym) - len(replace(sym, chr(1), '')) AS t
+                       FROM (SELECT lang, source, text,
+                                    $bpeSymbolsSql AS sym
+                             FROM documents)),
+            g AS (SELECT lang, source,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(b) AS BIGINT) AS n_bytes,
+                         CAST(sum(w) AS BIGINT) AS n_words,
+                         CAST(sum(t) AS BIGINT) AS n_bpe
+                  FROM b GROUP BY 1, 2)
+            SELECT lang, source, n_docs, n_bytes, n_words, n_bpe,
+                   FLOOR(n_bpe / n_words * 1.0e6 + 0.5) / 1.0e6
+                     AS fertility,
+                   FLOOR(n_bytes / n_bpe * 1.0e6 + 0.5) / 1.0e6
+                     AS bytes_per_token
+            FROM g ORDER BY lang, source""",
       "q_text_tokens" ->
         """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks,
                              text FROM documents)

@@ -440,6 +440,47 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_embed_domain plan: L-row centroid table broadcast — one narrow " +
+      "assignment pass, no equi-join, no window") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_embed_domain")(spark, Dir)
+      .queryExecution.executedPlan
+    // the 1-row collected-centroids cross join is the only nested loop
+    // (the kcenter assignment pattern); any equi-join/window means the
+    // assignment stopped being a broadcast argmin
+    assert(count(p) { case _: BroadcastNestedLoopJoinExec => () } == 1,
+      s"q_embed_domain: centroid row stopped broadcasting:\n" +
+        p.toString.take(2000))
+    assert(equiJoins(p) == 0 && count(p) { case _: WindowExec => () } == 0,
+      s"q_embed_domain: unexpected join/window:\n${p.toString.take(2000)}")
+    // 4 exchanges: the (label, pos) partial agg, the per-label roll-up,
+    // the 1-row centroid collect, and the presentation sort — the
+    // corpus-sized explode map-side-combines to ≤ L·64 rows/partition
+    assert(shuffles(p) == 4,
+      s"q_embed_domain: expected 4 exchanges, got ${shuffles(p)}:\n" +
+        p.toString.take(2000))
+    assert(count(p) { case _: CartesianProductExec => () } == 0,
+      s"q_embed_domain: cartesian product:\n${p.toString.take(2000)}")
+    }
+  }
+
+  test("q_text_fertility plan: one narrow codegen'd pass + a tiny " +
+      "group agg — no joins anywhere") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_text_fertility")(spark, Dir)
+      .queryExecution.executedPlan
+    assert(equiJoins(p) == 0 &&
+      count(p) { case _: BroadcastNestedLoopJoinExec => () } == 0 &&
+      count(p) { case _: CartesianProductExec => () } == 0 &&
+      count(p) { case _: WindowExec => () } == 0,
+      s"q_text_fertility: unexpected join/window:\n${p.toString.take(2000)}")
+    // 2 exchanges: the (lang, source) agg and the presentation sort
+    assert(shuffles(p) == 2,
+      s"q_text_fertility: expected 2 exchanges, got ${shuffles(p)}:\n" +
+        p.toString.take(2000))
+    }
+  }
+
   test("q_text_dsir plan: corpus crosses the wire once (the checkpointed " +
       "per-doc bucket agg); the λ table joins back as a broadcast") {
     withStaticPlans {
