@@ -1047,6 +1047,53 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Embedding DRIFT monitor across the incremental split — the
+    // index-maintenance health check every production ANN/dedup
+    // deployment runs per dump: per label, the standing corpus's
+    // centroid vs the new dump's centroid ([[incVecThreshold]] — the
+    // same ~10% slice the incremental ANN/dedup gates ingest) and the
+    // squared shift between them. A large shift says the frozen
+    // quantizers (IVF centroids, PQ codebooks — FAISS "train once, add
+    // forever") no longer fit the incoming distribution and the index
+    // needs re-training; slice sizes ride along for significance.
+    // Float-free (the q_embed_domain discipline): floor(x·2²⁰) long
+    // quantization, floor(Σ/n) long centroids off ONE (label, slice,
+    // pos) partial agg — the slice flag is just one more grouping key,
+    // so standing and new centroids come out of the SAME single pass —
+    // and an exact LONG shift fold, label-equi-joined (20 rows a side).
+    // Labels present in only one slice drop (inner join): no centroid,
+    // no comparison.
+    "q_embed_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val thr = incVecThreshold(s, d)
+      val cents = emb
+        .select(col("label"),
+          (col("vec_id") >= lit(thr)).as("is_new"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("is_new"), col("pos"),
+          floor(col("v").cast("double") * expr(KmQ)).cast("long").as("fix"))
+        .groupBy("label", "is_new", "pos")
+        .agg(sum("fix").as("sfix"), count(lit(1)).as("cnt"))
+        .groupBy("label", "is_new")
+        .agg(max("cnt").as("n"),
+          sort_array(collect_list(struct(col("pos"),
+            floor(col("sfix").cast("double") / col("cnt")).cast("long")
+              .as("c")))).as("pc"))
+        .select(col("label"), col("is_new"), col("n"),
+          expr("transform(pc, x -> x.c)").as("carr"))
+      cents.filter(!col("is_new"))
+        .select(col("label"), col("n").as("n_standing"),
+          col("carr").as("cs"))
+        .join(cents.filter(col("is_new"))
+          .select(col("label"), col("n").as("n_new"), col("carr").as("cn")),
+          Seq("label"))
+        .select(col("label"), col("n_standing"), col("n_new"),
+          expr("aggregate(sequence(1, 64), 0L, (acc, i) -> acc + " +
+            "(element_at(cs, i) - element_at(cn, i)) * " +
+            "(element_at(cs, i) - element_at(cn, i)))").as("shift_d2"))
+        .orderBy(col("label"))
+    }),
+
     // SemDeDup proper (Abbas et al. 2023): near-duplicate pairs found
     // only WITHIN the learned k-means clusters — the unsupervised
     // blocking that makes embedding near-dup sublinear (vs
@@ -2022,6 +2069,33 @@ object SimilarityQueries {
     "q_embed_kcenter" -> kcenterOracle,
     "q_embed_knn" -> knnGraphOracle,
     "q_embed_bitext" -> bitextOracle,
+    // same max − max/10 threshold (integer division), the same
+    // floor(x·2²⁰)/floor(Σ/n) long centroids per (label, slice), the
+    // same exact long shift fold — integer end to end
+    "q_embed_drift" ->
+      s"""WITH t AS (SELECT max(vec_id) - max(vec_id) // 10 AS thr
+                     FROM embeddings),
+          x AS (SELECT label, vec_id >= (SELECT thr FROM t) AS is_new,
+                       u.i AS pos,
+                       CAST(FLOOR(CAST(u.v AS DOUBLE) * $KmQ) AS BIGINT)
+                         AS fix
+                FROM (SELECT label, vec_id, unnest(embedding) AS v,
+                             unnest(range(1, 65)) AS i
+                      FROM embeddings) u),
+          g AS (SELECT label, is_new, pos,
+                       CAST(SUM(fix) AS BIGINT) AS sfix, COUNT(*) AS cnt
+                FROM x GROUP BY 1, 2, 3),
+          c AS (SELECT label, is_new, CAST(MAX(cnt) AS BIGINT) AS n,
+                       list(CAST(FLOOR(CAST(sfix AS DOUBLE) / cnt)
+                                 AS BIGINT) ORDER BY pos) AS carr
+                FROM g GROUP BY 1, 2)
+          SELECT s.label, s.n AS n_standing, w.n AS n_new,
+                 CAST(list_sum(list_transform(range(1, 65), i ->
+                   (s.carr[i] - w.carr[i]) * (s.carr[i] - w.carr[i])))
+                   AS BIGINT) AS shift_d2
+          FROM c s JOIN c w ON s.label = w.label
+          WHERE NOT s.is_new AND w.is_new
+          ORDER BY s.label""",
     // same floor(x·2²⁰) quantization, the same floor(Σ/n) long
     // centroids (pos-ordered), the same exact integer distance fold,
     // the same (d2, label) argmin order — integer arithmetic end to

@@ -714,6 +714,56 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("quality"), col("kept"))
         .orderBy(col("doc_id"))),
 
+    // Per-source Z-SCORE calibration of the quality signal — the
+    // standardization step before any CROSS-source comparison of
+    // scores (a classifier threshold tuned on one dump mis-fires on
+    // another whose score distribution sits elsewhere; standardizing
+    // per source puts every dump on one scale — the complement of
+    // q_text_quality_cut's per-source rank cut, for consumers that
+    // need a continuous calibrated value, e.g. mixture temperature on
+    // quality). z = (q − μ_source)/σ_source over the 1e-6-quantized
+    // score.
+    // Float contract (the PCA moment discipline): scores quantize to
+    // exact LONGS (qi = floor(q·1e6 + 0.5) — bit-equal since raw
+    // scores are), per-source moments Σqi and Σqi² accumulate as
+    // DECIMAL(38,0)/HUGEINT (exact integers, order-free — qi² ~ 1e12,
+    // so long sums would overflow near 10⁶ rows/source), the variance
+    // numerator v = n·P − S² is an exact integer compare/cast (v may
+    // exceed 2⁵³ — cross-engine equality rests on both DECIMAL→DOUBLE
+    // and HUGEINT→DOUBLE casts being correctly rounded, the
+    // PcaMomentSpec-pinned assumption), and z evaluates the identical
+    // expression tree both engines, presented on the 1e-6 floor grid.
+    // Degenerate single-value sources (v = 0) emit z = 0 by an exact
+    // integer CASE, not a 0/0.
+    // Scale shape: one narrow scoring pass; the moment agg partial-aggs
+    // to 3 values per source per partition; the per-source row
+    // broadcasts back into a second narrow pass — no window, no
+    // per-source value buffering anywhere.
+    "q_text_quality_z" -> ((s, d) => {
+      // two consumers (the moment agg + the z pass) — checkpoint so
+      // the corpus is scored once (the self-join rule)
+      val scored = graft.plans.Lineage.scratchCheckpoint(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            floor(qualityScore * lit(1.0e6) + lit(0.5)).cast("long")
+              .as("qi")))
+      val mom = scored.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qi").cast("decimal(38,0)")).as("sq"),
+          sum((col("qi") * col("qi")).cast("decimal(38,0)")).as("pq"))
+        .select(col("source"), col("n"), col("sq"),
+          (col("n").cast("decimal(38,0)") * col("pq")
+            - col("sq") * col("sq")).as("v"))
+      scored.join(broadcast(mom), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          when(col("v") === lit(0), lit(0.0))
+            .otherwise(floor(
+              (col("qi").cast("double") - col("sq").cast("double") / col("n"))
+                / (sqrt(col("v").cast("double")) / col("n"))
+                * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("zq"))
+        .orderBy(col("doc_id"))
+    }),
+
     // END-TO-END corpus curation — the decision frame a training-data
     // pipeline actually materializes, composing the FULL published
     // recipe (RefinedWeb/FineWeb: dedup → rule screen → quality filter
@@ -2085,6 +2135,37 @@ object TextQueries {
                   FROM q GROUP BY source)
             SELECT q.doc_id, q.source, q.quality, q.qq > c.cut AS kept
             FROM q JOIN c ON c.source = q.source
+            ORDER BY q.doc_id""",
+      // same quantized-long qi, the same HUGEINT moments and exact
+      // v = n·P − S² (correctly rounded →DOUBLE, the PCA cast
+      // contract), the same z expression tree and floor grid
+      "q_text_quality_z" ->
+        s"""WITH t AS (SELECT doc_id, source,
+                              string_split_regex(text, '\\s+') AS toks
+                       FROM documents),
+            m AS (SELECT doc_id, source,
+                   CAST(len(toks) AS DOUBLE) AS n_tok,
+                   CAST(len(list_filter(toks, t -> list_contains($en, t))) AS DOUBLE)
+                     AS stop_hits,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) AS n_types
+                  FROM t),
+            q AS MATERIALIZED (SELECT doc_id, source,
+                   CAST(FLOOR((LEAST(n_tok / 50.0, 1.0) * 0.4 +
+                               (stop_hits / n_tok) * 0.3 +
+                               (n_types / n_tok) * 0.3) * 1.0e6 + 0.5)
+                     AS BIGINT) AS qi
+                 FROM m),
+            g AS (SELECT source, COUNT(*) AS n, SUM(qi) AS sq,
+                         SUM(qi * qi) AS pq
+                  FROM q GROUP BY source),
+            v AS (SELECT source, n, sq, n * pq - sq * sq AS v FROM g)
+            SELECT q.doc_id, q.source,
+                   CASE WHEN v.v = 0 THEN 0.0
+                        ELSE FLOOR(((CAST(q.qi AS DOUBLE)
+                               - CAST(v.sq AS DOUBLE) / v.n)
+                             / (sqrt(CAST(v.v AS DOUBLE)) / v.n))
+                             * 1.0e6 + 0.5) / 1.0e6 END AS zq
+            FROM q JOIN v USING (source)
             ORDER BY q.doc_id""",
       // the q_dedup_cluster closure (shared clusterCompCtes — its own
       // t..comp names) + the quality-cut CTEs under q-prefixed names +

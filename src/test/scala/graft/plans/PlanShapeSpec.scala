@@ -481,6 +481,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_text_quality_z plan: checkpointed score frame, per-source " +
+      "moment row broadcast back — no window, no value buffering") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_text_quality_z")(spark, Dir)
+      .queryExecution.executedPlan
+    // the moment table (one row per source) must come back as a
+    // broadcast-hash join; a window or SMJ here means per-source
+    // score buffering crept back in (the r13 percentile weak)
+    assert(count(p) { case _: WindowExec => () } == 0,
+      s"q_text_quality_z: window form crept in:\n${p.toString.take(2000)}")
+    assert(count(p) { case _: BroadcastHashJoinExec => () } == 1 &&
+      count(p) { case _: SortMergeJoinExec => () } == 0,
+      s"q_text_quality_z: moment row stopped broadcasting:\n" +
+        p.toString.take(2000))
+    assertNoAllPairs("q_text_quality_z", p)
+    // 3 exchanges: the per-source moment agg (partial-agg'd to 3
+    // values per source per partition), its 1-row-per-source broadcast
+    // build, and the presentation sort; the scored frame is a
+    // checkpointed leaf (scored once for both consumers)
+    assert(shuffles(p) <= 3,
+      s"q_text_quality_z: expected ≤ 3 exchanges, got ${shuffles(p)}:\n" +
+        p.toString.take(2000))
+    }
+  }
+
   test("q_text_dsir plan: corpus crosses the wire once (the checkpointed " +
       "per-doc bucket agg); the λ table joins back as a broadcast") {
     withStaticPlans {
