@@ -946,20 +946,34 @@ object TextQueries {
     // TF-IDF: top-3 terms per document. tf = termcount/doclen;
     // idf = ln((N+1)/(df+1)) + 1 (smoothed); exact arithmetic both
     // engines, ranked on the rounded score with term tie-break.
-    // Shape at scale: explode → two hash aggs (term-doc counts, df) →
-    // broadcast df back → window top-k per doc.
+    // Shape at scale: ONE explode → (doc, term) counts → BOTH the tf
+    // window and the df table aggregate off that same exchange (df =
+    // count of count-rows per term ≡ count of distinct docs — the
+    // q_text_logprob exchange-reuse shape; the round-14 form re-exploded
+    // the corpus and ran a distinct for df) → df joins back → window
+    // top-k per doc.
     "q_text_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val n = docs.count().toDouble
       val toksL = docs.select(col("doc_id"),
         explode(split(col("text"), "\\s+")).as("term"))
-      val tf = toksL.groupBy("doc_id", "term")
+      val counts = toksL.groupBy("doc_id", "term")
         .agg(count(lit(1)).as("n_term"))
+      val tf = counts
         .withColumn("doc_len",
           sum(col("n_term")).over(Window.partitionBy(col("doc_id"))))
-      val df_ = toksL.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      // df = Σ 1{n_term > 0} (≡ count: per-(doc, term) counts are ≥ 1
+      // by construction) spelled so the agg genuinely READS n_term —
+      // count(1)/count(n_term) both rewrite to a column-free count and
+      // pruning then forks the counts exchange into a keys-only twin;
+      // the predicate keeps the df branch's required schema identical
+      // to the tf branch's, so ReuseExchange fires and the exploded
+      // token stream crosses the wire ONCE (the q_text_logprob sum(m)
+      // shape, PlanShapeSpec-pinned)
+      val df_ = counts.groupBy("term")
+        .agg(sum(when(col("n_term") > 0, lit(1L)).otherwise(lit(0L)))
+          .as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
       // no broadcast hint on the df table: it is vocabulary-sized, which
@@ -985,17 +999,24 @@ object TextQueries {
     "q_text_bm25" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      // N and Σ tokens in ONE driver action (one corpus pass, not two);
+      // both exact longs — the N-counter contract
+      val hdr = docs.agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), "\\s+")).cast("long")).as("tt")).head()
+      val n = hdr.getLong(0)
+      val totalToks = hdr.getLong(1)
       val toksL = docs.select(col("doc_id"),
         explode(split(col("text"), "\\s+")).as("term"))
-      val totalToks = toksL.count()
       val avgdl = lit(totalToks.toDouble) / lit(n.toDouble)
-      val tf = toksL.groupBy("doc_id", "term")
+      val counts = toksL.groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf"))
+      val tf = counts
         .withColumn("dl",
           sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-      val dfT = toksL.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      // df off the same counts exchange — the Σ 1{tf > 0} spelling, see
+      // the tfidf pruning note
+      val dfT = counts.groupBy("term")
+        .agg(sum(when(col("tf") > 0, lit(1L)).otherwise(lit(0L))).as("df"))
       val idf = log(lit(1.0) +
         (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
       val score = idf * (col("tf") * lit(2.2)) /

@@ -481,6 +481,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_text_tfidf / q_text_bm25 plans: the df table aggregates off the " +
+      "REUSED (doc, term) counts exchange — the corpus explodes once") {
+    withStaticPlans {
+    for (name <- Seq("q_text_tfidf", "q_text_bm25")) {
+      val p = graft.SparkEntry.queries(name)(spark, Dir)
+        .queryExecution.executedPlan
+      // the tf window branch and the df agg branch must both read the
+      // (doc_id, term) counts exchange (the q_text_logprob shape); no
+      // reuse means the exploded token stream crosses the wire twice
+      assert(count(p) { case _: ReusedExchangeExec => () } >= 1,
+        s"$name: df stopped reusing the counts exchange:\n" +
+          p.toString.take(2000))
+      assertNoAllPairs(name, p)
+    }
+    }
+  }
+
   test("q_text_quality_z plan: checkpointed score frame, per-source " +
       "moment row broadcast back — no window, no value buffering") {
     withStaticPlans {
