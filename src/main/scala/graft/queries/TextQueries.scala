@@ -512,6 +512,12 @@ object TextQueries {
           * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("logprob_bi"))
   }
 
+  /** q_text_pmi knobs: the min-count screen (PMI is notoriously noisy
+    * on rare pairs — count ≥ 3 is the classic floor) and the
+    * collocation list size. Shared engine/oracle. */
+  private val PmiMinCount = 3
+  private val PmiTopK = 50
+
   /** DSIR hashed-feature bucket count (q_text_dsir): both distribution
     * tables are ≤ this many rows at ANY corpus scale — the paper's
     * hashed n-gram trick. Shared engine/oracle. */
@@ -1670,6 +1676,48 @@ object TextQueries {
     // wiggle is libm ln(), absorbed by round(…, 6)).
     "q_text_logprob" -> ((s, d) => logprobPerDoc(s, d).orderBy(col("doc_id"))),
 
+    // PMI collocation extraction — the classic corpus-analysis
+    // operator (Church & Hanks'90) behind phrase vocabularies,
+    // tokenizer merge seeding, and template/boilerplate discovery:
+    // pmi(w₁,w₂) = ln( p(w₁w₂) / (p(w₁)·p(w₂)) ) over adjacent pairs,
+    // min-count ≥ PmiMinCount (rare-pair PMI is noise), top PmiTopK.
+    // Scale shape: the same NARROW zip_with pair extraction as
+    // q_text_bigram_lm (no self-join/window); the bigram total
+    // aggregates off the REUSED bigram-counts exchange (sum(cb) reads
+    // cb — the logprob reuse shape); unigram joins are
+    // vocabulary-sized; the global top-K is TakeOrderedAndProject —
+    // K rows reach the driver at any corpus size.
+    // Float contract: all count ratios divide exact longs, the PMI is
+    // one identical expression tree both engines, ranking runs on the
+    // RAW doubles (bit-identical, so the cut is identical) with a
+    // (w₁, w₂) tie-break, and the emitted value presents on the 1e-6
+    // floor grid.
+    "q_text_pmi" -> ((s, d) => {
+      val tt = Tables.documents(s, d).select(toks.as("w"))
+      val bg = tt.select(explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+            "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val nb = bgc.agg(sum("cb").as("nb"))
+      val uni = tt.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val nt = uni.agg(sum("c").as("n"))
+      bgc.filter(col("cb") >= lit(PmiMinCount))
+        .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nt))
+        .select(col("w1"), col("w2"), col("cb"),
+          log((col("cb") / col("nb"))
+            / ((col("c1") / col("n")) * (col("c2") / col("n"))))
+            .as("pmi_raw"))
+        .orderBy(col("pmi_raw").desc, col("w1"), col("w2"))
+        .limit(PmiTopK)
+        .select(col("w1"), col("w2"), col("cb"),
+          (floor(col("pmi_raw") * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
+            .as("pmi"))
+    }),
+
     // Interpolated BIGRAM-LM scoring (Jelinek-Mercer smoothing) — the
     // n-gram upgrade of q_text_logprob: CCNet's real perplexity filter
     // is a KenLM n-gram model, and the bigram mixture is its minimal
@@ -2749,6 +2797,34 @@ object TextQueries {
            SELECT doc_id, n_tok, round(s / n_tok, 6) AS logprob
            FROM f ORDER BY doc_id""",
       "q_text_bigram_lm" -> bigramLmOracle,
+      // same pair extraction, count chain, raw-double ordering with
+      // (w1, w2) tie-break, floor-grid presentation; g/un MATERIALIZED
+      // (each has two consumers — the total agg and the join)
+      "q_text_pmi" ->
+        s"""WITH t AS (SELECT string_split_regex(text, '\\s+') AS w
+                       FROM documents),
+            bp AS (SELECT unnest(list_transform(range(1, len(w)),
+                     i -> {'w1': w[i], 'w2': w[i + 1]})) AS bg
+                   FROM t),
+            b AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM bp),
+            g AS MATERIALIZED (SELECT w1, w2, count(*) AS cb FROM b
+                               GROUP BY 1, 2),
+            nb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM g),
+            un AS MATERIALIZED (SELECT tok, count(*) AS c
+                                FROM (SELECT unnest(w) AS tok FROM t)
+                                GROUP BY 1),
+            nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM un),
+            sc AS (SELECT g.w1, g.w2, g.cb,
+                          ln((g.cb / (SELECT nb FROM nb)) /
+                             ((u1.c / (SELECT n FROM nt)) *
+                              (u2.c / (SELECT n FROM nt)))) AS pmi_raw
+                   FROM g JOIN un u1 ON u1.tok = g.w1
+                          JOIN un u2 ON u2.tok = g.w2
+                   WHERE g.cb >= $PmiMinCount)
+            SELECT w1, w2, cb,
+                   FLOOR(pmi_raw * 1.0e6 + 0.5) / 1.0e6 AS pmi
+            FROM sc
+            ORDER BY pmi_raw DESC, w1, w2 LIMIT $PmiTopK""",
       // same exact-interpolation tertile cuts (quantile_cont ≡ Spark
       // percentile, the q_percentiles contract) over the same
       // rounded-6 scores; strict > on both sides so cut-ties fall to

@@ -498,6 +498,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_text_pmi plan: bigram total off the reused counts exchange, " +
+      "global top-K is TakeOrderedAndProject — no window, no sort-all") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_text_pmi")(spark, Dir)
+      .queryExecution.executedPlan
+    // the bigram total (Σcb) must aggregate off the bigram-counts
+    // exchange, not a second corpus explode
+    assert(count(p) { case _: ReusedExchangeExec => () } >= 1,
+      s"q_text_pmi: the total stopped reusing the counts exchange:\n" +
+        p.toString.take(2000))
+    // the global top-K must be the K-rows-to-driver form, never a
+    // total sort or a window
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"q_text_pmi: top-K stopped being TakeOrderedAndProject:\n" +
+        p.toString.take(2000))
+    assert(count(p) { case _: WindowExec => () } == 0,
+      s"q_text_pmi: window form crept in:\n${p.toString.take(2000)}")
+    // the two 1-row totals are the only nested loops
+    assert(count(p) { case _: BroadcastNestedLoopJoinExec => () } <= 2 &&
+      count(p) { case _: CartesianProductExec => () } == 0,
+      s"q_text_pmi: unexpected join:\n${p.toString.take(2000)}")
+    }
+  }
+
   test("q_text_quality_z plan: checkpointed score frame, per-source " +
       "moment row broadcast back — no window, no value buffering") {
     withStaticPlans {
