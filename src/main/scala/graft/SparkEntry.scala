@@ -49,14 +49,18 @@ object SparkEntry {
     *    shape as q_stream_join; q_dedup_exact times keyed dedup;
     *    q_events_sliding times the sliding assigner q_stream_sliding
     *    replays — same windowed-agg class q_stream_tumbling already
-    *    times under the engine). The benched replay gates keep every
+    *    times under the engine; q_stream_drift is the same
+    *    watermark+windowed-agg class with an exact decimal sum, its
+    *    batch drift arithmetic benched by q_embed_drift). The benched
+    *    replay gates keep every
     *    stateful operator class timed under the engine: windowed agg +
     *    watermark (tumbling), flatMapGroupsWithState (sessions),
     *    mapGroupsWithState (running), plus the windowed sketch gates
     *    (distinct, heavyhitters) and anomaly. */
   val gateOnly: Set[String] =
     Set("q_dedup_ngram_capped", "q_dedup_editdist_capped",
-      "q_stream_join", "q_stream_dedup", "q_stream_sliding")
+      "q_stream_join", "q_stream_dedup", "q_stream_sliding",
+      "q_stream_drift")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

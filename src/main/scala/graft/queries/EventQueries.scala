@@ -162,6 +162,42 @@ object EventQueries {
         .orderBy(col("wstart"), col("event_type"))
     }),
 
+    // Streaming VALUE-DRIFT monitor — q_embed_drift's
+    // standing-vs-incoming comparison brought to the stream (the
+    // ingest-time alarm a pipeline fires when a source's numeric
+    // distribution moves): per closed 6h window and event_type, the
+    // windowed mean of `value` against the standing (batch) mean, as
+    // exact fixed-point integers end to end ([[EventStreams
+    // .driftStream]] — floor(value·10⁶) DECIMAL sums, so the windowed
+    // mean is order-free under any micro-batch partitioning, unlike a
+    // raw double sum). The standing table is one row per event_type,
+    // broadcast into the post-stream join; both means and their
+    // difference present on the 1e-6 floor grid from the same exact
+    // integers (correctly-rounded DECIMAL→DOUBLE, the PCA cast
+    // contract). Shares the tumbling gate's memoized feed.
+    "q_stream_drift" -> ((s, d) => {
+      import s.implicits._
+      val chunks = cachedChunks(s, d, "tumbling")(
+        sortedFeed(Tables.events(s, d)
+          .select(col("ts"), col("event_type"), col("value"))
+          .as[(java.sql.Timestamp, String, Double)], "ts"))
+      val streamed = replayToTable(s, chunks)(stream =>
+        EventStreams.driftStream(
+          stream.toDF.toDF("ts", "event_type", "value"), "6 hours", "1 hour"))
+      val standing = Tables.events(s, d).groupBy("event_type")
+        .agg(sum(floor(col("value") * lit(1.0e6)).cast("decimal(38,0)"))
+          .as("st_sfix"), count(lit(1)).as("st_n"))
+      streamed.join(broadcast(standing), Seq("event_type"))
+        .select(date_format(col("w.start"), Fmt).as("wstart"),
+          col("event_type"), col("n"),
+          (floor(col("sfix").cast("double") / col("n") + lit(0.5))
+            / lit(1.0e6)).as("w_mean"),
+          (floor(col("sfix").cast("double") / col("n")
+            - col("st_sfix").cast("double") / col("st_n") + lit(0.5))
+            / lit(1.0e6)).as("drift"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
+
     // The SLIDING window assigner under the streaming engine
     // (q_events_sliding × q_stream_tumbling): every event lands in
     // width/slide = 2 open windows, each emitted once the watermark
@@ -676,6 +712,29 @@ object EventQueries {
          SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart,
                 event_type, n, sum_value
          FROM g
+         WHERE ws + INTERVAL '6 hours' <=
+               (SELECT max(ts) - INTERVAL '1 hour' FROM events)
+         ORDER BY wstart, event_type""",
+    // same closed-window filter as q_stream_tumbling; the same exact
+    // fixed-point sums and floor-grid mean/drift expressions
+    "q_stream_drift" ->
+      """WITH ev AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS ws,
+                            event_type,
+                            CAST(FLOOR(value * 1.0e6) AS BIGINT) AS fix
+                     FROM events),
+         g AS (SELECT ws, event_type, COUNT(*) AS n, SUM(fix) AS sfix
+               FROM ev GROUP BY 1, 2),
+         st AS (SELECT event_type,
+                       SUM(CAST(FLOOR(value * 1.0e6) AS BIGINT)) AS st_sfix,
+                       COUNT(*) AS st_n
+                FROM events GROUP BY 1)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, g.event_type,
+                n,
+                FLOOR(CAST(sfix AS DOUBLE) / n + 0.5) / 1.0e6 AS w_mean,
+                FLOOR(CAST(sfix AS DOUBLE) / n
+                      - CAST(st_sfix AS DOUBLE) / st_n + 0.5) / 1.0e6
+                  AS drift
+         FROM g JOIN st USING (event_type)
          WHERE ws + INTERVAL '6 hours' <=
                (SELECT max(ts) - INTERVAL '1 hour' FROM events)
          ORDER BY wstart, event_type""",

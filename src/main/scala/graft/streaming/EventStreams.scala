@@ -49,6 +49,24 @@ object EventStreams {
                     lateness: String): DataFrame =
     sliding(events.withWatermark("ts", lateness), width, slide)
 
+  /** Windowed EXACT fixed-point value sums for the drift monitor
+    * (q_stream_drift): components quantize to floor(value·10⁶) and sum
+    * as DECIMAL(38,0), so the windowed mean is an exact integer
+    * function of the data — order-free under ANY micro-batch
+    * partitioning (the tumbling gate's raw double sum leans on
+    * round(·, 2) to absorb accumulation-order ulps; a drift COMPARISON
+    * against a standing mean needs exactness, the q_embed_drift
+    * discipline brought to the stream). Watermark-bounded state: one
+    * (count, decimal) pair per open (window, key). */
+  def driftStream(events: DataFrame, width: String,
+                  lateness: String): DataFrame =
+    events
+      .withColumn("fix",
+        floor(col("value") * lit(1.0e6)).cast("decimal(38,0)"))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("fix")).as("sfix"))
+
   /** Tumbling-window approx-distinct users — the sketch family running
     * UNDER the streaming engine: per-window state is the FIXED
     * 2^p-byte HLL register array ([[graft.functions.HllAgg]],
