@@ -598,6 +598,29 @@ object SimilarityQueries {
       .orderBy(col("src_id"))
   }
 
+  /** floor(x·2²⁰) fixed-point centroids per key set — ONE definition
+    * of the posexplode → long-quantize → (keys, pos) partial agg →
+    * floor(Σ/n) pos-ordered collect pipeline that q_embed_domain
+    * (keys = label) and q_embed_drift (keys = label, slice) share (the
+    * HllShared lesson: textual copies of a precision-sensitive
+    * pipeline drift). `emb` must carry the key columns + `embedding`;
+    * returns keys ++ (n, carr). */
+  private def fixedCentroids(emb: DataFrame, keys: Seq[String]): DataFrame =
+    emb
+      .select(keys.map(col) :+
+        posexplode(col("embedding")).as(Seq("pos", "v")): _*)
+      .select(keys.map(col) :+ col("pos") :+
+        floor(col("v").cast("double") * expr(KmQ)).cast("long").as("fix"): _*)
+      .groupBy((keys :+ "pos").map(col): _*)
+      .agg(sum("fix").as("sfix"), count(lit(1)).as("cnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(max("cnt").as("n"),
+        sort_array(collect_list(struct(col("pos"),
+          floor(col("sfix").cast("double") / col("cnt")).cast("long")
+            .as("c")))).as("pc"))
+      .select(keys.map(col) :+ col("n") :+
+        expr("transform(pc, x -> x.c)").as("carr"): _*)
+
   /** PCA gate (q_embed_pca): fixed-point scale (2²⁰ — the
     * q_embed_smooth contract), power-iteration count, and the per-step
     * eigenvector snap grid (1e-9 — absorbs any residual cross-engine
@@ -1017,18 +1040,9 @@ object SimilarityQueries {
     // ≤ L·64 rows per partition.
     "q_embed_domain" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cents = emb
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("label"), col("pos"),
-          floor(col("v").cast("double") * expr(KmQ)).cast("long").as("fix"))
-        .groupBy("label", "pos")
-        .agg(sum("fix").as("sfix"), count(lit(1)).as("n"))
-        .groupBy("label")
-        .agg(sort_array(collect_list(struct(col("pos"),
-          floor(col("sfix").cast("double") / col("n")).cast("long")
-            .as("c")))).as("pc"))
-        .select(col("label").as("clabel"),
-          expr("transform(pc, x -> x.c)").as("carr"))
+      val cents = fixedCentroids(
+          emb.select(col("label"), col("embedding")), Seq("label"))
+        .select(col("label").as("clabel"), col("carr"))
       val centsRow = cents
         .agg(sort_array(collect_list(struct(col("clabel"), col("carr"))))
           .as("cs"))
@@ -1047,7 +1061,8 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
-    // Embedding DRIFT monitor across the incremental split — the
+    // Embedding DRIFT monitor across the incremental split (shares
+    // [[fixedCentroids]] with q_embed_domain) — the
     // index-maintenance health check every production ANN/dedup
     // deployment runs per dump: per label, the standing corpus's
     // centroid vs the new dump's centroid ([[incVecThreshold]] — the
@@ -1066,21 +1081,10 @@ object SimilarityQueries {
     "q_embed_drift" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val thr = incVecThreshold(s, d)
-      val cents = emb
-        .select(col("label"),
-          (col("vec_id") >= lit(thr)).as("is_new"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("label"), col("is_new"), col("pos"),
-          floor(col("v").cast("double") * expr(KmQ)).cast("long").as("fix"))
-        .groupBy("label", "is_new", "pos")
-        .agg(sum("fix").as("sfix"), count(lit(1)).as("cnt"))
-        .groupBy("label", "is_new")
-        .agg(max("cnt").as("n"),
-          sort_array(collect_list(struct(col("pos"),
-            floor(col("sfix").cast("double") / col("cnt")).cast("long")
-              .as("c")))).as("pc"))
-        .select(col("label"), col("is_new"), col("n"),
-          expr("transform(pc, x -> x.c)").as("carr"))
+      val cents = fixedCentroids(
+        emb.select(col("label"),
+          (col("vec_id") >= lit(thr)).as("is_new"), col("embedding")),
+        Seq("label", "is_new"))
       cents.filter(!col("is_new"))
         .select(col("label"), col("n").as("n_standing"),
           col("carr").as("cs"))

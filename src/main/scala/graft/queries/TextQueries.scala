@@ -482,9 +482,8 @@ object TextQueries {
     * new float columns — round() half-up vs rint diverged once). */
   private[graft] def bigramLmBuild(docs: DataFrame): DataFrame = {
     val tt = docs.select(col("doc_id"), toks.as("w"))
-    val bg = tt.select(col("doc_id"), explode(expr(
-        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
-          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+    val bg = tt.select(col("doc_id"),
+        explode(expr(bigramPairsExpr)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val pd = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
     val bgc = pd.groupBy("w1", "w2").agg(sum("m").as("cb"))
@@ -652,6 +651,23 @@ object TextQueries {
     * BpeSpec both pin. */
   private def bpeSymbols(text: Column): Column =
     call_function("bpe_symbols", text)
+
+  /** BPE token count of a symbolized column — each symbol is
+    * TERMINATED (not joined) by [[BpeSep]], so the count is the
+    * separator count; ONE definition for the five counting consumers
+    * (tokens_bpe, both mixtures, pack, fertility). SQL twin:
+    * `len(sym) - len(replace(sym, chr(1), ''))`. */
+  private def bpeTokenCount(sym: Column): Column =
+    (length(sym) - length(replace(sym, lit(BpeSep), lit("")))).cast("long")
+
+  /** Adjacent-pair struct array over an in-scope token-array column
+    * `w` — ONE definition of the NARROW zip_with bigram extraction
+    * q_text_bigram_lm and q_text_pmi share. Empty/1-token docs yield
+    * an empty array (slice lengths clamp at 0). SQL twin:
+    * `list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i+1]})`. */
+  private val bigramPairsExpr: String =
+    "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+      "(a, b) -> named_struct('w1', a, 'w2', b))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, distinct tokens, BPE-ish
@@ -1090,8 +1106,7 @@ object TextQueries {
       val sym = bpeSymbols(col("text"))
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          (length(sym) - length(replace(sym, lit(BpeSep), lit(""))))
-            .cast("long").as("n_tok"),
+          bpeTokenCount(sym).as("n_tok"),
           expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
             .as("h"))
       val totals = docs.groupBy("source")
@@ -1127,8 +1142,7 @@ object TextQueries {
       val sym = bpeSymbols(col("text"))
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          (length(sym) - length(replace(sym, lit(BpeSep), lit(""))))
-            .cast("long").as("n_tok"),
+          bpeTokenCount(sym).as("n_tok"),
           expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
             .as("h"))
       val totals = docs.groupBy("source").agg(sum(col("n_tok")).as("tot"))
@@ -1371,8 +1385,7 @@ object TextQueries {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           pmod(col("doc_id"), lit(4)).cast("int").as("shard"),
-          (length(sym) - length(replace(sym, lit(BpeSep), lit(""))))
-            .cast("long").as("n_tok"))
+          bpeTokenCount(sym).as("n_tok"))
         .as[(Long, String, Int, Long)]
       docs.groupByKey(r => (r._2, r._3))
         .flatMapSortedGroups($"doc_id") { case ((src, shard), it) =>
@@ -1602,8 +1615,7 @@ object TextQueries {
       val sym = bpeSymbols(col("text"))
       Tables.documents(s, d)
         .select(col("doc_id"),
-          ((length(sym) - length(replace(sym, lit(BpeSep), lit(""))))
-            .cast("long")).as("n_bpe"),
+          bpeTokenCount(sym).as("n_bpe"),
           length(col("text")).cast("long").as("n_chars"),
           md5(sym).as("bpe_md5"))
         .orderBy(col("doc_id"))
@@ -1629,8 +1641,7 @@ object TextQueries {
         .select(col("lang"), col("source"),
           octet_length(col("text")).cast("long").as("b"),
           size(toks).cast("long").as("w"),
-          (length(sym) - length(replace(sym, lit(BpeSep), lit(""))))
-            .cast("long").as("t"))
+          bpeTokenCount(sym).as("t"))
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum("b").as("n_bytes"),
           sum("w").as("n_words"), sum("t").as("n_bpe"))
@@ -1694,9 +1705,7 @@ object TextQueries {
     // floor grid.
     "q_text_pmi" -> ((s, d) => {
       val tt = Tables.documents(s, d).select(toks.as("w"))
-      val bg = tt.select(explode(expr(
-          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
-            "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      val bg = tt.select(explode(expr(bigramPairsExpr)).as("bg"))
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       val nb = bgc.agg(sum("cb").as("nb"))

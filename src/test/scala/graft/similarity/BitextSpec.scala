@@ -23,7 +23,10 @@ class BitextSpec extends SparkSpec {
       "a source vector was mined twice — mutual argmax broken")
     assert(rows.map(_._2).distinct.length == rows.length,
       "a target vector was mined twice — mutual argmax broken")
-    assert(rows.forall(_._3 > 1.05), "a mined margin is at/below threshold")
+    // ≥, not >: the engine thresholds on the RAW margin and then
+    // rounds half-up to the 1e-6 grid, so a mined raw margin in
+    // (1.05, 1.0500005) legitimately PRESENTS as exactly 1.05
+    assert(rows.forall(_._3 >= 1.05), "a mined margin below threshold")
   }
 
   test("every mined pair is a genuine embedding pair with the margin's " +
