@@ -97,24 +97,8 @@ object DedupQueries {
     // dump — which is exactly what the oracle states. Scale: query
     // cost is O(new dump) + collision-bounded probes; the 100 TB
     // standing corpus contributes only bucket-local store reads.
-    "q_dedup_incremental" -> ((s, d) => {
-      val store = signatureStore(s, d)
-      val nb = incNewBanded(s, d)
-      val cross = nb.as("x").join(store.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
-        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
-          greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
-          Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
-      val within = nb.as("x").join(nb.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
-      cross.unionByName(within)
-        .groupBy("a", "b").agg(max("j").as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("a"), col("b"))
-    }),
+    "q_dedup_incremental" -> ((s, d) =>
+      incrementalPairs(s, d).orderBy(col("a"), col("b"))),
 
     // STREAMING incremental dedup — the INGEST-TIME shape of
     // q_dedup_incremental (the batch gate answers "dedup a dump I
@@ -490,6 +474,30 @@ object DedupQueries {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
 
+  /** q_dedup_incremental's engine body, shared with
+    * q_text_curate_incremental: verified near-dup pairs (exact Jaccard
+    * ≥ 0.5) touching the new dump, from the two bounded probe routes
+    * against the persisted store (scale/semantics on the gate entry).
+    * Unordered. */
+  private[queries] def incrementalPairs(s: SparkSession,
+      d: String): DataFrame = {
+    val store = signatureStore(s, d)
+    val nb = incNewBanded(s, d)
+    val cross = nb.as("x").join(store.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+        Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
+    val within = nb.as("x").join(nb.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
+    cross.unionByName(within)
+      .groupBy("a", "b").agg(max("j").as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   /** The banded signature frame (doc_id, hs, band, bkey) over any
     * documents slice — the exact q_dedup_lsh sketch (same shingles,
     * same 16-perm signatures, same 4×4 banding), factored out so the
@@ -812,7 +820,7 @@ object DedupQueries {
     """list_distinct(list_transform(sh,
          s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)))"""
 
-  private val minhash16 =
+  private[queries] val minhash16 =
     """[list_aggregate(list_transform(hs,
           h -> ((2 * i + 1) * h + (i * 2654435761) % 4294967296) % 4294967296),
         'min') for i in range(0, 16)]"""

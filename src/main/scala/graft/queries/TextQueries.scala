@@ -786,6 +786,92 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL curation — q_text_curate's published recipe applied
+    // the way production actually runs it: curate ONLY the new dump
+    // (the IncNewSource slice) against PERSISTED standing state, never
+    // re-deriving the standing corpus. The four verdicts per new doc:
+    //   - dup: components over the verified incremental pair graph
+    //     ([[DedupQueries.incrementalPairs]] — the persisted bucketed
+    //     signature store probed, standing bytes never re-sketched);
+    //     a new doc drops if its near-dup component TOUCHES STANDING
+    //     (the content already exists — transitively: new₁—new₂—standing
+    //     drops both) or it is not the component's min-id new member
+    //     (keep one representative per new cluster);
+    //   - quality_keep: qq > the POOLED standing p75 (the new dump is a
+    //     whole new source, so no per-source history exists — the
+    //     pooled standing bar is the frozen-threshold fallback;
+    //     [[narrowedP75]] on the standing slice relabeled to one
+    //     pooled source — same exact order statistics, no per-source
+    //     value buffering);
+    //   - contaminated: the new docs' 8-gram windows probed against
+    //     the MEMOIZED eval artifacts ([[decontEvalArtifacts]] — bloom
+    //     prefilter inside the scan, exact verify semi-join; the eval
+    //     set is a release artifact, built once);
+    //   - gopher_keep: the per-row rule screen (shared
+    //     [[gopherRuleCols]]).
+    // selected = ¬dup ∧ quality_keep ∧ ¬contaminated ∧ gopher_keep.
+    // Scale: query cost is O(new dump) + bucket-local store probes +
+    // the standing cut (a build-once artifact in production; here the
+    // one standing-sized pass, histogram-narrowed). ONE scored scan
+    // (checkpointed) serves the cut and the verdicts.
+    "q_text_curate_incremental" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      val newSrc = DedupQueries.IncNewSource
+      val docs = Tables.documents(s, d)
+      val scored = graft.plans.Lineage.scratchCheckpoint(
+        docs.withColumn("toks", toks)
+          .select(col("doc_id"), col("source"),
+            (floor(qualityScore * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
+              .as("qq"),
+            gopherRuleCols.map(_._2).reduce(_ && _).as("gopher_keep")))
+      val cut = narrowedP75(scored.filter(col("source") =!= newSrc)
+        .withColumn("source", lit("_standing")))
+      val newScored = scored.filter(col("source") === newSrc)
+      val pairs = graft.plans.Lineage.scratchCheckpoint(
+        DedupQueries.incrementalPairs(s, d))
+      val verts = newScored.select("doc_id")
+        .unionByName(pairs.select(col("a").as("doc_id")))
+        .unionByName(pairs.select(col("b").as("doc_id")))
+        .distinct()
+      val asg = graft.plans.Lineage.scratchCheckpoint(
+        DedupQueries.clusterAssign(verts, pairs))
+      val standingComps = asg
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .filter(col("source") =!= newSrc)
+        .select("canonical_id").distinct()
+      val canonNew = asg
+        .join(newScored.select("doc_id"), Seq("doc_id"), "left_semi")
+        .groupBy("canonical_id").agg(min("doc_id").as("canon_new"))
+      val dupFlags = asg
+        .join(newScored.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(canonNew, Seq("canonical_id"))
+        .join(standingComps.withColumn("has_standing", lit(true)),
+          Seq("canonical_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("has_standing"), lit(false))
+            || col("doc_id") =!= col("canon_new")).as("dup"))
+      val (evalGrams, bloomBytes) = decontEvalArtifacts(s, d)
+      val overlap = docs.filter(col("source") === newSrc)
+        .select(col("doc_id"),
+          explode(call_function("word_gram_hashes60", toks, lit(8)))
+            .as("h"))
+        .filter(call_function("bloom_might_contain", lit(bloomBytes),
+          col("h")))
+        .join(evalGrams, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      newScored.crossJoin(broadcast(cut.select(col("cut"))))
+        .join(dupFlags, Seq("doc_id"))
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup"),
+          (col("qq") > col("cut")).as("quality_keep"),
+          (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"),
+          col("gopher_keep"),
+          (!col("dup") && col("qq") > col("cut") &&
+            !(coalesce(col("n_overlap"), lit(0L)) > 0) &&
+            col("gopher_keep")).as("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
     // END-TO-END corpus curation — the decision frame a training-data
     // pipeline actually materializes, composing the FULL published
     // recipe (RefinedWeb/FineWeb: dedup → rule screen → quality filter
@@ -2245,6 +2331,130 @@ object TextQueries {
                              * 1.0e6 + 0.5) / 1.0e6 END AS zq
             FROM q JOIN v USING (source)
             ORDER BY q.doc_id""",
+      // the incremental pair CTEs (q_dedup_incremental's derivation) +
+      // a recursive min-label closure SEEDED from the new-dump vertex
+      // set + pooled standing quantile_cont (≡ narrowedP75's exact
+      // percentile) + the decontamination chain restricted to the new
+      // docs + the gopher rules — composed exactly as the engine
+      // composes the four verdicts
+      "q_text_curate_incremental" -> {
+        val ns = DedupQueries.IncNewSource
+        s"""WITH RECURSIVE t AS (SELECT doc_id, source,
+                          string_split_regex(text, '\\s+') AS toks
+                   FROM documents),
+          s AS (SELECT doc_id, ${DedupQueries.shingle3} AS sh FROM t),
+          hh AS (SELECT doc_id, ${DedupQueries.shingleHash} AS hs FROM s),
+          g AS (SELECT doc_id, hs, ${DedupQueries.minhash16} AS sig
+                FROM hh),
+          bands AS (SELECT doc_id, hs, b.range AS band,
+                           md5(array_to_string(
+                             sig[1 + b.range * 4 : 4 + b.range * 4], ','))
+                             AS bkey
+                    FROM g CROSS JOIN range(0, 4) b),
+          cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                          len(list_intersect(x.hs, y.hs)) AS inter,
+                          len(x.hs) AS la, len(y.hs) AS lb
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                        AND x.doc_id < y.doc_id),
+          prs AS (SELECT a, b FROM (
+                    SELECT a, b,
+                           MAX(CAST(inter AS DOUBLE) / (la + lb - inter))
+                             AS jaccard
+                    FROM cand GROUP BY a, b)
+                  WHERE jaccard >= 0.5),
+          ip AS MATERIALIZED (SELECT p.a, p.b FROM prs p
+                JOIN documents da ON da.doc_id = p.a
+                JOIN documents db ON db.doc_id = p.b
+                WHERE da.source = '$ns' OR db.source = '$ns'),
+          vt AS MATERIALIZED (
+                SELECT doc_id FROM documents WHERE source = '$ns'
+                UNION SELECT a FROM ip UNION SELECT b FROM ip),
+          und AS (SELECT a AS x, b AS y FROM ip
+                  UNION ALL SELECT b, a FROM ip),
+          r AS (SELECT doc_id AS page, doc_id AS reach FROM vt
+                UNION
+                SELECT u.x AS page, r.reach
+                FROM r JOIN und u ON u.y = r.page),
+          comp AS MATERIALIZED (SELECT page, MIN(reach) AS canonical_id
+                                FROM r GROUP BY page),
+          stc AS (SELECT DISTINCT c.canonical_id FROM comp c
+                  JOIN documents dd ON dd.doc_id = c.page
+                  WHERE dd.source <> '$ns'),
+          cn AS (SELECT c.canonical_id, MIN(c.page) AS canon_new
+                 FROM comp c JOIN documents dd ON dd.doc_id = c.page
+                 WHERE dd.source = '$ns' GROUP BY 1),
+          dupf AS (SELECT c.page AS doc_id,
+                     c.canonical_id IN (SELECT canonical_id FROM stc)
+                       OR c.page <> cn.canon_new AS dup
+                   FROM comp c JOIN cn USING (canonical_id)
+                   JOIN documents dd ON dd.doc_id = c.page
+                   WHERE dd.source = '$ns'),
+          qm AS (SELECT doc_id, source,
+                  CAST(len(toks) AS DOUBLE) AS n_tok,
+                  CAST(len(list_filter(toks, x -> list_contains($en, x)))
+                    AS DOUBLE) AS stop_hits,
+                  CAST(len(list_distinct(toks)) AS DOUBLE) AS n_types
+                 FROM t),
+          qs AS MATERIALIZED (SELECT doc_id, source,
+                  floor((LEAST(n_tok / 50.0, 1.0) * 0.4 +
+                         (stop_hits / n_tok) * 0.3 +
+                         (n_types / n_tok) * 0.3) * 1.0e6 + 0.5) / 1.0e6
+                    AS qq
+                FROM qm),
+          qc AS (SELECT quantile_cont(qq, CAST(3 AS DOUBLE)/4) AS cut
+                 FROM qs WHERE source <> '$ns'),
+          dw AS (SELECT doc_id, source,
+                   unnest([array_to_string(toks[i:i+7], ' ')
+                           for i in range(1, len(toks) - 6)]) AS g
+                 FROM t WHERE len(toks) >= 8),
+          dh AS MATERIALIZED (SELECT doc_id, source,
+                   CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h
+                 FROM dw),
+          dev AS (SELECT DISTINCT h FROM dh WHERE source = 'src0'),
+          dov AS (SELECT doc_id, count(*) AS n_overlap FROM dh
+                  WHERE source = '$ns' AND h IN (SELECT h FROM dev)
+                  GROUP BY doc_id),
+          gg AS (SELECT doc_id, toks, len(toks) AS n,
+                   [array_to_string(toks[i:i+1], ' ')
+                    for i in range(1, len(toks))] AS ng2,
+                   [array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)] AS ng3
+                 FROM t WHERE source = '$ns'),
+          gm AS (SELECT doc_id, n,
+                   CAST(list_sum(list_transform(toks, x -> length(x)))
+                     AS DOUBLE) / CAST(n AS DOUBLE) AS ml,
+                   CAST(len(list_filter(toks,
+                     x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS af,
+                   len(list_distinct(list_filter(toks,
+                     x -> x IN ${sqlStopList(StopLists.head._2)
+                       .replace("[", "(").replace("]", ")")}))) AS stp,
+                   CASE WHEN n < 2 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(ng2)) AS DOUBLE)
+                                   / CAST(len(ng2) AS DOUBLE) END AS d2,
+                   CASE WHEN n < 3 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(ng3)) AS DOUBLE)
+                                   / CAST(len(ng3) AS DOUBLE) END AS d3
+                 FROM gg),
+          gk AS (SELECT doc_id,
+                   n >= 50 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
+                     AND af >= 0.8 AND stp >= 2 AND d2 <= 0.20
+                     AND d3 <= 0.18 AS keep
+                 FROM gm)
+          SELECT q.doc_id, f.dup,
+                 q.qq > (SELECT cut FROM qc) AS quality_keep,
+                 COALESCE(dov.n_overlap, 0) > 0 AS contaminated,
+                 gk.keep AS gopher_keep,
+                 NOT f.dup AND q.qq > (SELECT cut FROM qc)
+                   AND NOT (COALESCE(dov.n_overlap, 0) > 0) AND gk.keep
+                   AS selected
+          FROM qs q JOIN dupf f ON f.doc_id = q.doc_id
+          JOIN gk ON gk.doc_id = q.doc_id
+          LEFT JOIN dov ON dov.doc_id = q.doc_id
+          WHERE q.source = '$ns'
+          ORDER BY q.doc_id"""
+      },
       // the q_dedup_cluster closure (shared clusterCompCtes — its own
       // t..comp names) + the quality-cut CTEs under q-prefixed names +
       // the q_text_gopher rules (qg-prefixed, from the same qt token
