@@ -818,15 +818,22 @@ object TextQueries {
       graft.GraftFunctions.register(s)
       val newSrc = DedupQueries.IncNewSource
       val docs = Tables.documents(s, d)
+      // the full-corpus scan computes ONLY qq (what the standing cut
+      // needs); the Gopher screen — ngram builds + distinct counts per
+      // row — runs on the NEW slice alone (source pushdown), keeping
+      // the standing-side cost at exactly the cut's one narrow pass
       val scored = graft.plans.Lineage.scratchCheckpoint(
         docs.withColumn("toks", toks)
           .select(col("doc_id"), col("source"),
             (floor(qualityScore * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
-              .as("qq"),
-            gopherRuleCols.map(_._2).reduce(_ && _).as("gopher_keep")))
+              .as("qq")))
       val cut = narrowedP75(scored.filter(col("source") =!= newSrc)
         .withColumn("source", lit("_standing")))
       val newScored = scored.filter(col("source") === newSrc)
+      val newGopher = docs.filter(col("source") === newSrc)
+        .withColumn("toks", toks)
+        .select(col("doc_id"),
+          gopherRuleCols.map(_._2).reduce(_ && _).as("gopher_keep"))
       val pairs = graft.plans.Lineage.scratchCheckpoint(
         DedupQueries.incrementalPairs(s, d))
       val verts = newScored.select("doc_id")
@@ -835,9 +842,11 @@ object TextQueries {
         .distinct()
       val asg = graft.plans.Lineage.scratchCheckpoint(
         DedupQueries.clusterAssign(verts, pairs))
+      // every asg vertex NOT in the new dump is standing by
+      // construction (verts = new docs ∪ pair endpoints, and pairs only
+      // touch the new dump) — no corpus re-scan needed to label them
       val standingComps = asg
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .filter(col("source") =!= newSrc)
+        .join(newScored.select("doc_id"), Seq("doc_id"), "left_anti")
         .select("canonical_id").distinct()
       val canonNew = asg
         .join(newScored.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -861,6 +870,7 @@ object TextQueries {
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       newScored.crossJoin(broadcast(cut.select(col("cut"))))
         .join(dupFlags, Seq("doc_id"))
+        .join(newGopher, Seq("doc_id"))
         .join(overlap, Seq("doc_id"), "left")
         .select(col("doc_id"), col("dup"),
           (col("qq") > col("cut")).as("quality_keep"),
@@ -2055,6 +2065,65 @@ object TextQueries {
   private def sqlStopList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  private lazy val enSql: String = sqlStopList(StopLists.head._2)
+
+  /** Quality-score CTE chain under a prefix: ${p}t(doc_id, source,
+    * toks) → ${p}s(doc_id, source, quality, qq) — ONE definition for
+    * the q_text_quality_cut / q_text_curate /
+    * q_text_curate_incremental oracles (the decontCtes pattern: a
+    * threshold or tokenization change edited in one copy would
+    * silently desynchronize the others). */
+  private def qualityQqCtes(p: String): String =
+    s"""${p}t AS MATERIALIZED (SELECT doc_id, source,
+                          string_split_regex(text, '\\s+') AS toks
+                   FROM documents),
+            ${p}m AS (SELECT doc_id, source,
+                   CAST(len(toks) AS DOUBLE) AS n_tok,
+                   CAST(len(list_filter(toks, t -> list_contains($enSql, t))) AS DOUBLE)
+                     AS stop_hits,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) AS n_types
+                  FROM ${p}t),
+            ${p}s AS MATERIALIZED (SELECT doc_id, source, quality,
+                   floor(quality * 1.0e6 + 0.5) / 1.0e6 AS qq
+                 FROM (SELECT doc_id, source,
+                         LEAST(n_tok / 50.0, 1.0) * 0.4 +
+                               (stop_hits / n_tok) * 0.3 +
+                               (n_types / n_tok) * 0.3 AS quality
+                       FROM ${p}m))"""
+
+  /** Gopher rule CTE chain from a (doc_id, toks) CTE (optionally
+    * filtered): ${p}g/${p}m → ${p}k(doc_id, keep) — ONE definition for
+    * the curate-family oracles. */
+  private def gopherKeepCtes(p: String, from: String,
+      where: String = ""): String =
+    s"""${p}g AS (SELECT doc_id, toks, len(toks) AS n,
+                      [array_to_string(toks[i:i+1], ' ')
+                       for i in range(1, len(toks))] AS ng2,
+                      [array_to_string(toks[i:i+2], ' ')
+                       for i in range(1, len(toks) - 1)] AS ng3
+                    FROM $from $where),
+            ${p}m AS (SELECT doc_id, n,
+                      CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS DOUBLE) / CAST(n AS DOUBLE) AS ml,
+                      CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                        / CAST(n AS DOUBLE) AS af,
+                      len(list_distinct(list_filter(toks,
+                        x -> x IN ${enSql
+                          .replace("[", "(").replace("]", ")")}))) AS stp,
+                      CASE WHEN n < 2 THEN 0.0
+                           ELSE 1.0 - CAST(len(list_distinct(ng2)) AS DOUBLE)
+                                      / CAST(len(ng2) AS DOUBLE) END AS d2,
+                      CASE WHEN n < 3 THEN 0.0
+                           ELSE 1.0 - CAST(len(list_distinct(ng3)) AS DOUBLE)
+                                      / CAST(len(ng3) AS DOUBLE) END AS d3
+                    FROM ${p}g),
+            ${p}k AS (SELECT doc_id,
+                      n >= 50 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
+                        AND af >= 0.8 AND stp >= 2 AND d2 <= 0.20
+                        AND d3 <= 0.18 AS keep
+                    FROM ${p}m)"""
+
   /** The oracle's replay of [[bpeSymbols]]: the same regexp explode,
     * then the SAME trained 1200-rule table — inlined as a literal list
     * of 'a'||chr(1)||'b' strings, single source of truth
@@ -2278,27 +2347,12 @@ object TextQueries {
       // same bit-equal score, same exact-interpolation per-source p75
       // (quantile_cont ≡ Spark percentile), same strict > keep rule
       "q_text_quality_cut" ->
-        s"""WITH t AS (SELECT doc_id, source,
-                              string_split_regex(text, '\\s+') AS toks
-                       FROM documents),
-            m AS (SELECT doc_id, source,
-                   CAST(len(toks) AS DOUBLE) AS n_tok,
-                   CAST(len(list_filter(toks, t -> list_contains($en, t))) AS DOUBLE)
-                     AS stop_hits,
-                   CAST(len(list_distinct(toks)) AS DOUBLE) AS n_types
-                  FROM t),
-            q AS MATERIALIZED (SELECT doc_id, source, quality,
-                   floor(quality * 1.0e6 + 0.5) / 1.0e6 AS qq
-                 FROM (SELECT doc_id, source,
-                         LEAST(n_tok / 50.0, 1.0) * 0.4 +
-                               (stop_hits / n_tok) * 0.3 +
-                               (n_types / n_tok) * 0.3 AS quality
-                       FROM m)),
+        s"""WITH ${qualityQqCtes("")},
             c AS (SELECT source,
                    quantile_cont(qq, CAST(3 AS DOUBLE)/4) AS cut
-                  FROM q GROUP BY source)
+                  FROM s GROUP BY source)
             SELECT q.doc_id, q.source, q.quality, q.qq > c.cut AS kept
-            FROM q JOIN c ON c.source = q.source
+            FROM s q JOIN c ON c.source = q.source
             ORDER BY q.doc_id""",
       // same quantized-long qi, the same HUGEINT moments and exact
       // v = n·P − S² (correctly rounded →DOUBLE, the PCA cast
@@ -2390,68 +2444,21 @@ object TextQueries {
                    FROM comp c JOIN cn USING (canonical_id)
                    JOIN documents dd ON dd.doc_id = c.page
                    WHERE dd.source = '$ns'),
-          qm AS (SELECT doc_id, source,
-                  CAST(len(toks) AS DOUBLE) AS n_tok,
-                  CAST(len(list_filter(toks, x -> list_contains($en, x)))
-                    AS DOUBLE) AS stop_hits,
-                  CAST(len(list_distinct(toks)) AS DOUBLE) AS n_types
-                 FROM t),
-          qs AS MATERIALIZED (SELECT doc_id, source,
-                  floor((LEAST(n_tok / 50.0, 1.0) * 0.4 +
-                         (stop_hits / n_tok) * 0.3 +
-                         (n_types / n_tok) * 0.3) * 1.0e6 + 0.5) / 1.0e6
-                    AS qq
-                FROM qm),
+          ${qualityQqCtes("q")},
           qc AS (SELECT quantile_cont(qq, CAST(3 AS DOUBLE)/4) AS cut
                  FROM qs WHERE source <> '$ns'),
-          dw AS (SELECT doc_id, source,
-                   unnest([array_to_string(toks[i:i+7], ' ')
-                           for i in range(1, len(toks) - 6)]) AS g
-                 FROM t WHERE len(toks) >= 8),
-          dh AS MATERIALIZED (SELECT doc_id, source,
-                   CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h
-                 FROM dw),
-          dev AS (SELECT DISTINCT h FROM dh WHERE source = 'src0'),
-          dov AS (SELECT doc_id, count(*) AS n_overlap FROM dh
-                  WHERE source = '$ns' AND h IN (SELECT h FROM dev)
-                  GROUP BY doc_id),
-          gg AS (SELECT doc_id, toks, len(toks) AS n,
-                   [array_to_string(toks[i:i+1], ' ')
-                    for i in range(1, len(toks))] AS ng2,
-                   [array_to_string(toks[i:i+2], ' ')
-                    for i in range(1, len(toks) - 1)] AS ng3
-                 FROM t WHERE source = '$ns'),
-          gm AS (SELECT doc_id, n,
-                   CAST(list_sum(list_transform(toks, x -> length(x)))
-                     AS DOUBLE) / CAST(n AS DOUBLE) AS ml,
-                   CAST(len(list_filter(toks,
-                     x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-                     / CAST(n AS DOUBLE) AS af,
-                   len(list_distinct(list_filter(toks,
-                     x -> x IN ${sqlStopList(StopLists.head._2)
-                       .replace("[", "(").replace("]", ")")}))) AS stp,
-                   CASE WHEN n < 2 THEN 0.0
-                        ELSE 1.0 - CAST(len(list_distinct(ng2)) AS DOUBLE)
-                                   / CAST(len(ng2) AS DOUBLE) END AS d2,
-                   CASE WHEN n < 3 THEN 0.0
-                        ELSE 1.0 - CAST(len(list_distinct(ng3)) AS DOUBLE)
-                                   / CAST(len(ng3) AS DOUBLE) END AS d3
-                 FROM gg),
-          gk AS (SELECT doc_id,
-                   n >= 50 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
-                     AND af >= 0.8 AND stp >= 2 AND d2 <= 0.20
-                     AND d3 <= 0.18 AS keep
-                 FROM gm)
+          ${decontCtes("dc")},
+          ${gopherKeepCtes("g", "qt", s"WHERE source = '$ns'")}
           SELECT q.doc_id, f.dup,
                  q.qq > (SELECT cut FROM qc) AS quality_keep,
-                 COALESCE(dov.n_overlap, 0) > 0 AS contaminated,
+                 COALESCE(dd.contaminated, FALSE) AS contaminated,
                  gk.keep AS gopher_keep,
                  NOT f.dup AND q.qq > (SELECT cut FROM qc)
-                   AND NOT (COALESCE(dov.n_overlap, 0) > 0) AND gk.keep
+                   AND NOT COALESCE(dd.contaminated, FALSE) AND gk.keep
                    AS selected
           FROM qs q JOIN dupf f ON f.doc_id = q.doc_id
           JOIN gk ON gk.doc_id = q.doc_id
-          LEFT JOIN dov ON dov.doc_id = q.doc_id
+          LEFT JOIN dcfin dd ON dd.doc_id = q.doc_id
           WHERE q.source = '$ns'
           ORDER BY q.doc_id"""
       },
@@ -2464,52 +2471,11 @@ object TextQueries {
       "q_text_curate" ->
         s"""${DedupQueries.clusterCompCtes},
             ${decontCtes("dc")},
-            qt AS MATERIALIZED (SELECT doc_id, source,
-                          string_split_regex(text, '\\s+') AS toks
-                   FROM documents),
-            qm AS (SELECT doc_id, source,
-                    CAST(len(toks) AS DOUBLE) AS n_tok,
-                    CAST(len(list_filter(toks, t -> list_contains($en, t)))
-                      AS DOUBLE) AS stop_hits,
-                    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_types
-                   FROM qt),
-            qs AS MATERIALIZED (SELECT doc_id, source, quality,
-                    floor(quality * 1.0e6 + 0.5) / 1.0e6 AS qq
-                  FROM (SELECT doc_id, source,
-                          LEAST(n_tok / 50.0, 1.0) * 0.4 +
-                                (stop_hits / n_tok) * 0.3 +
-                                (n_types / n_tok) * 0.3 AS quality
-                        FROM qm)),
+            ${qualityQqCtes("q")},
             qc AS (SELECT source,
                     quantile_cont(qq, CAST(3 AS DOUBLE)/4) AS cut
                    FROM qs GROUP BY source),
-            qgg AS (SELECT doc_id, toks, len(toks) AS n,
-                      [array_to_string(toks[i:i+1], ' ')
-                       for i in range(1, len(toks))] AS ng2,
-                      [array_to_string(toks[i:i+2], ' ')
-                       for i in range(1, len(toks) - 1)] AS ng3
-                    FROM qt),
-            qgm AS (SELECT doc_id, n,
-                      CAST(list_sum(list_transform(toks, x -> length(x)))
-                        AS DOUBLE) / CAST(n AS DOUBLE) AS ml,
-                      CAST(len(list_filter(toks,
-                        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-                        / CAST(n AS DOUBLE) AS af,
-                      len(list_distinct(list_filter(toks,
-                        x -> x IN ${sqlStopList(StopLists.head._2)
-                          .replace("[", "(").replace("]", ")")}))) AS stp,
-                      CASE WHEN n < 2 THEN 0.0
-                           ELSE 1.0 - CAST(len(list_distinct(ng2)) AS DOUBLE)
-                                      / CAST(len(ng2) AS DOUBLE) END AS d2,
-                      CASE WHEN n < 3 THEN 0.0
-                           ELSE 1.0 - CAST(len(list_distinct(ng3)) AS DOUBLE)
-                                      / CAST(len(ng3) AS DOUBLE) END AS d3
-                    FROM qgg),
-            qgk AS (SELECT doc_id,
-                      n >= 50 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
-                        AND af >= 0.8 AND stp >= 2 AND d2 <= 0.20
-                        AND d3 <= 0.18 AS keep
-                    FROM qgm)
+            ${gopherKeepCtes("qg", "qt")}
             SELECT q.doc_id, q.source, c.canonical_id, q.quality,
                    q.qq > cc.cut AS kept,
                    gk.keep AS gopher_keep,

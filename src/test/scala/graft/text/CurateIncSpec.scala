@@ -62,7 +62,8 @@ class CurateIncSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("source"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     def qq(x: Double): Double = math.floor(x * 1.0e6 + 0.5) / 1.0e6
-    val standing = q.filter { case (id, _) => docsSrc(id) != "src7" }
+    val standing = q.filter { case (id, _) =>
+      docsSrc(id) != graft.queries.DedupQueries.IncNewSource }
       .values.map(qq).toArray.sorted
     val pos = 0.75 * (standing.length - 1)
     val (lo, hi) = (standing(pos.toInt), standing(math.ceil(pos).toInt))
