@@ -21,6 +21,35 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** ALL-CORES fixed-CPU-work probe: the [[cpuProbe]] xorshift loop run
+    * simultaneously on every available core (~same nominal wall as one
+    * thread on a quiet machine — that is the point). Round-14 lesson:
+    * same-tree totals swung 87-108 s across one session while the
+    * single-threaded probe AND the Spark probe stayed flat or improved
+    * — a shared host can lose MULTI-core throughput (co-tenant bursts,
+    * thermal caps, hypervisor steal) invisibly to any 1-thread witness;
+    * this probe measures exactly the resource the 32-thread bench
+    * spends. Drift flags [[contendedFlag]] on its own (no 1-thread
+    * corroboration — the failure mode is precisely that the 1-thread
+    * probe stays flat). */
+  def parProbe(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { _ =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < 400000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        if (x == 42L) System.err.print("")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Fixed-work Spark probe: constant in-memory agg over range(), all
     * partitions, no IO. Sensitive to CPU contention AND scheduler /
     * block-manager pressure inside the same JVM. */
@@ -72,6 +101,20 @@ object Bench {
       (drift(sparkStart, sparkEnd) > 0.50 && drift(cpuStart, cpuEnd) > 0.10)
   }
 
+  /** [[contendedFlag]] + the all-cores probe: parallel-throughput drift
+    * > 35% flags WITHOUT corroboration (the round-14 signature is par
+    * drift with a flat 1-thread probe; 35% sits above the ~10% sampler
+    * noise a quiet box shows at 32 threads and below the 2× swings the
+    * session observed). */
+  def contendedFlag(loadStart: String, cpuStart: Double, cpuEnd: Double,
+      sparkStart: Double, sparkEnd: Double,
+      parStart: Double, parEnd: Double): Boolean = {
+    def drift(a: Double, b: Double): Double =
+      math.abs(b - a) / math.max(math.min(a, b), 1e-9)
+    contendedFlag(loadStart, cpuStart, cpuEnd, sparkStart, sparkEnd) ||
+      drift(parStart, parEnd) > 0.35
+  }
+
   /** Usable space (GiB) on the filesystem holding the given path. */
   def freeDiskGb(path: String): Long =
     scala.util.Try {
@@ -96,9 +139,10 @@ object Bench {
     // one untimed warm call each: the first sparkProbe pays ~3 s of
     // one-time codegen/JIT bootstrap that would make start ≠ end on a
     // perfectly quiet machine and bury the signal the probes exist for
-    cpuProbe(); sparkProbe(spark)
+    cpuProbe(); sparkProbe(spark); parProbe()
     val cpuProbeStart = cpuProbe()
     val sparkProbeStart = sparkProbe(spark)
+    val parProbeStart = parProbe()
     // sorted order: Map iteration order is arbitrary, which made
     // per-query times incomparable across rounds
     val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -163,6 +207,7 @@ object Bench {
     val loadEnd = loadavg()
     val cpuProbeEnd = cpuProbe()
     val sparkProbeEnd = sparkProbe(spark)
+    val parProbeEnd = parProbe()
     // 4-decimal seconds (0.1 ms resolution): the driver's stdout capture
     // keeps only the last ~2.3 KB, and at full double precision the
     // 78-query line overflowed it every round (BENCH_r* `parsed: null`,
@@ -192,14 +237,16 @@ object Bench {
     // reader (or gate) checks ONE boolean instead of re-deriving the
     // probe analysis the judge had to do by hand in r9 and r12.
     val contended = contendedFlag(loadStart, cpuProbeStart, cpuProbeEnd,
-      sparkProbeStart, sparkProbeEnd)
+      sparkProbeStart, sparkProbeEnd, parProbeStart, parProbeEnd)
     if (contended)
       System.err.println("[bench] CONTENDED: probes moved or machine busy " +
         s"at start (load_start=$loadStart cpu=$cpuProbeStart->$cpuProbeEnd " +
-        s"spark=$sparkProbeStart->$sparkProbeEnd) — discount this record")
+        s"spark=$sparkProbeStart->$sparkProbeEnd " +
+        s"par=$parProbeStart->$parProbeEnd) — discount this record")
     val envJson = s""""machine":{"load_start":"$loadStart","load_end":"$loadEnd",""" +
       s""""cpu_probe_start":${fmt(cpuProbeStart)},"cpu_probe_end":${fmt(cpuProbeEnd)},""" +
       s""""spark_probe_start":${fmt(sparkProbeStart)},"spark_probe_end":${fmt(sparkProbeEnd)},""" +
+      s""""par_probe_start":${fmt(parProbeStart)},"par_probe_end":${fmt(parProbeEnd)},""" +
       s""""contended":$contended,""" +
       s""""tmp_free_gb":${freeDiskGb(sys.props.getOrElse("java.io.tmpdir", "/tmp"))}}"""
     val cfg = s""""config":{"cpus":${spark.sparkContext.defaultParallelism},""" +

@@ -45,6 +45,23 @@ class BenchContentionSpec extends AnyFunSuite {
     assert(!Bench.contendedFlag("0.50 0.40 0.30", 0.80, 0.81, 0.20, 0.35))
   }
 
+  test("parallel-throughput drift flags WITHOUT 1-thread corroboration " +
+      "(round 14)") {
+    // the round-14 signature: totals +20% across every job-heavy query
+    // while cpu and spark probes stayed flat/improved — only an
+    // all-cores witness can see a multi-core throughput dip
+    assert(Bench.contendedFlag("0.79 1.70 2.58", 0.886, 0.857, 0.205, 0.262,
+      0.35, 0.52))
+    // flat parallel probe on the same 1-thread readings must not flag
+    assert(!Bench.contendedFlag("0.79 1.70 2.58", 0.886, 0.857, 0.205, 0.262,
+      0.35, 0.38))
+    // the 7-arg form preserves every 5-arg verdict
+    assert(Bench.contendedFlag("3.41 4.94 4.06", 0.946, 0.940, 0.325, 0.330,
+      0.35, 0.36))
+    assert(!Bench.contendedFlag("1.20 1.00 0.90", 0.809, 0.815, 0.191, 0.250,
+      0.35, 0.36))
+  }
+
   test("unparseable loadavg falls back to probe drift only") {
     assert(!Bench.contendedFlag("n/a", 0.80, 0.81, 0.20, 0.21))
     assert(Bench.contendedFlag("n/a", 0.80, 1.30, 0.20, 0.21))
