@@ -148,6 +148,27 @@ object DedupQueries {
     "q_dedup_cluster" -> ((s, d) =>
       lshClusters(s, d).orderBy(col("doc_id"))),
 
+    // Per-source DUPLICATION REPORT — the corpus-card number every
+    // dataset paper publishes (CCNet/RefinedWeb report dup rates per
+    // dump/source; a spike in one source's rate is the first sign of a
+    // crawler loop or a mirror): docs, survivors (canonical keep rule)
+    // and dup_rate = 1 − kept/docs per source, off the MEMOIZED
+    // cluster assignment (one LSH + components run serves
+    // q_dedup_cluster, q_dedup_split, q_text_curate and this report).
+    // Scale: one doc_id-keyed join + a |sources|-row partial agg; the
+    // rate divides exact longs and presents on the 1e-6 floor grid.
+    "q_dedup_report" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(lshClusters(s, d), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("canonical_id"), lit(1L))
+            .otherwise(lit(0L))).as("n_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          (floor((lit(1.0) - col("n_kept").cast("double") / col("n_docs"))
+            * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("dup_rate"))
+        .orderBy(col("source"))),
+
     // Containment near-dup detection — the ASYMMETRIC complement to
     // Jaccard (Broder'97's two resemblance measures): C = |A∩B|/min —
     // a short document quoted whole inside a long one scores C ≈ 1
@@ -1015,6 +1036,20 @@ object DedupQueries {
          SELECT c.page AS doc_id, c.canonical_id, z.cluster_n
          FROM comp c JOIN sz z ON c.canonical_id = z.canonical_id
          ORDER BY doc_id""",
+    // same closure, aggregated per source with the same keep rule and
+    // the same exact-long ratio on the floor grid
+    "q_dedup_report" ->
+      s"""$clusterCompCtes
+         SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN c.page = c.canonical_id THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_kept,
+                FLOOR((1.0 - CAST(SUM(CASE WHEN c.page = c.canonical_id
+                                           THEN 1 ELSE 0 END) AS DOUBLE)
+                             / COUNT(*)) * 1.0e6 + 0.5) / 1.0e6
+                  AS dup_rate
+         FROM comp c JOIN documents d ON d.doc_id = c.page
+         GROUP BY d.source
+         ORDER BY d.source""",
     // same shingle CTEs; rare-shingle (2 ≤ df ≤ cap) inverted-index
     // candidates, exact containment |A∩B|/min over candidate pairs
     "q_dedup_containment" ->
