@@ -427,7 +427,9 @@ object TextQueries {
     * a build-once artifact both gates consume. Unordered; callers add
     * their ORDER BY. Scale/float notes live on the q_text_logprob
     * entry. */
-  private def logprobPerDoc(s: SparkSession, d: String): DataFrame =
+  /** private[graft]: PlanShapeSpec's AQE pin re-persists this memo
+    * after deliberately uncaching it to measure the real build plan. */
+  private[graft] def logprobPerDoc(s: SparkSession, d: String): DataFrame =
     graft.plans.Lineage.memo(logprobCache, s, d)(logprobPerDocBuild(s, d))
 
   private val logprobCache =
@@ -660,13 +662,43 @@ object TextQueries {
   private def bpeTokenCount(sym: Column): Column =
     (length(sym) - length(replace(sym, lit(BpeSep), lit("")))).cast("long")
 
+  /** q_text_fertility's engine body over any (lang, source, text) frame
+    * — exposed for FertilitySpec's degenerate-group test. Both ratios
+    * divide by NULLIF(…, 0) (ADVICE r14): a (lang, source) group of
+    * empty/whitespace-only texts has n_bpe = 0, and an unguarded
+    * division would give Infinity in Spark but NULL in DuckDB — the
+    * guard makes BOTH engines emit NULL for degenerate groups (FLOOR
+    * and the grid divide propagate the NULL identically). */
+  private[graft] def fertilityOver(docs: DataFrame): DataFrame = {
+    val sym = bpeSymbols(col("text"))
+    docs
+      .select(col("lang"), col("source"),
+        octet_length(col("text")).cast("long").as("b"),
+        size(toks).cast("long").as("w"),
+        bpeTokenCount(sym).as("t"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("b").as("n_bytes"),
+        sum("w").as("n_words"), sum("t").as("n_bpe"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_bytes"),
+        col("n_words"), col("n_bpe"),
+        (floor(col("n_bpe") / nullif(col("n_words"), lit(0L)) * lit(1.0e6)
+          + lit(0.5)) / lit(1.0e6)).as("fertility"),
+        (floor(col("n_bytes") / nullif(col("n_bpe"), lit(0L)) * lit(1.0e6)
+          + lit(0.5)) / lit(1.0e6)).as("bytes_per_token"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Adjacent-pair struct array over an in-scope token-array column
     * `w` — ONE definition of the NARROW zip_with bigram extraction
     * q_text_bigram_lm and q_text_pmi share. Empty/1-token docs yield
-    * an empty array (slice lengths clamp at 0). SQL twin:
-    * `list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i+1]})`. */
+    * an empty array — the slice lengths are clamped with greatest(…, 0)
+    * because Spark's slice() THROWS on a negative length (ADVICE r14:
+    * split(text, '\\s+') happens to never return an empty array, but
+    * this shared helper must not rely on that caller contract). SQL
+    * twin: `list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i+1]})`. */
   private val bigramPairsExpr: String =
-    "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+    "zip_with(slice(w, 1, greatest(size(w) - 1, 0)), " +
+      "slice(w, 2, greatest(size(w) - 1, 0)), " +
       "(a, b) -> named_struct('w1', a, 'w2', b))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -827,6 +859,16 @@ object TextQueries {
           .select(col("doc_id"), col("source"),
             (floor(qualityScore * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
               .as("qq")))
+      // ADVICE r14: with a corpus holding ONLY the new-dump slice the
+      // standing frame is empty, narrowedP75 returns 0 rows, and the
+      // crossJoin below would SILENTLY emit an empty result (while the
+      // oracle's quantile_cont yields a NULL cut — a divergence). Fail
+      // loudly instead; the probe is one limit-1 pass over the already
+      // checkpointed scored frame, not a second corpus scan.
+      require(!scored.filter(col("source") =!= newSrc).isEmpty,
+        "q_text_curate_incremental: the corpus contains only the " +
+          s"'$newSrc' slice — no standing corpus to derive the quality " +
+          "cut from")
       val cut = narrowedP75(scored.filter(col("source") =!= newSrc)
         .withColumn("source", lit("_standing")))
       val newScored = scored.filter(col("source") === newSrc)
@@ -1732,22 +1774,7 @@ object TextQueries {
     // both engines — zero float risk beyond the shared division).
     "q_text_fertility" -> ((s, d) => {
       graft.GraftFunctions.register(s)
-      val sym = bpeSymbols(col("text"))
-      Tables.documents(s, d)
-        .select(col("lang"), col("source"),
-          octet_length(col("text")).cast("long").as("b"),
-          size(toks).cast("long").as("w"),
-          bpeTokenCount(sym).as("t"))
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n_docs"), sum("b").as("n_bytes"),
-          sum("w").as("n_words"), sum("t").as("n_bpe"))
-        .select(col("lang"), col("source"), col("n_docs"), col("n_bytes"),
-          col("n_words"), col("n_bpe"),
-          (floor(col("n_bpe") / col("n_words") * lit(1.0e6) + lit(0.5))
-            / lit(1.0e6)).as("fertility"),
-          (floor(col("n_bytes") / col("n_bpe") * lit(1.0e6) + lit(0.5))
-            / lit(1.0e6)).as("bytes_per_token"))
-        .orderBy(col("lang"), col("source"))
+      fertilityOver(Tables.documents(s, d))
     }),
 
     // Character-distribution Shannon entropy — the "natural text vs
@@ -1790,10 +1817,18 @@ object TextQueries {
     // min-count ≥ PmiMinCount (rare-pair PMI is noise), top PmiTopK.
     // Scale shape: the same NARROW zip_with pair extraction as
     // q_text_bigram_lm (no self-join/window); the bigram total
-    // aggregates off the REUSED bigram-counts exchange (sum(cb) reads
-    // cb — the logprob reuse shape); unigram joins are
-    // vocabulary-sized; the global top-K is TakeOrderedAndProject —
-    // K rows reach the driver at any corpus size.
+    // aggregates off the REUSED bigram-counts exchange — the corpus
+    // pair-explode runs ONCE. The explicit isnotnull(w1)/isnotnull(w2)
+    // filter on `bg` below is semantically vacuous (split() tokens are
+    // never null) but LOAD-BEARING for that reuse: the ranking leg's
+    // inner joins infer exactly this constraint and push it below the
+    // pair aggregate, so without it on the shared frame the nb total's
+    // exchange canonicalizes DIFFERENT and AQE re-explodes the corpus
+    // for a 1-row sum (the VERDICT r14 `weak`; pinned by PlanShapeSpec
+    // "q_text_pmi AQE" counting corpus Generates in the FINAL plan).
+    // Unigram joins are vocabulary-sized; the global top-K is
+    // TakeOrderedAndProject — K rows reach the driver at any corpus
+    // size.
     // Float contract: all count ratios divide exact longs, the PMI is
     // one identical expression tree both engines, ranking runs on the
     // RAW doubles (bit-identical, so the cut is identical) with a
@@ -1803,6 +1838,7 @@ object TextQueries {
       val tt = Tables.documents(s, d).select(toks.as("w"))
       val bg = tt.select(explode(expr(bigramPairsExpr)).as("bg"))
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .filter(col("w1").isNotNull && col("w2").isNotNull)
       val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       val nb = bgc.agg(sum("cb").as("nb"))
       val uni = tt.select(explode(col("w")).as("tok"))
@@ -2310,9 +2346,9 @@ object TextQueries {
                          CAST(sum(t) AS BIGINT) AS n_bpe
                   FROM b GROUP BY 1, 2)
             SELECT lang, source, n_docs, n_bytes, n_words, n_bpe,
-                   FLOOR(n_bpe / n_words * 1.0e6 + 0.5) / 1.0e6
+                   FLOOR(n_bpe / NULLIF(n_words, 0) * 1.0e6 + 0.5) / 1.0e6
                      AS fertility,
-                   FLOOR(n_bytes / n_bpe * 1.0e6 + 0.5) / 1.0e6
+                   FLOOR(n_bytes / NULLIF(n_bpe, 0) * 1.0e6 + 0.5) / 1.0e6
                      AS bytes_per_token
             FROM g ORDER BY lang, source""",
       "q_text_tokens" ->
