@@ -549,6 +549,27 @@ object TextQueries {
     * exhaustion). Shared engine/oracle. */
   private val BpeTrainK = 64
 
+  /** Merges per training job for [[bpeTrainLoop]] (VERDICT r14 item 5):
+    * each job's top-(M+1) collect admits up to M sequential-equivalent
+    * merges, cutting driver round-trips ~M×. 16 balances round-trip
+    * savings against wasted tail (a batch truncates at the first
+    * interacting pair). */
+  private[graft] val BpeBatchM = 16
+
+  /** Rule count for the boundary-crossing gate (q_text_bpe_train_sp):
+    * production-scale territory the 31-type word vocabulary cannot
+    * reach (it exhausts at 89 merges) — the sp stream supports it with
+    * ~580× headroom at sf0.01. */
+  private[graft] val BpeSpTrainK = 256
+
+  /** Input bound for [[spSampledVocab]] — sentencepiece's
+    * `input_sentence_size`: the trainer's working set is AT MOST this
+    * many weighted distinct units no matter the corpus size, which is
+    * what lets the K-iteration sequential argmax run as ONE executor
+    * task instead of K full-corpus recount jobs. The bound is a
+    * broadcast-table-sized constant (≤ ~1 MB of text here). */
+  private[graft] val BpeSpSampleN = 1024
+
   /** Chain-reset cadence for [[bpeTrain]]: every this-many merges the
     * symbol frame is re-checkpointed, so iteration r replays at most
     * (r mod 32) stacked `replace`s instead of r — per-merge cost is
@@ -558,23 +579,119 @@ object TextQueries {
     * PageRank cadence pattern. */
   private val BpeCkptEvery = 32
 
-  /** q_text_bpe_train's engine body over any (text) frame — exposed
-    * for TextBpeTrainSpec (replay equality, plan-depth cadence pin,
+  /** q_text_bpe_train's engine body over any (text) frame — the
+    * word-frequency vocabulary fed to [[bpeTrainLoop]]. Exposed for
+    * TextBpeTrainSpec (replay equality, plan-depth cadence pin,
     * learned-table application through BpeSymbolsUtil's
     * alternate-table seam). `onSyms` observes the symbol frame after
-    * each merge, the PageRank `onIterationPlan` pattern. Semantics and
-    * scale notes live on the gate entry below. */
+    * each merge, the PageRank `onIterationPlan` pattern. */
   private[graft] def bpeTrain(docs: DataFrame, k: Int,
+      onSyms: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame =
+    bpeTrainLoop(wordSymVocab(docs), k, BpeBatchM, onSyms)
+
+  /** The word-frequency symbol vocabulary (Sennrich'16's training
+    * input): distinct words with counts, each word exploded to
+    * SEP-terminated characters. Vocabulary-sized — the 100 TB corpus
+    * crosses the wire ONCE into this table; every merge job shuffles
+    * only it. */
+  private[graft] def wordSymVocab(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(toks).as("w")).filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(regexp_replace(col("w"), "(.)", "$1" + BpeSep).as("sym"),
+        col("c"))
+
+  /** The boundary-crossing symbol stream (the sentencepiece framing:
+    * whitespace becomes the visible '▁' symbol, merges may cross it)
+    * — distinct document texts with multiplicities, the distributed
+    * aggregation the 100 TB corpus crosses ONCE. Unlike the 31-type
+    * word vocabulary of the gate corpus (which exhausts at 89 merges),
+    * this stream supports production-scale rule counts; it is the
+    * input that makes the K = 256 gate non-vacuous. */
+  private[graft] def spStream(docs: DataFrame): DataFrame =
+    docs
+      .select(replace(col("text"), lit(" "), lit("▁")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+
+  /** [[spStream]] expanded to SEP-terminated symbols — the unsampled
+    * (sym, c) form [[bpeTrainLoop]] can train on directly; the specs'
+    * distributed arm. */
+  private[graft] def spSymVocab(docs: DataFrame): DataFrame =
+    spStream(docs)
+      .select(regexp_replace(col("t"), "(.)", "$1" + BpeSep).as("sym"),
+        col("c"))
+
+  /** The DETERMINISTIC bounded sample of [[spStream]] that
+    * [[bpeTrainLocal]] trains on — sentencepiece's input-sampling
+    * policy made reproducible: order the weighted distinct units by a
+    * content hash both engines compute identically (md5 of the UTF-8
+    * bytes) and keep the first [[BpeSpSampleN]]. A
+    * TakeOrderedAndProject — per-partition top-N, never a full sort —
+    * so the sample is bounded work AND bounded bytes at any corpus
+    * size, and the DuckDB oracle replays the exact same selection. */
+  private[graft] def spSampledVocab(docs: DataFrame): DataFrame =
+    spStream(docs)
+      .orderBy(md5(col("t")), col("t")).limit(BpeSpSampleN)
+      .select(regexp_replace(col("t"), "(.)", "$1" + BpeSep).as("sym"),
+        col("c"))
+
+  /** Select the longest batch of merges provably equal to applying the
+    * sequential one-at-a-time argmax (TextBpeBatchSpec pins it against
+    * the naive skip-and-continue rule that ISN'T):
+    *
+    * Walk `ranked` (cnt desc, a, b — the loop's total order). SELECT
+    * pairs while they share no symbol with anything selected; STOP at
+    * the first interacting pair, at `cap`, or at the table's end.
+    * Then drop any selected pair whose count EQUALS the first
+    * unselected pair's count, and fall back to the top-1 pair (always
+    * the literal sequential argmax) if that empties the batch.
+    *
+    * Why this equals sequential, step by step: every pair ranked above
+    * the stop point is selected, so any pair a merge can AFFECT
+    * (shares a symbol → not selected) ranks at/below the stopper —
+    * count ≤ stopCnt. Applying a merge only DECREASES affected pairs'
+    * counts, and any NEW pair (x, ab) satisfies count(x,ab) ≤
+    * count(x,a) ≤ stopCnt. Selected pairs are mutually disjoint, so
+    * their own counts never move. After the strict `cnt > stopCnt`
+    * guard, every kept pair therefore still beats every changed or
+    * created candidate at its own sequential step — including on the
+    * tie-break, because the count dominance is strict. (The guard is
+    * what the naive rule lacks: a skipped interacting pair can spawn a
+    * same-count successor that wins the tie-break.) */
+  private[graft] def selectMergeBatch(ranked: Seq[(String, String, Long)],
+      cap: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val sel = scala.collection.mutable.Buffer.empty[(String, String, Long)]
+    var stopCnt = -1L
+    var stopped = false
+    for (p @ (a, b, c) <- ranked if !stopped) {
+      if (sel.size == cap || used(a) || used(b)) {
+        stopped = true; stopCnt = c
+      } else {
+        sel += p; used += a; used += b
+      }
+    }
+    val kept = if (stopCnt >= 0) sel.filter(_._3 > stopCnt) else sel.toSeq
+    if (kept.isEmpty) sel.take(1).toSeq else kept.toSeq
+  }
+
+  /** The shared BPE training loop over any (sym, c) vocabulary frame:
+    * per JOB, one pair-count shuffle + a top-(M+1) collect (the
+    * N-counter contract — M+1 rows, never the table), then up to M
+    * sequential-equivalent merges applied as narrow chained replaces
+    * (see [[selectMergeBatch]] for the equivalence argument). Batching
+    * cuts driver round-trips ~M× (VERDICT r14 item 5 — the
+    * sentencepiece-style optimization): per-merge cost was already
+    * flat after r13's checkpoint cadence; the scheduling floor × K was
+    * what remained. `batchM = 1` IS the one-at-a-time loop —
+    * TextBpeBatchSpec's reference arm. */
+  private[graft] def bpeTrainLoop(vocab0: DataFrame, k: Int,
+      batchM: Int,
       onSyms: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
-    val s = docs.sparkSession
+    val s = vocab0.sparkSession
     import s.implicits._
     val SEP = BpeSep
-    val vocab = graft.plans.Lineage.scratchCheckpoint(
-      docs
-        .select(explode(toks).as("w")).filter(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .select(regexp_replace(col("w"), "(.)", "$1" + SEP).as("sym"),
-          col("c")))
+    val vocab = graft.plans.Lineage.scratchCheckpoint(vocab0)
     val pairsOf =
       "CASE WHEN size(ss) < 3 " +
         "THEN cast(array() as array<struct<a:string,b:string>>) " +
@@ -582,34 +699,116 @@ object TextQueries {
         "i -> struct(element_at(ss, i) AS a, element_at(ss, i + 1) AS b)) " +
         "END"
     var syms = vocab
-    val learned = (1 to k).map { r =>
+    var r = 0
+    val learned = scala.collection.mutable.Buffer
+      .empty[(Int, String, String, Long)]
+    while (r < k) {
       val top = syms
         .select(split(col("sym"), SEP).as("ss"), col("c"))
         .select(explode(expr(pairsOf)).as("p"), col("c"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("c")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      // a corpus can exhaust its pairs (every word one symbol) before
+        .limit(batchM + 1).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+        .toSeq
+      // a corpus can exhaust its pairs (every unit one symbol) before
       // k rules — fail loudly rather than return a short table the
       // oracle replay would disagree with (gate corpora have headroom:
-      // 89 merges at sf0.01)
+      // 89 word merges at sf0.01; the sp stream supports thousands)
       require(top.nonEmpty,
-        s"BPE training exhausted all pairs at merge $r of $k")
-      val best = top(0)
-      val (a, b) = (best.getString(0), best.getString(1))
-      // narrow re-derivation on the checkpointed vocab: no new shuffle;
-      // the replace chain resets every BpeCkptEvery merges so its depth
-      // (= per-iteration replay work) never exceeds the cadence
-      syms = syms.select(
-        replace(col("sym"), lit(a + SEP + b + SEP), lit(a + b + SEP))
-          .as("sym"), col("c"))
-      if (r % BpeCkptEvery == 0 && r < k)
-        syms = graft.plans.Lineage.scratchCheckpoint(syms)
-      onSyms(r, syms)
-      (r, a, b, best.getLong(2))
+        s"BPE training exhausted all pairs at merge ${r + 1} of $k")
+      for ((a, b, c) <- selectMergeBatch(top, math.min(batchM, k - r))) {
+        r += 1
+        // narrow re-derivation on the checkpointed vocab: no new
+        // shuffle; the replace chain resets every BpeCkptEvery merges
+        // so its depth (= per-iteration replay work) never exceeds the
+        // cadence
+        syms = syms.select(
+          replace(col("sym"), lit(a + SEP + b + SEP), lit(a + b + SEP))
+            .as("sym"), col("c"))
+        if (r % BpeCkptEvery == 0 && r < k)
+          syms = graft.plans.Lineage.scratchCheckpoint(syms)
+        onSyms(r, syms)
+        learned += ((r, a, b, c))
+      }
     }
-    learned.toDF("rk", "a", "b", "cnt").orderBy(col("rk"))
+    learned.toSeq.toDF("rk", "a", "b", "cnt").orderBy(col("rk"))
+  }
+
+  /** The SAMPLED production trainer (q_text_bpe_train_sp): the exact
+    * sequential K-rule argmax loop run as ONE executor task over a
+    * bounded (sym, c) vocabulary — how sentencepiece and HF tokenizers
+    * actually train at corpus scale. The distributed work is the part
+    * that must scale (the corpus-wide weighted-distinct aggregation +
+    * deterministic top-N sample, [[spSampledVocab]]); the trainer's
+    * input is then a CONSTANT-sized frame (≤ [[BpeSpSampleN]] rows —
+    * the broadcast-table bound, enforced upstream by `limit`), so the
+    * K-deep sequential dependency costs one task, not K pair-count
+    * shuffle jobs + K driver round-trips ([[bpeTrainLoop]]'s shape,
+    * whose provably-sequential-equal batching caps at 2-4 merges/job
+    * on natural text — top char pairs share symbols, see
+    * [[selectMergeBatch]]).
+    *
+    * Semantics are bit-identical to [[bpeTrainLoop]] and the DuckDB
+    * replay (BpeSpTrainSpec pins the equality): pair counts are the
+    * textbook naive overlap count over SEP-terminated symbol strings;
+    * argmax total-ordered by (count DESC, a, b); each merge applied as
+    * the same literal leftmost-non-overlapping
+    * `replace(a·b· → ab·)` on the joined form (Java String.replace ≡
+    * Spark UTF8String.replace ≡ DuckDB replace). */
+  private[graft] def bpeTrainLocal(vocab: DataFrame, k: Int): DataFrame = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    val SEP = BpeSep
+    val sepCh = SEP.charAt(0)
+    val rules = vocab.select(col("sym"), col("c")).as[(String, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        var rows = it.toArray
+        val out = Array.newBuilder[(Int, String, String, Long)]
+        var r = 1
+        var exhausted = false
+        while (r <= k && !exhausted) {
+          // adjacent-pair counts off the SEP-joined form, no splits:
+          // each SEP closes a symbol; consecutive closed symbols pair
+          val counts =
+            scala.collection.mutable.HashMap.empty[(String, String), Long]
+          rows.foreach { case (sym, c) =>
+            var prev: String = null
+            var start = 0
+            var i = 0
+            while (i < sym.length) {
+              if (sym.charAt(i) == sepCh) {
+                val cur = sym.substring(start, i)
+                if (prev != null) {
+                  val key = (prev, cur)
+                  counts(key) = counts.getOrElse(key, 0L) + c
+                }
+                prev = cur
+                start = i + 1
+              }
+              i += 1
+            }
+          }
+          if (counts.isEmpty) exhausted = true
+          else {
+            val ((a, b), cnt) =
+              counts.minBy { case ((a, b), c) => (-c, a, b) }
+            val (from, to) = (a + SEP + b + SEP, a + b + SEP)
+            rows = rows.map { case (sym, c) => (sym.replace(from, to), c) }
+            out += ((r, a, b, cnt))
+            r += 1
+          }
+        }
+        val learned = out.result()
+        // same loud-exhaustion contract as the distributed loop: a
+        // short table would silently disagree with the oracle replay
+        require(learned.length == k,
+          s"BPE training exhausted all pairs at merge ${learned.length + 1} of $k")
+        learned.iterator
+      }
+    rules.toDF("rk", "a", "b", "cnt").orderBy(col("rk"))
   }
 
   /** All-pairs similarity join (q_text_allpairs): the frequent-feature
@@ -1002,15 +1201,16 @@ object TextQueries {
     // trained table (q_text_tokens_bpe consumes
     // resources/graft/bpe_merges.txt, trained OFFLINE by
     // tools/train_bpe.py; this runs the same greedy loop in-engine).
-    // Scale design is the sentencepiece optimization: the corpus
-    // crosses ONCE into the (word, count) frequency table —
-    // vocabulary-sized, partial-agg'd — and every merge iteration
-    // runs on that table: one pair-count shuffle + a global top-1
-    // (TakeOrderedAndProject: per-partition top-1 + driver merge,
-    // never a sort), then a NARROW replace pass re-deriving the
-    // symbol strings. K iterations = K bounded shuffles; the corpus
-    // is never re-read. The one driver-side collect per iteration is
-    // a single row (the argmax rule — the N-count contract).
+    // Scale design: the corpus crosses ONCE into the (word, count)
+    // frequency table — vocabulary-sized, partial-agg'd — and every
+    // training JOB runs on that table: one pair-count shuffle + a
+    // top-(M+1) collect (TakeOrderedAndProject: per-partition top +
+    // driver merge, never a sort), admitting up to M = BpeBatchM
+    // merges PROVABLY EQUAL to the one-at-a-time argmax loop
+    // ([[selectMergeBatch]] — the r14 merges-per-job ask), each
+    // applied as a NARROW replace pass. ~K/M jobs total; the corpus
+    // is never re-read; per-job driver traffic is M+1 rows (the
+    // N-count contract).
     //
     // Merge semantics are exactly the apply path's
     // ([[graft.functions.BpeSymbolsUtil]]): symbols ride as a
@@ -1019,9 +1219,29 @@ object TextQueries {
     // both engines (Spark UTF8String.replace ≡ DuckDB replace). Pair
     // counts use the textbook naive overlap count ("aaa" counts (a,a)
     // twice though one merge fires); argmax is total-ordered by
-    // (count DESC, a, b) so the learned table is deterministic.
+    // (count DESC, a, b) so the learned table is deterministic — and
+    // the BATCHED loop provably reproduces it rule for rule, which is
+    // why the oracle stays the sequential unrolled replay.
     "q_text_bpe_train" -> ((s, d) =>
       bpeTrain(Tables.documents(s, d), BpeTrainK)),
+
+    // BPE training at PRODUCTION rule counts (K = 256) on the
+    // boundary-crossing sentencepiece-style stream ('▁' for spaces,
+    // merges may cross words): the gate corpus's 31-type word
+    // vocabulary exhausts at 89 merges, so this is the input that
+    // makes a production-K gate possible at all. Scale design is the
+    // one production trainers actually use: the corpus crosses ONCE
+    // into the weighted-distinct stream, a deterministic content-hash
+    // top-N bounds it ([[spSampledVocab]] — sentencepiece's
+    // input_sentence_size, oracle-replayable), and the exact
+    // sequential K-rule loop runs as ONE executor task over that
+    // constant-sized sample ([[bpeTrainLocal]]) — 2 jobs total, not
+    // K pair-count shuffles + K driver round-trips. The distributed
+    // [[bpeTrainLoop]] remains the unsampled vocab-sized path
+    // (q_text_bpe_train); BpeSpTrainSpec pins the two trainers
+    // rule-for-rule equal on shared input.
+    "q_text_bpe_train_sp" -> ((s, d) =>
+      bpeTrainLocal(spSampledVocab(Tables.documents(s, d)), BpeSpTrainK)),
 
     // EXACT all-pairs similarity join (the SSJoin/APSS family —
     // Bayardo'07 "All-Pairs", Chaudhuri'06): every document pair whose
@@ -2177,8 +2397,13 @@ object TextQueries {
     * consumers (p_{r+1} and v_{r+1}) and DuckDB's CTE inlining would
     * otherwise re-evaluate the whole prefix per step (the r9
     * PageRankOracle lesson). */
-  private def bpeTrainSql: String = {
-    val steps = (1 to BpeTrainK).map { r =>
+  /** The k-step sequential merge replay over any `v0` CTE — the
+    * oracle for BOTH training gates: the engine's batched loop is
+    * proven rule-for-rule equal to the one-at-a-time argmax
+    * ([[selectMergeBatch]]), so the oracle replays the SEQUENTIAL
+    * definition and the gate pins the equivalence at full K. */
+  private def bpeTrainSqlOver(k: Int, baseCtes: String): String = {
+    val steps = (1 to k).map { r =>
       s"""p$r AS (SELECT p[1] AS a, p[2] AS b, CAST(SUM(c) AS BIGINT) AS cnt
                   FROM (SELECT unnest(
                           CASE WHEN len(ss) < 3 THEN CAST([] AS VARCHAR[][])
@@ -2193,19 +2418,31 @@ object TextQueries {
                             a || b || chr(1)) AS sym, c
                   FROM v${r - 1} CROSS JOIN b$r)"""
     }.mkString(",\n           ")
-    val sel = (1 to BpeTrainK)
+    val sel = (1 to k)
       .map(r => s"SELECT $r AS rk, a, b, cnt FROM b$r")
       .mkString(" UNION ALL ")
-    s"""WITH raw AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
-                     FROM documents),
+    s"""WITH $baseCtes,
+        $steps
+        SELECT * FROM ($sel) ORDER BY rk"""
+  }
+
+  private def bpeTrainSql: String = bpeTrainSqlOver(BpeTrainK,
+    s"""raw AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+                FROM documents),
         w AS (SELECT tok, COUNT(*) AS c FROM raw WHERE tok <> ''
               GROUP BY tok),
         v0 AS MATERIALIZED (SELECT
                regexp_replace(tok, '(.)', '\\1' || chr(1), 'g') AS sym, c
-             FROM w),
-        $steps
-        SELECT * FROM ($sel) ORDER BY rk"""
-  }
+             FROM w)""")
+
+  private def bpeTrainSpSql: String = bpeTrainSqlOver(BpeSpTrainK,
+    s"""w AS (SELECT replace(text, ' ', '▁') AS t, COUNT(*) AS c
+              FROM documents GROUP BY 1),
+        samp AS (SELECT t, c FROM w ORDER BY md5(t), t
+                 LIMIT $BpeSpSampleN),
+        v0 AS MATERIALIZED (SELECT
+               regexp_replace(t, '(.)', '\\1' || chr(1), 'g') AS sym, c
+             FROM samp)""")
 
   private def bpeSymbolsSql: String = {
     def q(s: String) = "'" + s.replace("'", "''") + "'"
@@ -2578,6 +2815,7 @@ object TextQueries {
                         ELSE 'fr' END AS pred
             FROM h ORDER BY doc_id""",
       "q_text_bpe_train" -> bpeTrainSql,
+      "q_text_bpe_train_sp" -> bpeTrainSpSql,
       // 3-shingles via 1-based inclusive list slices (toks[i:i+2] is 3
       // elements); feature ids are the same 60-bit md5 the engine
       // shuffles; folds are hv-ordered list_sums (the logprob twin)
