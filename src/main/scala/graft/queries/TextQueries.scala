@@ -771,21 +771,26 @@ object TextQueries {
         var exhausted = false
         while (r <= k && !exhausted) {
           // adjacent-pair counts off the SEP-joined form, no splits:
-          // each SEP closes a symbol; consecutive closed symbols pair
-          val counts =
-            scala.collection.mutable.HashMap.empty[(String, String), Long]
+          // each SEP closes a symbol; consecutive closed symbols pair.
+          // Keyed by the joined slice a·b· (one substring per position,
+          // unboxed tally) — the hot loop of the whole trainer
+          val counts = new java.util.HashMap[String, Array[Long]]()
           rows.foreach { case (sym, c) =>
-            var prev: String = null
+            var prevStart = -1
             var start = 0
             var i = 0
             while (i < sym.length) {
               if (sym.charAt(i) == sepCh) {
-                val cur = sym.substring(start, i)
-                if (prev != null) {
-                  val key = (prev, cur)
-                  counts(key) = counts.getOrElse(key, 0L) + c
+                if (prevStart >= 0) {
+                  val key = sym.substring(prevStart, i + 1)
+                  var tally = counts.get(key)
+                  if (tally == null) {
+                    tally = new Array[Long](1)
+                    counts.put(key, tally)
+                  }
+                  tally(0) += c
                 }
-                prev = cur
+                prevStart = start
                 start = i + 1
               }
               i += 1
@@ -793,11 +798,30 @@ object TextQueries {
           }
           if (counts.isEmpty) exhausted = true
           else {
-            val ((a, b), cnt) =
-              counts.minBy { case ((a, b), c) => (-c, a, b) }
-            val (from, to) = (a + SEP + b + SEP, a + b + SEP)
+            // argmax over DISTINCT pairs only: decode each a·b· key
+            // once, order by (count DESC, a, b)
+            var bestA: String = null
+            var bestB: String = null
+            var bestCnt = Long.MinValue
+            val entries = counts.entrySet().iterator()
+            while (entries.hasNext) {
+              val e = entries.next()
+              val key = e.getKey
+              val cnt = e.getValue()(0)
+              if (cnt >= bestCnt) {
+                val mid = key.indexOf(sepCh)
+                val a = key.substring(0, mid)
+                val b = key.substring(mid + 1, key.length - 1)
+                if (cnt > bestCnt || a < bestA ||
+                    (a == bestA && b < bestB)) {
+                  bestA = a; bestB = b; bestCnt = cnt
+                }
+              }
+            }
+            val (from, to) =
+              (bestA + SEP + bestB + SEP, bestA + bestB + SEP)
             rows = rows.map { case (sym, c) => (sym.replace(from, to), c) }
-            out += ((r, a, b, cnt))
+            out += ((r, bestA, bestB, bestCnt))
             r += 1
           }
         }
