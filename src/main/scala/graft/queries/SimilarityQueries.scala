@@ -1315,6 +1315,47 @@ object SimilarityQueries {
       res.withColumn("retrained", lit(maintainRetrain(s, d)))
     }),
 
+    // STREAMING ANN serving — the stored index's QUERY path as a
+    // stream, closing the lifecycle (build q_ann_ivfpq_stored →
+    // append q_ann_incremental → retrain q_ann_maintain → SERVE):
+    // queries arrive continuously; the bucketed store, corpus
+    // vectors, IVF centroids, and PQ codebook are static artifacts
+    // that change on maintenance cadence, not query cadence. Probe
+    // selection runs in-flight with NO window and NO state — the
+    // ≤16-entry centroid table is a collected literal (the
+    // bloom-bytes static-artifact pattern; the collect is the
+    // bounded-by-construction N-counter contract) scored by one
+    // in-row array_sort; the per-query ADC table is the same
+    // dtabExpr against the broadcast codebook; candidates come from
+    // ONE stream-static equi-join on the cell key; and the single
+    // zero-state flatMapGroupsWithState folds a bounded rerank-T
+    // heap per query and computes the exact cosine only for the
+    // shortlist ([[graft.streaming.AnnStreams]]). Emitted rows are
+    // bit-identical to the batch stored search — one oracle serves
+    // both — and the mid-feed barrier proves queries in different
+    // micro-batches serve independently against the same standing
+    // artifacts.
+    "q_stream_ann" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val store = annStore(s, d)
+      val centsLit = ivfCentroids(e).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val qtab = (qs: DataFrame) => qs
+        .crossJoin(broadcast(centroids(e, PqSeedRule)))
+        .withColumn("qtab", expr(dtabExpr("qv", "cs")))
+        .filter(col("qtab").isNotNull)
+        .drop("cs")
+      val chunks = EventQueries.cachedChunks(s, d, "annserve")(
+        EventQueries.sortedFeed(
+          queryVecs(e).as[(Long, Array[Float])], "qid"))
+      EventQueries.replayToTable(s, chunks)(stream =>
+        graft.streaming.AnnStreams.serveStream(
+          stream.toDF.toDF("qid", "qv"), centsLit, qtab, store,
+          e, K, 3, RerankT).toDF())
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // HYBRID retrieval — the RAG-serving shape every retrieval stack
     // ships (lexical + dense, fused): a DENSE leg (exact cosine top-K;
     // the dense retriever is pluggable — q_ann_ivfpq_stored proves the
@@ -2189,7 +2230,10 @@ object SimilarityQueries {
         ("q_ann_ivfpq_stored" -> base("q_ann_ivfpq")) +
         // appending to an index never changes an answer: encode is
         // per-row under frozen quantizers, so standing ∪ new ≡ full
-        ("q_ann_incremental" -> base("q_ann_ivfpq"))
+        ("q_ann_incremental" -> base("q_ann_ivfpq")) +
+        // the stream serves the SAME stored search bit-identically
+        // (AnnStreamSpec pins the row-for-row law) — one oracle
+        ("q_stream_ann" -> base("q_ann_ivfpq"))
     }
 
   /** The IVF+PQ+refine oracle CTE chain, parameterized so ONE
