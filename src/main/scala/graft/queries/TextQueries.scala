@@ -1147,6 +1147,77 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ONLINE curation — the admission recipe AT INGEST TIME
+    // ([[graft.streaming.TextStreams.curateStream]]): the new dump
+    // replays through a MemoryStream and every arriving document gets
+    // one decision row against STANDING artifacts — the persisted
+    // bucketed signature store (dup leg: shared bandedSigs sketch +
+    // stream-static band join + sketch-Jaccard ≥ τ — the
+    // q_stream_inc_dedup route, per-doc), the eval-gram bloom + exact
+    // verify (the q_stream_decontaminate route, per-doc), the
+    // in-flight quality score vs the COLLECTED standing cut (the same
+    // narrowedP75 artifact the batch incremental gate broadcasts —
+    // 1 row, the N-counter contract), and the in-flight Gopher
+    // conjunction. The deployment split is deliberate and documented:
+    // an ingest gate admits against standing state (dup = "duplicates
+    // the standing corpus" — the causal rule a stream can state);
+    // within-dump dedup is the next compaction's job
+    // (q_dedup_incremental) — the oracle states exactly this rule
+    // (cross-pair existence, no component closure). One zero-state
+    // flatMapGroupsWithState folds the three legs' rows per doc_id
+    // within its arrival batch; standing bytes are never re-read.
+    "q_stream_curate" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftFunctions.register(s)
+      val newSrc = DedupQueries.IncNewSource
+      val docs = Tables.documents(s, d)
+      val scoredStanding = docs.filter(col("source") =!= newSrc)
+        .withColumn("toks", toks)
+        .select(col("doc_id"), lit("_standing").as("source"),
+          (floor(qualityScore * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
+            .as("qq"))
+      // the q_text_curate_incremental empty-standing contract (ADVICE
+      // r14): no standing corpus -> no cut to admit against
+      require(!scoredStanding.isEmpty,
+        "q_stream_curate: the corpus contains only the " +
+          s"'$newSrc' slice — no standing corpus to curate against")
+      val cut = narrowedP75(scoredStanding)
+        .select("cut").head.getDouble(0)
+      val store = DedupQueries.signatureStore(s, d)
+      val (evalGrams, bloomBytes) = decontEvalArtifacts(s, d)
+      val withVerdicts = (qs: DataFrame) => qs
+        .withColumn("toks", toks)
+        .select(col("doc_id"),
+          (floor(qualityScore * lit(1.0e6) + lit(0.5)) / lit(1.0e6))
+            .as("qq"),
+          gopherRuleCols.map(_._2).reduce(_ && _).as("gopher_keep"))
+      val dupMatches = (qs: DataFrame) =>
+        DedupQueries.bandedSigs(qs).as("x")
+          .join(store.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bkey") === col("y.bkey"))
+          .filter(graft.dedup.Dedup.jaccardSorted(
+            col("x.hs"), col("y.hs")) >= 0.5)
+          .select(col("x.doc_id").as("doc_id"))
+      val contamMatches = (qs: DataFrame) => qs
+        .select(col("doc_id"),
+          explode(call_function("word_gram_hashes60", toks, lit(8)))
+            .as("h"))
+        .filter(call_function("bloom_might_contain", lit(bloomBytes),
+          col("h")))
+        .join(evalGrams, Seq("h"), "left_semi")
+        .select("doc_id")
+      val chunks = EventQueries.cachedChunks(s, d, "curate")(
+        EventQueries.sortedFeed(docs.filter(col("source") === newSrc)
+          .select(col("doc_id"), col("text")).as[(Long, String)],
+          "doc_id"))
+      EventQueries.replayToTable(s, chunks)(stream =>
+        graft.streaming.TextStreams.curateStream(
+          stream.toDF.toDF("doc_id", "text"), withVerdicts, dupMatches,
+          contamMatches, cut).toDF())
+        .orderBy(col("doc_id"))
+    }),
+
     // END-TO-END corpus curation — the decision frame a training-data
     // pipeline actually materializes, composing the FULL published
     // recipe (RefinedWeb/FineWeb: dedup → rule screen → quality filter
@@ -2741,6 +2812,64 @@ object TextQueries {
                    FROM comp c JOIN cn USING (canonical_id)
                    JOIN documents dd ON dd.doc_id = c.page
                    WHERE dd.source = '$ns'),
+          ${qualityQqCtes("q")},
+          qc AS (SELECT quantile_cont(qq, CAST(3 AS DOUBLE)/4) AS cut
+                 FROM qs WHERE source <> '$ns'),
+          ${decontCtes("dc")},
+          ${gopherKeepCtes("g", "qt", s"WHERE source = '$ns'")}
+          SELECT q.doc_id, f.dup,
+                 q.qq > (SELECT cut FROM qc) AS quality_keep,
+                 COALESCE(dd.contaminated, FALSE) AS contaminated,
+                 gk.keep AS gopher_keep,
+                 NOT f.dup AND q.qq > (SELECT cut FROM qc)
+                   AND NOT COALESCE(dd.contaminated, FALSE) AND gk.keep
+                   AS selected
+          FROM qs q JOIN dupf f ON f.doc_id = q.doc_id
+          JOIN gk ON gk.doc_id = q.doc_id
+          LEFT JOIN dcfin dd ON dd.doc_id = q.doc_id
+          WHERE q.source = '$ns'
+          ORDER BY q.doc_id"""
+      },
+      // the INGEST-TIME decision: same quality/cut/contamination/
+      // gopher CTEs as q_text_curate_incremental, but dup is the
+      // causal standing-match rule a stream can state — cross-pair
+      // EXISTENCE (exactly one side in the new dump, sketch-Jaccard
+      // ≥ τ), no component closure (within-dump dedup is the next
+      // compaction's job — the engine comment states the split)
+      "q_stream_curate" -> {
+        val ns = DedupQueries.IncNewSource
+        s"""WITH t AS (SELECT doc_id, source,
+                          string_split_regex(text, '\\s+') AS toks
+                   FROM documents),
+          s AS (SELECT doc_id, ${DedupQueries.shingle3} AS sh FROM t),
+          hh AS (SELECT doc_id, ${DedupQueries.shingleHash} AS hs FROM s),
+          g AS (SELECT doc_id, hs, ${DedupQueries.minhash16} AS sig
+                FROM hh),
+          bands AS (SELECT doc_id, hs, b.range AS band,
+                           md5(array_to_string(
+                             sig[1 + b.range * 4 : 4 + b.range * 4], ','))
+                             AS bkey
+                    FROM g CROSS JOIN range(0, 4) b),
+          cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                          len(list_intersect(x.hs, y.hs)) AS inter,
+                          len(x.hs) AS la, len(y.hs) AS lb
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                        AND x.doc_id < y.doc_id),
+          prs AS (SELECT a, b FROM (
+                    SELECT a, b,
+                           MAX(CAST(inter AS DOUBLE) / (la + lb - inter))
+                             AS jaccard
+                    FROM cand GROUP BY a, b)
+                  WHERE jaccard >= 0.5),
+          cp AS (SELECT CASE WHEN da.source = '$ns' THEN p.a
+                             ELSE p.b END AS nd
+                 FROM prs p JOIN documents da ON da.doc_id = p.a
+                 JOIN documents db ON db.doc_id = p.b
+                 WHERE (da.source = '$ns') <> (db.source = '$ns')),
+          dupf AS (SELECT doc_id,
+                     doc_id IN (SELECT nd FROM cp) AS dup
+                   FROM documents WHERE source = '$ns'),
           ${qualityQqCtes("q")},
           qc AS (SELECT quantile_cont(qq, CAST(3 AS DOUBLE)/4) AS cut
                  FROM qs WHERE source <> '$ns'),

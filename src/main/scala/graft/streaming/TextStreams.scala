@@ -97,4 +97,80 @@ object TextStreams {
           admitted.result().iterator
       }
   }
+
+  /** One ingest-time curation decision — q_text_curate_incremental's
+    * columns with the CAUSAL dup rule a stream can state (see
+    * [[curateStream]]). */
+  final case class CurateDecision(doc_id: Long, dup: Boolean,
+      quality_keep: Boolean, contaminated: Boolean, gopher_keep: Boolean,
+      selected: Boolean)
+
+  /** ONLINE curation — the full admission recipe AT INGEST TIME: each
+    * arriving new-dump document is scored, rule-screened,
+    * dedup-probed, and decontaminated against STANDING artifacts (the
+    * persisted signature store, the eval-gram set + bloom, the
+    * standing quality cut), and one decision row is emitted per
+    * document. This is the deployment split production pipelines
+    * actually run: the ingest gate admits against standing state;
+    * within-dump dedup is the next COMPACTION's job
+    * (q_dedup_incremental) — so `dup` here is the causal
+    * "duplicates the standing corpus" verdict, not the batch
+    * component rule.
+    *
+    * Shape: three stateless legs off the same stream — the base leg
+    * computes the per-doc verdict columns in-flight (quality score on
+    * the 1e-6 floor grid, the Gopher conjunction); the dup leg
+    * sketches in-flight with the SHARED bandedSigs definition and
+    * stream-static joins the bucketed signature store (the
+    * q_stream_inc_dedup route, band-collision + sketch-Jaccard ≥ τ);
+    * the contamination leg is the q_stream_decontaminate route
+    * (bloom prune inside the scan, exact semi-join verify). The legs
+    * union into ONE zero-state flatMapGroupsWithState keyed by
+    * doc_id: a document's rows all arise in its arrival micro-batch,
+    * so the fold just ORs the match kinds against the base row and
+    * emits the decision once. Per-group work is the doc's own match
+    * rows; no cross-batch state anywhere — the standing artifacts
+    * carry all the history. */
+  def curateStream(docs: DataFrame,
+      withVerdicts: DataFrame => DataFrame,
+      dupMatches: DataFrame => DataFrame,
+      contamMatches: DataFrame => DataFrame,
+      cut: Double): Dataset[CurateDecision] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val base = withVerdicts(docs)
+      .select(col("doc_id"), lit(0).as("kind"), col("qq"),
+        col("gopher_keep"))
+    val dups = dupMatches(docs)
+      .select(col("doc_id"), lit(1).as("kind"),
+        lit(null).cast("double").as("qq"), lit(false).as("gopher_keep"))
+    val cont = contamMatches(docs)
+      .select(col("doc_id"), lit(2).as("kind"),
+        lit(null).cast("double").as("qq"), lit(false).as("gopher_keep"))
+    base.unionByName(dups).unionByName(cont)
+      .as[(Long, Int, Option[Double], Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, CurateDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id, rows, _) =>
+          var qq = Double.NaN
+          var seen = false
+          var gopher = false
+          var dup = false
+          var contam = false
+          rows.foreach {
+            case (_, 0, q, g) => seen = true; qq = q.get; gopher = g
+            case (_, 1, _, _) => dup = true
+            case _            => contam = true
+          }
+          // the base leg emits every document — a group without it
+          // would mean a match row outran its own document
+          require(seen, s"curate stream: matches for doc $id arrived " +
+            "without its base row")
+          val qk = qq > cut
+          Iterator.single(CurateDecision(id, dup, qk, contam, gopher,
+            !dup && qk && !contam && gopher))
+      }
+  }
 }
