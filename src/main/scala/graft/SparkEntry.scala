@@ -60,7 +60,10 @@ object SparkEntry {
   val gateOnly: Set[String] =
     Set("q_dedup_ngram_capped", "q_dedup_editdist_capped",
       "q_stream_join", "q_stream_dedup", "q_stream_sliding",
-      "q_stream_drift")
+      "q_stream_drift",
+      // same storedSearch plan as q_ann_ivfpq_stored plus one row
+      // filter in the pruned scan — the serve path is already benched
+      "q_ann_delete")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

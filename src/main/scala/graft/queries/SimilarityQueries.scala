@@ -164,6 +164,13 @@ object SimilarityQueries {
       s"aggregate(sequence(1, $S), 0D, (acc, i) -> acc + $diff * $diff))))"
   }
 
+  /** Tombstoned ids for q_ann_delete: a fixed 10% slice, disjoint by
+    * construction from the query set (% 100 = 0), the IVF seed rule
+    * (% 100 = 50) and the PQ seed rule (% 30 = 15 — those ids end in
+    * 5), so deletion never destabilizes the frozen quantizers or
+    * removes a query. */
+  private[graft] val AnnDeleteRule: Column = col("vec_id") % 10 === 3
+
   /** Query-vector set: every 100th vector. */
   private def queryVecs(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 100 === 0)
@@ -1315,6 +1322,26 @@ object SimilarityQueries {
       res.withColumn("retrained", lit(maintainRetrain(s, d)))
     }),
 
+    // TOMBSTONE DELETES on the stored index — the lifecycle step
+    // between serve and the next compaction (FAISS remove_ids /
+    // Lucene deletes): the bucketed store is NOT rewritten per
+    // delete; deleted ids are filtered out of the candidate lists
+    // INSIDE the bucket-pruned scan, BEFORE the ADC shortlist — so
+    // freed shortlist slots refill correctly and the result equals a
+    // store compacted under the same frozen quantizers (a post-filter
+    // of the undeleted top-k would emit short or stale lists —
+    // AnnDeleteSpec's laws reject that shape). Physical compaction
+    // belongs to the next retrain (q_ann_maintain's rebuild path).
+    // The delete set is the deterministic rule [[AnnDeleteRule]] —
+    // 10% of ids, disjoint from queries and quantizer seeds, and it
+    // genuinely hits served results at both SFs (the spec pins that
+    // deletion CHANGED answers). Quantizers stay trained on the full
+    // corpus — deleting vectors does not retrain (the maintain gate
+    // owns that decision).
+    "q_ann_delete" -> ((s, d) =>
+      storedSearch(Tables.embeddings(s, d),
+        annStore(s, d).filter(!AnnDeleteRule))),
+
     // STREAMING ANN serving — the stored index's QUERY path as a
     // stream, closing the lifecycle (build q_ann_ivfpq_stored →
     // append q_ann_incremental → retrain q_ann_maintain → SERVE):
@@ -2247,7 +2274,12 @@ object SimilarityQueries {
     * exactly the engine's append-under-frozen-quantizers semantics.
     * Callers must provide `e` (vectors + norms) and `qq` (query set)
     * CTEs; the chain ends in `r$sfx` = (qid, vec_id, cos, rank). */
-  private def ivfpqChainCtes(sfx: String, standing: Boolean): String = {
+  /** `candWhere` restricts the CANDIDATE side only (appended verbatim
+    * to the sc join, alias `enc$sfx`) — the tombstone-delete oracle:
+    * quantizers, assignment, and probing stay trained/computed on the
+    * full corpus; deleted rows just vanish from the inverted lists. */
+  private def ivfpqChainCtes(sfx: String, standing: Boolean,
+      candWhere: String = ""): String = {
     val sf = if (standing) " AND vec_id < (SELECT thr FROM t)" else ""
     val dtab = (x: String) =>
       s"""[[list_sum([($x[j * $S + i] - cs[c + 1][j * $S + i]) *
@@ -2289,7 +2321,7 @@ object SimilarityQueries {
                                   for j in range(0, $M)]) AS adc
                  FROM enc$sfx JOIN asg$sfx a ON enc$sfx.vec_id = a.vec_id
                           JOIN qp$sfx ON a.cell = qp$sfx.pcell
-                                 AND enc$sfx.vec_id <> qp$sfx.qid
+                                 AND enc$sfx.vec_id <> qp$sfx.qid$candWhere
                           JOIN qt$sfx ON qt$sfx.qid = qp$sfx.qid),
           sl$sfx AS (SELECT qid, vec_id FROM
                  (SELECT qid, vec_id,
@@ -2609,6 +2641,19 @@ object SimilarityQueries {
           qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
                  WHERE vec_id % 100 = 0),
           ${ivfpqChainCtes("", standing = false)}
+          SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
+          ORDER BY qid, rank""",
+    // the same chain with deleted ids dropped from the CANDIDATE side
+    // only — quantizers/assignment/probes unchanged (the tombstone
+    // contract: deletion never retrains)
+    "q_ann_delete" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
+                     FROM embeddings),
+          qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
+                 WHERE vec_id % 100 = 0),
+          ${ivfpqChainCtes("", standing = false,
+            candWhere = " AND enc.vec_id % 10 <> 3")}
           SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
           ORDER BY qid, rank""",
     // replays the PQ pipeline exactly: same centroid set (cid-sorted),
