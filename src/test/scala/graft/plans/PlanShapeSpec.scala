@@ -1238,4 +1238,43 @@ class PlanShapeSpec extends SparkSpec {
     }
     }
   }
+
+  test("q_dedup_substring_removed plan (lazy form): every join is an " +
+      "equi-join and corpus text crosses at most ONE exchange — the " +
+      "counting half ships digests, only the removal join pays the " +
+      "text shuffle") {
+    withStaticPlans {
+    // at-scale strategy: neither the dup set nor the starts broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = graft.queries.DedupQueries
+      .substringRemoval(graft.Tables.documents(spark, Dir), 8,
+        materialize = false)
+      .queryExecution.executedPlan
+    assertNoAllPairs("q_dedup_substring_removed", p)
+    // every join keyed (digest probe on h, removal join on doc_id)
+    p.foreach {
+      case j: SortMergeJoinExec => assert(j.leftKeys.nonEmpty)
+      case j: ShuffledHashJoinExec => assert(j.leftKeys.nonEmpty)
+      case j: BroadcastHashJoinExec => assert(j.leftKeys.nonEmpty)
+      case _ => ()
+    }
+    // the one corpus-text shuffle: exactly one KEYED exchange whose
+    // rows still carry the token arrays (the removal join's doc_id
+    // co-partitioning); the counting half's keyed exchanges move
+    // (doc_id, i, h) / (doc_id, dps) only. Round-robin fan-outs are
+    // scan parallelization for tiny local inputs — the `< par` guard
+    // never fires on a real corpus — so they are not data motion the
+    // operator requires
+    val textExchanges = p.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+          && e.output.exists(a => a.name == "toks" || a.name == "text") => e
+    }
+    assert(textExchanges.size == 1,
+      s"q_dedup_substring_removed: corpus text crossed " +
+        s"${textExchanges.size} keyed exchanges, expected exactly the " +
+        s"removal join's:\n${p.toString.take(2000)}")
+    }
+  }
 }
