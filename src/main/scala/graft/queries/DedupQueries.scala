@@ -404,7 +404,7 @@ object DedupQueries {
     * convention — what a pipeline writes back, hashed so the gate
     * compares cheaply). Docs shorter than `w` tokens have no windows
     * and come back intact (their re-join digest). */
-  private[graft] def substringRemoval(docs: DataFrame, w: Int = 8,
+  def substringRemoval(docs: DataFrame, w: Int = 8,
       materialize: Boolean = true): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val src =
