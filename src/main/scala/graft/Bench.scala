@@ -142,7 +142,12 @@ object Bench {
     cpuProbe(); sparkProbe(spark); parProbe()
     val cpuProbeStart = cpuProbe()
     val sparkProbeStart = sparkProbe(spark)
-    val parProbeStart = parProbe()
+    // min-of-2 for the all-cores probe at BOTH ends: round 15 observed
+    // the start sample reading ~1.13 vs ~0.92 at the end on a quiet
+    // box in every run — a one-warmup residue (C2/turbo ramp at 32
+    // threads), not co-tenancy; min-of-2 is the standard noise-floor
+    // estimator and keeps the 35% drift rule aimed at real contention
+    val parProbeStart = math.min(parProbe(), parProbe())
     // sorted order: Map iteration order is arbitrary, which made
     // per-query times incomparable across rounds
     val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -207,7 +212,7 @@ object Bench {
     val loadEnd = loadavg()
     val cpuProbeEnd = cpuProbe()
     val sparkProbeEnd = sparkProbe(spark)
-    val parProbeEnd = parProbe()
+    val parProbeEnd = math.min(parProbe(), parProbe())
     // 4-decimal seconds (0.1 ms resolution): the driver's stdout capture
     // keeps only the last ~2.3 KB, and at full double precision the
     // 78-query line overflowed it every round (BENCH_r* `parsed: null`,
