@@ -1636,8 +1636,13 @@ object SimilarityQueries {
       if (k._1.isStopped) maintainDecCache.remove(k)
     }
     graft.plans.Lineage.once(maintainDecCache, (s.sparkContext, d)) {
-      driftOver(s, d).agg(max("shift_d2")).head.getLong(0) >
-        MaintainShiftBound
+      // a corpus where no label has BOTH standing and new vectors
+      // yields an empty drift frame → NULL max; default to APPEND,
+      // matching maintainOracle's COALESCE(max(..) > bound, FALSE)
+      // (ADVICE r15: getLong on the null NPE'd while the oracle
+      // answered)
+      val m = driftOver(s, d).agg(max("shift_d2")).head
+      !m.isNullAt(0) && m.getLong(0) > MaintainShiftBound
     }
   }
 

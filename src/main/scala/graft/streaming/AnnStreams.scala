@@ -81,8 +81,17 @@ object AnnStreams {
           .as("pcos"),
         lit(cid).as("pcell"))
     }
+    // NaN-explicit comparator (ADVICE r15): a zero-norm query or
+    // centroid yields a NaN cosine, and the batch ivfProbes
+    // row_number orderBy sorts NaN as GREATEST (first under DESC) —
+    // java.lang.Double.compare semantics. Spell that out with isnan
+    // branches rather than rely on `>`'s NaN behavior, so stream and
+    // batch provably probe the same cells. Two NaNs tie and fall to
+    // the pcell tie-break, same as the batch sort.
     val byProbeOrder = (l: Column, r: Column) =>
-      when(l.getField("pcos") > r.getField("pcos"), -1)
+      when(isnan(l.getField("pcos")) && !isnan(r.getField("pcos")), -1)
+        .when(!isnan(l.getField("pcos")) && isnan(r.getField("pcos")), 1)
+        .when(l.getField("pcos") > r.getField("pcos"), -1)
         .when(l.getField("pcos") < r.getField("pcos"), 1)
         .when(l.getField("pcell") > r.getField("pcell"), -1)
         .when(l.getField("pcell") < r.getField("pcell"), 1)
