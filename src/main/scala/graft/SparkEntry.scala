@@ -63,7 +63,17 @@ object SparkEntry {
       "q_stream_drift",
       // same storedSearch plan as q_ann_ivfpq_stored plus one row
       // filter in the pruned scan — the serve path is already benched
-      "q_ann_delete")
+      "q_ann_delete",
+      // the compaction REWRITE is a once-per-maintenance memoized
+      // write (the warm-up pass would absorb it); the timed serve is
+      // again the q_ann_ivfpq_stored plan, just over the smaller
+      // compacted table
+      "q_ann_compact",
+      // the replay cost is the micro-batch scheduling floor (the
+      // q_stream_drift rationale); the drift arithmetic is benched by
+      // q_embed_drift and the update-mode stateful emission class by
+      // q_stream_running
+      "q_stream_maintain")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

@@ -406,6 +406,30 @@ object DedupQueries {
     * and come back intact (their re-join digest). */
   def substringRemoval(docs: DataFrame, w: Int = 8,
       materialize: Boolean = true): DataFrame = {
+    val (kept, wins) = substringKeptRaw(docs, w, persistWins = materialize)
+    val out = kept.select(col("doc_id"), col("n_tok"),
+      (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
+      md5(array_join(col("kept"), " ")).as("clean_md5"))
+    if (!materialize) out
+    else {
+      val fin = graft.plans.Lineage.scratchCheckpoint(out)
+      wins.unpersist(blocking = true)
+      fin
+    }
+  }
+
+  /** The cleaned-tokens frame behind [[substringRemoval]] — per
+    * document (doc_id, source, n_tok, kept): the tokens that survive
+    * exact-substring span excision, in order. The raw form exists so
+    * downstream consumers (q_text_curate_cleaned — the Lee'22 §5 /
+    * RefinedWeb composition: excise spans FIRST, then quality-score
+    * the cleaned text) can derive their own narrow frame from the
+    * kept tokens and checkpoint THAT (small) instead of the
+    * corpus-sized token arrays; the caller owns unpersisting `wins`
+    * (the persisted per-(window, doc) digest frame) once its
+    * derivation is materialized. */
+  private[queries] def substringKeptRaw(docs: DataFrame, w: Int,
+      persistWins: Boolean): (DataFrame, DataFrame) = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val src =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
@@ -420,7 +444,7 @@ object DedupQueries {
           .as(Seq("pos", "g")))
       .select(col("doc_id"), (col("pos") + 1).as("i"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
-    val wins = if (materialize) wins0.persist() else wins0
+    val wins = if (persistWins) wins0.persist() else wins0
     // duplicated digests only — the tot ≥ 2 filter runs INSIDE the
     // digest agg, so the join probe sees the (small) dup set, never
     // the full window table
@@ -445,20 +469,12 @@ object DedupQueries {
               IF(size(toks) >= acc.cur,
                 slice(toks, acc.cur, size(toks) - acc.cur + 1),
                 cast(array() as array<string>))))"""
-    val out = t.select(col("doc_id"), col("toks"))
+    val out = t.select(col("doc_id"), col("source"), col("toks"))
       .join(dupStarts, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         size(col("toks")).cast("long").as("n_tok"),
         expr(keptExpr).as("kept"))
-      .select(col("doc_id"), col("n_tok"),
-        (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
-        md5(array_join(col("kept"), " ")).as("clean_md5"))
-    if (!materialize) out
-    else {
-      val fin = graft.plans.Lineage.scratchCheckpoint(out)
-      wins.unpersist(blocking = true)
-      fin
-    }
+    (out, wins)
   }
 
   /** THE leakage-safe split law — one definition for every consumer

@@ -171,6 +171,23 @@ object SimilarityQueries {
     * removes a query. */
   private[graft] val AnnDeleteRule: Column = col("vec_id") % 10 === 3
 
+  /** The serve-after-delete oracle, shared VERBATIM by q_ann_delete
+    * (tombstone filter inside the pruned scan) and q_ann_compact
+    * (store physically rewritten without the tombstoned rows): the two
+    * engine paths answering one SQL IS the compaction correctness law
+    * — under frozen quantizers, compaction must be observationally
+    * equal to filtering. */
+  private def annDeleteServeSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
+                   FROM embeddings),
+        qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
+               WHERE vec_id % 100 = 0),
+        ${ivfpqChainCtes("", standing = false,
+          candWhere = " AND enc.vec_id % 10 <> 3")}
+        SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
+        ORDER BY qid, rank"""
+
   /** Query-vector set: every 100th vector. */
   private def queryVecs(e: DataFrame): DataFrame =
     e.filter(col("vec_id") % 100 === 0)
@@ -1330,8 +1347,9 @@ object SimilarityQueries {
     // freed shortlist slots refill correctly and the result equals a
     // store compacted under the same frozen quantizers (a post-filter
     // of the undeleted top-k would emit short or stale lists —
-    // AnnDeleteSpec's laws reject that shape). Physical compaction
-    // belongs to the next retrain (q_ann_maintain's rebuild path).
+    // AnnDeleteSpec's laws reject that shape). Physical compaction is
+    // its own lifecycle step — q_ann_compact below — distinct from
+    // retraining (q_ann_maintain owns THAT decision).
     // The delete set is the deterministic rule [[AnnDeleteRule]] —
     // 10% of ids, disjoint from queries and quantizer seeds, and it
     // genuinely hits served results at both SFs (the spec pins that
@@ -1341,6 +1359,25 @@ object SimilarityQueries {
     "q_ann_delete" -> ((s, d) =>
       storedSearch(Tables.embeddings(s, d),
         annStore(s, d).filter(!AnnDeleteRule))),
+
+    // PHYSICAL COMPACTION of the tombstoned store (VERDICT r15 gap 2)
+    // — the lifecycle step BETWEEN tombstone deletes and the next
+    // retrain (FAISS remove_ids made durable / Lucene segment merge):
+    // rewrite the bucketed store DROPPING the deleted rows, under the
+    // SAME frozen quantizers. Cell assignments and PQ codes are
+    // per-row artifacts of the quantizers alone, so compaction is a
+    // filter + bucket-preserving rewrite — never a re-encode, never a
+    // retrain. Serving the compacted store must answer exactly what
+    // the tombstone-filtered store answers — the shared
+    // [[annDeleteServeSql]] oracle states that law, and
+    // AnnCompactSpec pins that the store on disk physically lost
+    // exactly the tombstoned rows. Scale: the rewrite is one pass
+    // over the INDEX (codes + cell per vector — index-sized, not
+    // corpus-sized), bucketed write so the probe-time pruning
+    // contract is preserved; queries after compaction stop paying the
+    // per-probe tombstone filter.
+    "q_ann_compact" -> ((s, d) =>
+      storedSearch(Tables.embeddings(s, d), annStoreCompacted(s, d))),
 
     // STREAMING ANN serving — the stored index's QUERY path as a
     // stream, closing the lifecycle (build q_ann_ivfpq_stored →
@@ -1381,6 +1418,73 @@ object SimilarityQueries {
           stream.toDF.toDF("qid", "qv"), centsLit, qtab, store,
           e, K, 3, RerankT).toDF())
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // STREAMING maintenance TRIGGER (VERDICT r15 gap 3) — the drift
+    // alarm fired AT INGEST TIME: the new dump's vectors replay
+    // through a MemoryStream and an UPDATE-mode streaming aggregation
+    // folds, per (label, pos), the exact fixed-point component sums
+    // (floor(v·2²⁰) Longs — order-free under any micro-batch
+    // partitioning; state = 64 rows per label, bounded by the label
+    // alphabet, never watermark-dependent). Which intermediate
+    // updates appear depends on the chunking, but each (label, pos)'s
+    // LAST update is the fold of the full dump — chunking-invariant —
+    // so the gate keeps exactly that row (the q_stream_running
+    // max/max_by idiom: cnt strictly increases per update). The final
+    // streamed sums become the new-side centroid by the SAME
+    // floor(Σ/n) law as [[driftOver]]'s batch fold, join the STANDING
+    // centroids (a static build-once artifact), and the per-label
+    // shift_d2 plus the fired decision — max(shift) >
+    // [[MaintainShiftBound]], the identical law q_ann_maintain
+    // actuates — come out per row. The stream THUS fires exactly the
+    // decision the batch maintain gate would take (StreamMaintainSpec
+    // pins stream decision == maintainRetrain); serving the chosen
+    // branch stays q_ann_maintain's job.
+    "q_stream_maintain" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val thr = incVecThreshold(s, d)
+      val standing = fixedCentroids(
+        emb.filter(col("vec_id") < lit(thr))
+          .select(col("label"), col("embedding")), Seq("label"))
+      val chunks = EventQueries.cachedChunks(s, d, "maintain")(
+        EventQueries.sortedFeed(
+          emb.filter(col("vec_id") >= lit(thr))
+            .select(col("vec_id"), col("label"), col("embedding"))
+            .as[(Long, Int, Array[Float])], "vec_id"))
+      val streamed = EventQueries.replayToTable(s, chunks,
+          outputMode = "update")(stream =>
+        stream.toDF.toDF("vec_id", "label", "embedding")
+          .select(col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("label"), col("pos"),
+            floor(col("v").cast("double") * expr(KmQ)).cast("long")
+              .as("fix"))
+          .groupBy("label", "pos")
+          .agg(sum("fix").as("sfix"), count(lit(1)).as("cnt")))
+      val newCents = streamed
+        .groupBy("label", "pos")
+        .agg(max("cnt").as("cnt"), max_by(col("sfix"), col("cnt"))
+          .as("sfix"))
+        .groupBy("label")
+        .agg(max("cnt").as("n_new"),
+          sort_array(collect_list(struct(col("pos"),
+            floor(col("sfix").cast("double") / col("cnt")).cast("long")
+              .as("c")))).as("pc"))
+        .select(col("label"), col("n_new"),
+          expr("transform(pc, x -> x.c)").as("cn"))
+      val drift = graft.plans.Lineage.scratchCheckpoint(
+        standing.select(col("label"), col("n").as("n_standing"),
+            col("carr").as("cs"))
+          .join(newCents, Seq("label"))
+          .select(col("label"), col("n_standing"), col("n_new"),
+            expr("aggregate(sequence(1, 64), 0L, (acc, i) -> acc + " +
+              "(element_at(cs, i) - element_at(cn, i)) * " +
+              "(element_at(cs, i) - element_at(cn, i)))").as("shift_d2")))
+      drift.crossJoin(broadcast(drift.agg(
+          coalesce(max("shift_d2") > lit(MaintainShiftBound), lit(false))
+            .as("retrain"))))
+        .orderBy(col("label"))
     }),
 
     // HYBRID retrieval — the RAG-serving shape every retrieval stack
@@ -1521,6 +1625,43 @@ object SimilarityQueries {
       if (fs.exists(loc)) fs.delete(loc, true)
       val e = Tables.embeddings(s, d)
       pqIndex(s, d).join(ivfAssign(e, ivfCentroids(e)), "vec_id")
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
+  private val annCompactCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The PHYSICALLY COMPACTED index: [[annStore]] rewritten without
+    * the [[AnnDeleteRule]] tombstones, same 8-way cell bucketing, same
+    * frozen quantizers — the surviving rows are byte-identical to
+    * their standing form (codes and cell are functions of the
+    * quantizers and the vector alone), so the rewrite is ONE
+    * index-sized filtered pass, and the serve path (q_ann_ivfpq_stored
+    * strategy) regains its pre-delete shape: no per-probe tombstone
+    * filter, buckets prune identically. Built once per (session, dir);
+    * in production the compacted table atomically replaces the
+    * tombstoned one on the maintenance cadence. */
+  private[graft] def annStoreCompacted(s: SparkSession, d: String)
+      : DataFrame = {
+    annCompactCache.keys.foreach { k =>
+      if (k._1.isStopped) annCompactCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(annCompactCache,
+        (s.sparkContext, d)) {
+      val tbl = "graft_ann_compact_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      annStore(s, d).filter(!AnnDeleteRule)
         .write.bucketBy(8, "cell").sortBy("cell")
         .mode("overwrite").saveAsTable(tbl)
       tbl
@@ -2392,6 +2533,36 @@ object SimilarityQueries {
 
   private def oraclesBase: Map[String, String] = Map(
     "q_ann_maintain" -> maintainOracle,
+    // the q_embed_drift replay (same fixed-point centroids, same
+    // integer shift fold) + the fired decision as a window max over
+    // the drift frame — the identical law maintainOracle's `dec` CTE
+    // states, here emitted per label the way the stream reports it
+    "q_stream_maintain" ->
+      s"""WITH t AS (SELECT max(vec_id) - max(vec_id) // 10 AS thr
+                     FROM embeddings),
+          x AS (SELECT label, vec_id >= (SELECT thr FROM t) AS is_new,
+                       u.i AS pos,
+                       CAST(FLOOR(CAST(u.v AS DOUBLE) * $KmQ) AS BIGINT)
+                         AS fix
+                FROM (SELECT label, vec_id, unnest(embedding) AS v,
+                             unnest(range(1, 65)) AS i
+                      FROM embeddings) u),
+          g AS (SELECT label, is_new, pos,
+                       CAST(SUM(fix) AS BIGINT) AS sfix, COUNT(*) AS cnt
+                FROM x GROUP BY 1, 2, 3),
+          c AS (SELECT label, is_new, CAST(MAX(cnt) AS BIGINT) AS n,
+                       list(CAST(FLOOR(CAST(sfix AS DOUBLE) / cnt)
+                                 AS BIGINT) ORDER BY pos) AS carr
+                FROM g GROUP BY 1, 2),
+          dr AS (SELECT s.label, s.n AS n_standing, w.n AS n_new,
+                        CAST(list_sum(list_transform(range(1, 65), i ->
+                          (s.carr[i] - w.carr[i]) * (s.carr[i] - w.carr[i])))
+                          AS BIGINT) AS shift_d2
+                 FROM c s JOIN c w ON s.label = w.label
+                 WHERE NOT s.is_new AND w.is_new)
+          SELECT label, n_standing, n_new, shift_d2,
+                 MAX(shift_d2) OVER () > $MaintainShiftBound AS retrain
+          FROM dr ORDER BY label""",
     "q_embed_pca" -> pcaOracle,
     "q_embed_pca2" -> pca2Oracle,
     // same md5-parity sign matrix, i-ascending fold, exact /sqrt(k)
@@ -2651,16 +2822,11 @@ object SimilarityQueries {
     // the same chain with deleted ids dropped from the CANDIDATE side
     // only — quantizers/assignment/probes unchanged (the tombstone
     // contract: deletion never retrains)
-    "q_ann_delete" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                            sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
-                     FROM embeddings),
-          qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
-                 WHERE vec_id % 100 = 0),
-          ${ivfpqChainCtes("", standing = false,
-            candWhere = " AND enc.vec_id % 10 <> 3")}
-          SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
-          ORDER BY qid, rank""",
+    "q_ann_delete" -> annDeleteServeSql,
+    // ONE oracle states the compaction law: serving the physically
+    // compacted store under the frozen quantizers answers exactly
+    // what the tombstone-filtered store answers
+    "q_ann_compact" -> annDeleteServeSql,
     // replays the PQ pipeline exactly: same centroid set (cid-sorted),
     // same 16×16 subspace-distance tables (double casts, index-order
     // folds), first-minimum argmin via list_indexof(list_min), same

@@ -1340,6 +1340,52 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CURATION OVER CLEANED TEXT (VERDICT r15 gap 1) — the published
+    // recipe's actual order (Lee'22 §5, RefinedWeb): exact-substring
+    // span REMOVAL runs FIRST, and the quality score, the per-source
+    // p75 cut, and the Gopher rule screen all evaluate the CLEANED
+    // text — excised spans change token counts, n-gram duplicate
+    // fractions, stopword ratios, and therefore the verdicts
+    // (CurateCleanedSpec pins that they genuinely differ from the
+    // raw-text verdicts on this corpus). The cleaned tokens come from
+    // [[DedupQueries.substringKeptRaw]] — the same digest law and
+    // excision fold as q_dedup_substring_removed, so the two gates
+    // can never disagree about what got removed — re-joined with a
+    // single space and re-tokenized, exactly the stage boundary a
+    // pipeline that writes cleaned text back and re-reads it has
+    // (a fully-excised document scores as the [''] token list on
+    // both engines). Scale shape: the removal half is the
+    // substring-removal gate's (digest-only counting shuffles + the
+    // one fundamental text shuffle); scoring is one narrow pass over
+    // the cleaned frame; what gets CHECKPOINTED is the small scored
+    // frame (doc_id, source, n_removed, quality, gopher_keep, qq) —
+    // never the cleaned token arrays — and the p75 cut rides
+    // [[narrowedP75]]'s histogram narrowing, so no per-source value
+    // set ever buffers on one reducer.
+    "q_text_curate_cleaned" -> ((s, d) => {
+      val (kept, wins) = DedupQueries.substringKeptRaw(
+        Tables.documents(s, d), 8, persistWins = true)
+      val scored = graft.plans.Lineage.scratchCheckpoint(
+        kept.select(col("doc_id"), col("source"),
+            (col("n_tok") - size(col("kept"))).cast("long")
+              .as("n_removed"),
+            array_join(col("kept"), " ").as("text"))
+          .withColumn("toks", toks)
+          .select(col("doc_id"), col("source"), col("n_removed"),
+            qualityScore.as("quality"),
+            gopherRuleCols.map(_._2).reduce(_ && _).as("gopher_keep"))
+          .withColumn("qq",
+            floor(col("quality") * lit(1.0e6) + lit(0.5)) / lit(1.0e6)))
+      wins.unpersist(blocking = true)
+      scored.join(broadcast(narrowedP75(scored)), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_removed"),
+          col("quality"),
+          (col("qq") > col("cut")).as("kept"), col("gopher_keep"),
+          ((col("qq") > col("cut")) && col("gopher_keep"))
+            .as("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID via char-n-gram RANK PROFILES (Cavnar-Trenkle'94 —
     // the real "n-gram heuristic" behind textcat/CLD-style detectors;
     // the stopword gate below is the cheap screen, this is the model):
@@ -2511,12 +2557,18 @@ object TextQueries {
     s"""${p}t AS MATERIALIZED (SELECT doc_id, source,
                           string_split_regex(text, '\\s+') AS toks
                    FROM documents),
-            ${p}m AS (SELECT doc_id, source,
+            ${qualityQqCtesFrom(p, s"${p}t")}"""
+
+  /** The score half of [[qualityQqCtes]] over ANY (doc_id, source,
+    * toks) CTE — q_text_curate_cleaned feeds it the span-excised
+    * tokens instead of the raw split (the Lee'22 recipe order). */
+  private def qualityQqCtesFrom(p: String, from: String): String =
+    s"""${p}m AS (SELECT doc_id, source,
                    CAST(len(toks) AS DOUBLE) AS n_tok,
                    CAST(len(list_filter(toks, t -> list_contains($enSql, t))) AS DOUBLE)
                      AS stop_hits,
                    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_types
-                  FROM ${p}t),
+                  FROM $from),
             ${p}s AS MATERIALIZED (SELECT doc_id, source, quality,
                    floor(quality * 1.0e6 + 0.5) / 1.0e6 AS qq
                  FROM (SELECT doc_id, source,
@@ -3001,6 +3053,56 @@ object TextQueries {
             JOIN qgk gk ON gk.doc_id = q.doc_id
             LEFT JOIN dcfin dd ON dd.doc_id = q.doc_id
             ORDER BY q.doc_id""",
+      // the q_dedup_substring_removed removal chain (its INDEPENDENT
+      // range-anti-join formulation — two algorithms agreeing on the
+      // cleaned text is the point), re-split into tokens, then the
+      // SAME quality/cut/gopher CTEs as q_text_curate but evaluated
+      // over the CLEANED tokens (Lee'22 §5's order: excise before
+      // scoring). A fully-excised doc re-splits to [''] on both
+      // engines.
+      "q_text_curate_cleaned" ->
+        s"""WITH t AS (SELECT doc_id, source,
+                         string_split_regex(text, '\\s+') AS toks
+                       FROM documents),
+            w AS (SELECT doc_id, i,
+                    CAST(('0x' || substring(md5(array_to_string(toks[i:i+7], ' ')),
+                                            1, 15)) AS BIGINT) AS h
+                  FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)
+                  WHERE len(toks) >= 8),
+            duph AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+            dup AS (SELECT DISTINCT w.doc_id, w.i FROM w
+                    WHERE w.h IN (SELECT h FROM duph)),
+            tok AS (SELECT t.doc_id, u.i, toks[u.i] AS tk
+                    FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+            cov AS (SELECT DISTINCT tk.doc_id, tk.i
+                    FROM tok tk JOIN dup dp
+                      ON tk.doc_id = dp.doc_id
+                     AND tk.i BETWEEN dp.i AND dp.i + 7),
+            keptt AS (SELECT tk.doc_id,
+                       count(*) AS n_kept,
+                       string_agg(tk.tk, ' ' ORDER BY tk.i) AS clean
+                     FROM tok tk LEFT JOIN cov c
+                       ON tk.doc_id = c.doc_id AND tk.i = c.i
+                     WHERE c.i IS NULL GROUP BY 1),
+            ct AS MATERIALIZED (SELECT t.doc_id, t.source,
+                   CAST(len(t.toks) - COALESCE(k.n_kept, 0) AS BIGINT)
+                     AS n_removed,
+                   string_split_regex(COALESCE(k.clean, ''), '\\s+')
+                     AS toks
+                 FROM t LEFT JOIN keptt k ON t.doc_id = k.doc_id),
+            ${qualityQqCtesFrom("c", "ct")},
+            qc AS (SELECT source,
+                    quantile_cont(qq, CAST(3 AS DOUBLE)/4) AS cut
+                   FROM cs GROUP BY source),
+            ${gopherKeepCtes("cg", "ct")}
+            SELECT s.doc_id, s.source, ct.n_removed, s.quality,
+                   s.qq > cc.cut AS kept,
+                   gk.keep AS gopher_keep,
+                   (s.qq > cc.cut AND gk.keep) AS selected
+            FROM cs s JOIN ct ON ct.doc_id = s.doc_id
+            JOIN qc cc ON cc.source = s.source
+            JOIN cgk gk ON gk.doc_id = s.doc_id
+            ORDER BY s.doc_id""",
       // same integer ranks (count DESC, gram ASC), same LidK penalty,
       // same (dist, lang) argmin — every value an exact integer
       "q_text_langid_ngram" ->
