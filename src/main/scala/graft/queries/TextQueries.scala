@@ -647,49 +647,59 @@ object TextQueries {
     * guard), and fall back to the top-1 pair (always the literal
     * sequential argmax) if that empties the batch.
     *
-    * Stop conditions for candidate (a, b), given earlier selections
-    * (x, y) and `universe` = every symbol name that can exist in the
-    * vocabulary (initial alphabet + all products learned so far — the
-    * caller threads it):
-    *  - batch full (`cap`);
+    * Guards split in two classes, given earlier selections (x, y) and
+    * `universe` = every symbol name that can exist in the vocabulary
+    * (initial alphabet + all products learned so far — the caller
+    * threads it):
+    *
+    * HARD stops — an earlier batch merge would change THIS pair's own
+    * count (the learned cnt column must equal the sequential recount,
+    * so any perturbation, up or down, is fatal):
+    *  - batch full (`cap`), or a prior admission closed the batch;
+    *  - a or b is an earlier selection's symbol (consumed directly);
+    *  - a or b ends with an earlier x: replace() works on the raw
+    *    SEP-joined string, so merging (x, y) also fuses [s, y]
+    *    wherever symbol s merely ENDS with x ("ab·d·" → "abd·" under
+    *    merge (b, d) — ADVICE r15 counterexample 3, which voids pure
+    *    name-disjointness) — the earlier merge could consume this
+    *    pair's symbols;
+    *  - a or b ends with an earlier product x+y: that merge's created
+    *    names (all of form t+x+y) could BE this pair's symbol,
+    *    inflating its count.
+    *
+    * DEFERRED hazards — the merge's own count is intact, but applying
+    * it can inflate OTHER candidates' counts past the stopper bound,
+    * poisoning the argmax at LATER steps only. Such a merge is
+    * therefore sound as the batch's FINAL merge: admit it and CLOSE
+    * the batch at the next candidate (kept is always a rank-prefix,
+    * so the hazardous merge is applied last or dropped by the tie
+    * guard — either way no later in-batch step sees its fallout):
     *  - a == b — a self-pair's replace self-overlaps ("a·a·a·a·" →
     *    "aa·aa·") and the pairs it CREATES are bounded by its OWN
     *    count, not the stopper's (ADVICE r15 counterexample 1);
-    *  - a, b, or the product a+b already used (symbol or product of an
-    *    earlier selection — a product collision means the earlier
-    *    merge manufactures new occurrences of a later selection's
-    *    symbol, so its count is no longer the table's);
-    *  - suffix interaction with an earlier selection: replace() works
-    *    on the raw SEP-joined string, so merging (x, y) also fuses
-    *    [s, y] wherever symbol s merely ENDS with x ("ab·d·" →
-    *    "abd·" under merge (b, d) — ADVICE r15 counterexample 3,
-    *    which voids pure name-disjointness). Blocked when a or b ends
-    *    with x (the earlier merge could consume this pair's symbols),
-    *    when x or y ends with a (this merge could consume a later-step
-    *    occurrence an earlier selected pair counted), when a or b ends
-    *    with x+y (the earlier merge's created names — all of form
-    *    t+x+y — could BE this pair's symbol), or when either product
-    *    is a suffix of the other (two merges could manufacture the
-    *    same created name, stacking its pair counts past stopCnt);
-    *  - some u ∈ universe ends with a+b: this merge's created names
-    *    would collide with a symbol that may already exist, inflating
-    *    that symbol's pair counts past the stopper bound (the
-    *    concat-name collision — ADVICE r15 counterexample 2,
-    *    generalized to suffixes).
+    *  - its product suffix-relates to an earlier selection's product
+    *    (two merges could manufacture the same created name — names
+    *    created by (x, y) all end in x+y — stacking one candidate's
+    *    count past stopCnt);
+    *  - some u ∈ universe ends with a+b: the created names collide
+    *    with a symbol that may already exist, inflating that symbol's
+    *    pair counts past the stopper bound (ADVICE r15 counterexample
+    *    2, generalized to suffixes — this is the guard that bites on
+    *    natural text, e.g. a learned "the" defers any (h, e), which
+    *    is why it closes the batch instead of stopping it).
     *
     * Why the survivors equal sequential: every pair ranked above the
     * stop point is selected, so every unselected candidate's count is
-    * ≤ stopCnt. Each selected pair's own count is untouched by earlier
-    * batch merges (no shared, suffix-aliased, or product-collided
-    * symbols). Every pair a merge creates or inflates is bounded by
-    * some unselected pair's count (≤ stopCnt) because created names
-    * are fresh (no universe collision) and distinct across merges (no
-    * product suffix relation). After the strict guard every kept pair
-    * beats every changed or created candidate at its own sequential
-    * step — strictly, so tie-breaks never arbitrate.
+    * ≤ stopCnt; each selected pair's own count is untouched by earlier
+    * batch merges (hard guards); every pair an earlier merge creates
+    * or inflates is bounded by some unselected pair's count ≤ stopCnt
+    * (deferred guards held for every non-final merge). After the
+    * strict `cnt > stopCnt` guard every kept pair beats every changed
+    * or created candidate at its own sequential step — strictly, so
+    * tie-breaks never arbitrate.
     *
     * Validated by exhaustive fuzzing under the exact engine semantics
-    * (TextBpeBatchSpec's fuzz pin): ~170k random vocabularies where
+    * (TextBpeBatchSpec's fuzz pin): ~300k random vocabularies where
     * the r15 rule diverged ~900 times, this rule zero. */
   private[graft] def selectMergeBatch(ranked: Seq[(String, String, Long)],
       cap: Int, universe: Iterable[String]): Seq[(String, String, Long)] = {
@@ -697,23 +707,26 @@ object TextQueries {
     val sel = scala.collection.mutable.Buffer.empty[(String, String, Long)]
     var stopCnt = -1L
     var stopped = false
+    var closed = false
     for (p @ (a, b, c) <- ranked if !stopped) {
       val ab = a + b
-      val blocked = sel.size == cap || a == b ||
-        used(a) || used(b) || used(ab) ||
+      val hard = sel.size == cap || closed ||
+        used(a) || used(b) ||
         sel.exists { case (x, y, _) =>
           val xy = x + y
           a.endsWith(x) || b.endsWith(x) ||
-            a.endsWith(xy) || b.endsWith(xy) ||
-            x.endsWith(a) || y.endsWith(a) ||
-            x.endsWith(ab) || y.endsWith(ab) ||
-            xy.endsWith(ab) || ab.endsWith(xy)
-        } ||
-        universe.exists(_.endsWith(ab))
-      if (blocked) {
+            a.endsWith(xy) || b.endsWith(xy)
+        }
+      if (hard) {
         stopped = true; stopCnt = c
       } else {
-        sel += p; used += a; used += b; used += ab
+        closed = a == b ||
+          sel.exists { case (x, y, _) =>
+            val xy = x + y
+            xy.endsWith(ab) || ab.endsWith(xy)
+          } ||
+          universe.exists(_.endsWith(ab))
+        sel += p; used += a; used += b
       }
     }
     val kept = if (stopCnt >= 0) sel.filter(_._3 > stopCnt) else sel.toSeq
@@ -730,9 +743,21 @@ object TextQueries {
     * flat after r13's checkpoint cadence; the scheduling floor × K was
     * what remained. `batchM = 1` IS the one-at-a-time loop —
     * TextBpeBatchSpec's reference arm. */
+  /** Symbol-alphabet cap for the batch-guard universe; overflow falls
+    * back to the one-at-a-time loop (see the memo note in
+    * [[bpeTrainLoop]]). */
+  private val UniverseCap = 65536
+
+  private val bpeAlphabetCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, Int), Array[String]]
+
   private[graft] def bpeTrainLoop(vocab0: DataFrame, k: Int,
       batchM: Int,
       onSyms: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    bpeAlphabetCache.keys.foreach { key =>
+      if (key._1.isStopped) bpeAlphabetCache.remove(key)
+    }
     val s = vocab0.sparkSession
     import s.implicits._
     val SEP = BpeSep
@@ -747,16 +772,23 @@ object TextQueries {
     // that can exist = the initial alphabet ∪ products learned so
     // far — symbols are only ever formed by merging). One job, one
     // alphabet-sized collect (single code points for every real
-    // caller — the char-exploded vocab builders); a pathological
-    // vocabulary that overflows the cap falls back to batchM = 1,
-    // where the selection degenerates to the literal argmax and the
-    // universe is never needed for soundness.
-    val UniverseCap = 65536
-    val alphabet = vocab
-      .select(explode(split(col("sym"), SEP)).as("u"))
-      .filter(col("u") =!= "").distinct()
-      .limit(UniverseCap + 1).collect().map(_.getString(0))
-    val universe = scala.collection.mutable.Set(alphabet: _*)
+    // caller — the char-exploded vocab builders), MEMOIZED per
+    // (context, vocabulary plan): the alphabet is a property of the
+    // corpus — a build-once artifact like the quantizer seeds and
+    // signature stores — so repeated training runs never re-derive
+    // it. Keyed on the PRE-checkpoint plan (the scratch checkpoint
+    // mints a fresh RDD-backed plan per call; the analyzed vocabulary
+    // plan is stable per corpus). A pathological vocabulary that
+    // overflows the cap falls back to batchM = 1, where the selection
+    // degenerates to the literal argmax and the universe is never
+    // needed for soundness.
+    val alphabet = graft.plans.Lineage.once(bpeAlphabetCache,
+        (s.sparkContext, vocab0.queryExecution.analyzed.semanticHash())) {
+      vocab.select(explode(split(col("sym"), SEP)).as("u"))
+        .filter(col("u") =!= "").distinct()
+        .limit(UniverseCap + 1).collect().map(_.getString(0))
+    }
+    val universe = scala.collection.mutable.Set(alphabet.toIndexedSeq: _*)
     val effM = if (universe.size > UniverseCap) 1 else batchM
     var syms = vocab
     var r = 0
@@ -823,19 +855,29 @@ object TextQueries {
     * (UTF8String.compareTo) and DuckDB share. Java String `<` compares
     * UTF-16 code units, which sorts supplementary-plane characters
     * (surrogates D800+) BEFORE U+E000..U+FFFF while UTF-8 bytes sort
-    * them after — so the local trainer's tie-break must compare the
-    * encoded bytes, not the chars (ADVICE r15). */
+    * them after (ADVICE r15) — so the local trainer's tie-break
+    * remaps the surrogate block above U+FFFF's ordinal (the standard
+    * allocation-free fix-up: UTF-8 byte order ≡ code-point order for
+    * well-formed strings) instead of comparing raw chars. Runs in the
+    * argmax hot loop, hence no per-comparison encoding. */
   private[graft] def utf8Less(x: String, y: String): Boolean = {
-    val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(xb.length, yb.length)
+    val n = math.min(x.length, y.length)
     var i = 0
     while (i < n) {
-      val c = (xb(i) & 0xff) - (yb(i) & 0xff)
-      if (c != 0) return c < 0
+      val cx = x.charAt(i)
+      val cy = y.charAt(i)
+      if (cx != cy) {
+        val ax =
+          if (cx >= 0xD800) (if (cx < 0xE000) cx + 0x2000 else cx - 0x800)
+          else cx.toInt
+        val ay =
+          if (cy >= 0xD800) (if (cy < 0xE000) cy + 0x2000 else cy - 0x800)
+          else cy.toInt
+        return ax < ay
+      }
       i += 1
     }
-    xb.length < yb.length
+    x.length < y.length
   }
 
   private[graft] def bpeTrainLocal(vocab: DataFrame, k: Int): DataFrame = {

@@ -63,4 +63,19 @@ class BpeSpTrainSpec extends SparkSpec {
       (a + b).contains("▁") && (a + b).length > 1 },
       "no learned rule crosses a word boundary")
   }
+
+  test("the local trainer's tie-break is UTF-8 byte order (ADVICE " +
+      "r15): supplementary-plane chars sort AFTER U+E000, where Java " +
+      "char order puts their surrogates before it") {
+    val pua = new String(Character.toChars(0xE000)) // private-use BMP char
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(graft.queries.TextQueries.utf8Less(pua, emoji))
+    assert(!graft.queries.TextQueries.utf8Less(emoji, pua))
+    assert(pua.compareTo(emoji) > 0,
+      "teeth check: Java char order no longer disagrees here")
+    // prefix law matches byte comparison
+    assert(graft.queries.TextQueries.utf8Less("a", "ab"))
+    assert(!graft.queries.TextQueries.utf8Less("ab", "a"))
+    assert(!graft.queries.TextQueries.utf8Less("a", "a"))
+  }
 }

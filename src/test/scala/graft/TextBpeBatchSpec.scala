@@ -165,16 +165,26 @@ class TextBpeBatchSpec extends SparkSpec {
   }
 
   test("counterexample 2 (concat-name collision): a merge whose " +
-      "product equals an existing symbol name is never batched with " +
-      "followers (universe guard)") {
-    // learn (a,b) first so symbol "ab" exists in the universe; then a
-    // state where candidate (a,b)... instead pin the guard directly:
-    // with "ab" in the universe, candidate (a,b) stops the batch
+      "product suffix-collides with an existing symbol name admits " +
+      "no followers (universe guard closes the batch)") {
+    // with "ab" in the universe, candidate (a,b)'s creations would
+    // inflate (w,ab) counts — (a,b) is admitted but nothing after it
     val ranked = Seq(("a", "b", 9L), ("c", "d", 7L))
     val got = TextQueries.selectMergeBatch(ranked, 8, Set("a", "b", "ab"))
     assert(got == Seq(("a", "b", 9L)),
-      "expected the universe guard to stop the batch at (a,b) and " +
-        "fall back to the argmax alone")
+      "expected the universe guard to close the batch after (a,b)")
+  }
+
+  test("admit-and-close: a deferred-hazard merge batches as the FINAL " +
+      "merge — earlier clean selections are kept, later ones are not") {
+    // "ab" ∈ universe makes (a,b) a deferred hazard; it ranks second,
+    // so the batch keeps the clean (c,d) AND the hazard (a,b), then
+    // closes — (e,f) never enters. A hard-stop rule would have lost
+    // (a,b) to the stopper.
+    val ranked = Seq(("c", "d", 9L), ("a", "b", 8L), ("e", "f", 7L))
+    val got = TextQueries.selectMergeBatch(ranked, 8,
+      Set("a", "b", "c", "d", "e", "f", "ab"))
+    assert(got == Seq(("c", "d", 9L), ("a", "b", 8L)))
   }
 
   test("batch selection: disjoint distinct-count pairs are all admitted") {
