@@ -469,11 +469,16 @@ object DedupQueries {
               IF(size(toks) >= acc.cur,
                 slice(toks, acc.cur, size(toks) - acc.cur + 1),
                 cast(array() as array<string>))))"""
-    val out = t.select(col("doc_id"), col("source"), col("toks"))
+    // `source` rides along only when the input has one (the curate
+    // consumer needs it; the removal gate and its specs feed bare
+    // (doc_id, text) frames)
+    val srcCols =
+      if (docs.columns.contains("source")) Seq(col("source")) else Nil
+    val out = t.select(col("doc_id") +: srcCols :+ col("toks"): _*)
       .join(dupStarts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"),
-        size(col("toks")).cast("long").as("n_tok"),
-        expr(keptExpr).as("kept"))
+      .select(col("doc_id") +: srcCols :+
+        size(col("toks")).cast("long").as("n_tok") :+
+        expr(keptExpr).as("kept"): _*)
     (out, wins)
   }
 
