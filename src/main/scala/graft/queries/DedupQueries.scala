@@ -269,9 +269,15 @@ object DedupQueries {
 
     // The REMOVAL form of the same pass (Lee'22's shipped step): emit
     // each doc with its corpus-duplicated spans excised — scale story
-    // and reassembly idiom on [[substringRemoval]].
+    // and reassembly idiom on [[substringRemoval]]; the excision run
+    // itself is the memoized build-once artifact shared with
+    // q_text_curate_cleaned ([[substringKeptFrame]]).
     "q_dedup_substring_removed" -> ((s, d) =>
-      substringRemoval(Tables.documents(s, d)).orderBy(col("doc_id"))),
+      substringKeptFrame(s, d)
+        .select(col("doc_id"), col("n_tok"),
+          (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
+          md5(array_join(col("kept"), " ")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
 
     // Edit-distance near-dup on BOUNDED 40-char prefixes — the classic
     // record-linkage measure, made scale-sane twice over: the prefix cap
@@ -416,6 +422,34 @@ object DedupQueries {
       wins.unpersist(blocking = true)
       fin
     }
+  }
+
+  private val keptCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  /** The span-excision output as a BUILD-ONCE corpus artifact (the
+    * lshClusters pattern): ONE removal run — counting shuffles, dup
+    * collapse, the single corpus-text join, the excision fold —
+    * serves BOTH consumers (q_dedup_substring_removed's digest
+    * summary and q_text_curate_cleaned's re-scoring), memoized and
+    * pinned per (session, dir). This is the deployment shape: the
+    * cleaned corpus is materialized once and every downstream stage
+    * reads it, nobody re-excises per query. Columns:
+    * (doc_id, source, n_tok, kept). */
+  private[queries] def substringKeptFrame(s: SparkSession, d: String)
+      : DataFrame = {
+    var winsToFree: Option[DataFrame] = None
+    val fin = graft.plans.Lineage.memo(keptCache, s, d) {
+      val (kept, wins) =
+        substringKeptRaw(Tables.documents(s, d), 8, persistWins = true)
+      winsToFree = Some(wins)
+      kept
+    }
+    // the memo persisted + counted the kept frame; the per-(window,
+    // doc) digest frame only served that one materialization
+    winsToFree.foreach(_.unpersist(blocking = true))
+    fin
   }
 
   /** The cleaned-tokens frame behind [[substringRemoval]] — per

@@ -1390,23 +1390,23 @@ object TextQueries {
     // fractions, stopword ratios, and therefore the verdicts
     // (CurateCleanedSpec pins that they genuinely differ from the
     // raw-text verdicts on this corpus). The cleaned tokens come from
-    // [[DedupQueries.substringKeptRaw]] — the same digest law and
-    // excision fold as q_dedup_substring_removed, so the two gates
-    // can never disagree about what got removed — re-joined with a
-    // single space and re-tokenized, exactly the stage boundary a
-    // pipeline that writes cleaned text back and re-reads it has
-    // (a fully-excised document scores as the [''] token list on
-    // both engines). Scale shape: the removal half is the
-    // substring-removal gate's (digest-only counting shuffles + the
-    // one fundamental text shuffle); scoring is one narrow pass over
-    // the cleaned frame; what gets CHECKPOINTED is the small scored
-    // frame (doc_id, source, n_removed, quality, gopher_keep, qq) —
-    // never the cleaned token arrays — and the p75 cut rides
-    // [[narrowedP75]]'s histogram narrowing, so no per-source value
-    // set ever buffers on one reducer.
+    // [[DedupQueries.substringKeptFrame]] — the SAME memoized
+    // excision run q_dedup_substring_removed summarizes (one digest
+    // law, one materialization, two consumers: in production the
+    // cleaned corpus is written once and every downstream stage reads
+    // it) — re-joined with a single space and re-tokenized, exactly
+    // the stage boundary a pipeline that writes cleaned text back and
+    // re-reads it has (a fully-excised document scores as the ['']
+    // token list on both engines). Scale shape: the removal run pays
+    // its digest-only counting shuffles + the one fundamental text
+    // shuffle ONCE per corpus; scoring is one narrow pass over the
+    // cleaned artifact; the per-query checkpoint holds only the small
+    // scored frame (doc_id, source, n_removed, quality, gopher_keep,
+    // qq), and the p75 cut rides [[narrowedP75]]'s histogram
+    // narrowing, so no per-source value set ever buffers on one
+    // reducer.
     "q_text_curate_cleaned" -> ((s, d) => {
-      val (kept, wins) = DedupQueries.substringKeptRaw(
-        Tables.documents(s, d), 8, persistWins = true)
+      val kept = DedupQueries.substringKeptFrame(s, d)
       val scored = graft.plans.Lineage.scratchCheckpoint(
         kept.select(col("doc_id"), col("source"),
             (col("n_tok") - size(col("kept"))).cast("long")
@@ -1418,7 +1418,6 @@ object TextQueries {
             gopherRuleCols.map(_._2).reduce(_ && _).as("gopher_keep"))
           .withColumn("qq",
             floor(col("quality") * lit(1.0e6) + lit(0.5)) / lit(1.0e6)))
-      wins.unpersist(blocking = true)
       scored.join(broadcast(narrowedP75(scored)), Seq("source"))
         .select(col("doc_id"), col("source"), col("n_removed"),
           col("quality"),
