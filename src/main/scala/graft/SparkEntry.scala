@@ -73,7 +73,11 @@ object SparkEntry {
       // q_stream_drift rationale); the drift arithmetic is benched by
       // q_embed_drift and the update-mode stateful emission class by
       // q_stream_running
-      "q_stream_maintain")
+      "q_stream_maintain",
+      // the append is a once-per-dump memoized bucketed write; the
+      // timed probe is q_dedup_incremental's plan class over half the
+      // dump — already benched
+      "q_dedup_store_append")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

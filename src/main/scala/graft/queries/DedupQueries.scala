@@ -100,6 +100,51 @@ object DedupQueries {
     "q_dedup_incremental" -> ((s, d) =>
       incrementalPairs(s, d).orderBy(col("a"), col("b"))),
 
+    // SIGNATURE-STORE APPEND — the lifecycle step q_dedup_incremental
+    // leaves implicit, made explicit (the ANN family's append gate
+    // mirrored onto dedup): after a dump is processed, its band
+    // signatures are APPENDED to the persisted bucketed store so the
+    // NEXT dump dedups against them without anything re-sketching.
+    // The new dump splits at its id midpoint into two arrival waves
+    // ([[incMidpoint]] — one 1-row agg, the N-counter contract):
+    // wave A appends to the standing store (a bucket-preserving
+    // bucketBy write in append mode — the store table gains A's rows,
+    // bucket pruning intact), then wave B probes the APPENDED store
+    // exactly the q_dedup_incremental way (bucket-co-located cross
+    // join + the within-B self-join). Because [[bandedSigs]] is a
+    // per-row sketch under fixed hash seeds, append ≡ rebuild —
+    // probing the appended store equals probing a store built from
+    // scratch over standing ∪ A (DedupStoreAppendSpec pins it
+    // row-for-row, plus that the sf0.01 fixture has a B×A pair the
+    // un-appended store CANNOT produce — the whole point of the
+    // step). Scale: the append writes only the dump's signatures
+    // (dump-sized, bucket-local); probe cost is O(wave B) + bucket
+    // probes — standing bytes still never re-read.
+    "q_dedup_store_append" -> ((s, d) => {
+      val mid = incMidpoint(s, d)
+      val store = sigStoreAppended(s, d)
+      val nb = graft.plans.Lineage.memo(waveBCache, s, d)(
+        bandedSigs(Tables.documents(s, d)
+          .filter(col("source") === IncNewSource
+            && col("doc_id") > lit(mid))))
+      val cross = nb.as("x").join(store.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bkey") === col("y.bkey"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+          Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
+      val within = nb.as("x").join(nb.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
+      cross.unionByName(within)
+        .groupBy("a", "b").agg(max("j").as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // STREAMING incremental dedup — the INGEST-TIME shape of
     // q_dedup_incremental (the batch gate answers "dedup a dump I
     // already have"; a production crawler dedups WHILE the dump
@@ -716,6 +761,66 @@ object DedupQueries {
     s.table(name)
   }
 
+  private val incMidCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), Long]
+  private val sigAppCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+  private val waveBCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  /** The new dump's id midpoint — splits it into arrival wave A
+    * (doc_id ≤ mid, appended to the store) and wave B (doc_id > mid,
+    * the probe). One 1-row agg, memoized; integer floor division on
+    * both engines. */
+  private[graft] def incMidpoint(s: SparkSession, d: String): Long = {
+    incMidCache.keys.foreach { k =>
+      if (k._1.isStopped) incMidCache.remove(k)
+    }
+    graft.plans.Lineage.once(incMidCache, (s.sparkContext, d)) {
+      val r = Tables.documents(s, d)
+        .filter(col("source") === IncNewSource)
+        .agg(min("doc_id"), max("doc_id")).head
+      (r.getLong(0) + r.getLong(1)) / 2
+    }
+  }
+
+  /** The signature store AFTER wave A's append (q_dedup_store_append):
+    * its own catalog table — the standing signatures written first,
+    * then wave A's appended via a bucket-spec-matching bucketBy write
+    * in append mode, so the store genuinely exercises Spark's bucketed
+    * APPEND (the production operation: the store accretes dumps; it is
+    * never rebuilt). The gates' standing [[signatureStore]] is left
+    * untouched. */
+  private[graft] def sigStoreAppended(s: SparkSession, d: String)
+      : DataFrame = {
+    sigAppCache.keys.foreach { k =>
+      if (k._1.isStopped) sigAppCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(sigAppCache, (s.sparkContext, d)) {
+      val tbl = "graft_sig_app_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val docs = Tables.documents(s, d)
+      bandedSigs(docs.filter(col("source") =!= IncNewSource))
+        .write.bucketBy(IncBuckets, "band", "bkey").sortBy("band", "bkey")
+        .mode("overwrite").saveAsTable(tbl)
+      bandedSigs(docs.filter(col("source") === IncNewSource
+          && col("doc_id") <= lit(incMidpoint(s, d))))
+        .write.bucketBy(IncBuckets, "band", "bkey").sortBy("band", "bkey")
+        .mode("append").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
   /** The new dump's banded signatures — the ONLY sketching
     * q_dedup_incremental performs at query time. The source filter
     * reaches the parquet scan (pushdown — the standing corpus's bytes
@@ -1140,6 +1245,42 @@ object DedupQueries {
           JOIN documents db ON db.doc_id = p.b
           WHERE p.jaccard >= 0.5
             AND (da.source = '$IncNewSource' OR db.source = '$IncNewSource')
+          ORDER BY a, b""",
+    // the same full-corpus pair derivation restricted to pairs
+    // touching wave B (the new dump's id upper half) — append ≡
+    // rebuild means the appended store answers exactly the fresh
+    // standing ∪ A derivation, which is what one corpus-wide banding
+    // replay states
+    "q_dedup_store_append" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+          m AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid
+                FROM documents WHERE source = '$IncNewSource'),
+          s AS (SELECT doc_id, $shingle3 AS sh FROM t),
+          hh AS (SELECT doc_id, $shingleHash AS hs FROM s),
+          g AS (SELECT doc_id, hs, $minhash16 AS sig FROM hh),
+          bands AS (SELECT doc_id, hs, b.range AS band,
+                           md5(array_to_string(sig[1 + b.range * 4 : 4 + b.range * 4], ','))
+                             AS bkey
+                    FROM g CROSS JOIN range(0, 4) b),
+          cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                          len(list_intersect(x.hs, y.hs)) AS inter,
+                          len(x.hs) AS la, len(y.hs) AS lb
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                        AND x.doc_id < y.doc_id),
+          pairs AS (SELECT a, b,
+                      MAX(CAST(inter AS DOUBLE) / (la + lb - inter))
+                        AS jaccard
+                    FROM cand GROUP BY a, b)
+          SELECT p.a, p.b, p.jaccard FROM pairs p
+          JOIN documents da ON da.doc_id = p.a
+          JOIN documents db ON db.doc_id = p.b
+          WHERE p.jaccard >= 0.5
+            AND ((da.source = '$IncNewSource'
+                    AND da.doc_id > (SELECT mid FROM m))
+              OR (db.source = '$IncNewSource'
+                    AND db.doc_id > (SELECT mid FROM m)))
           ORDER BY a, b""",
     // the same full-corpus pair derivation restricted to CROSS pairs
     // (exactly one side in the new dump) — the streaming stream-static
