@@ -83,4 +83,27 @@ class DedupStoreAppendSpec extends SparkSpec {
       "fixture lost its teeth: no wave-B × wave-A pair — the append " +
         "step is vacuous on this corpus")
   }
+
+  test("the appended table still probes bucket-co-located: the store " +
+      "side of the cross join crosses no exchange (an append that " +
+      "broke the bucket layout would silently reintroduce the " +
+      "standing-corpus shuffle)") {
+    val mid = DedupQueries.incMidpoint(spark, dir)
+    val store = DedupQueries.sigStoreAppended(spark, dir)
+    val nb = DedupQueries.bandedSigs(
+      Tables.documents(spark, dir).filter(
+        col("source") === DedupQueries.IncNewSource &&
+          col("doc_id") > lit(mid)))
+    val plan = nb.as("x").join(store.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey"))
+      .queryExecution.executedPlan.toString
+    // the store-side scan feeds the join directly; only the (small)
+    // probe side may shuffle into the bucket layout
+    val storeScanToJoin = plan.linesIterator
+      .dropWhile(l => !l.contains("graft_sig_app_")).toSeq
+    assert(storeScanToJoin.nonEmpty, s"store scan missing:\n$plan")
+    assert(!storeScanToJoin.exists(_.contains("Exchange hashpartitioning")),
+      s"the appended store's scan shuffled:\n$plan")
+  }
 }
