@@ -1043,6 +1043,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_compact plan: the COMPACTED index scan keeps the store's " +
+      "bucketing and bucket pruning — compaction must not cost the " +
+      "serve path its pruned-probe contract") {
+    withStaticPlans {
+    val p = graft.SparkEntry.queries("q_ann_compact")(spark, Dir)
+      .queryExecution.executedPlan
+    val s = p.toString
+    val storeScans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("graft_ann_compact_") => f
+    }
+    assert(storeScans.size == 1,
+      s"q_ann_compact: expected exactly one compacted-index scan:\n" +
+        s.take(2000))
+    val scanStr = storeScans.head.toString
+    assert(scanStr.contains("Bucketed: true"),
+      s"q_ann_compact: the compacted scan lost its bucketing:\n$scanStr")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(scanStr)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"q_ann_compact: bucket pruning did not engage on the " +
+        s"compacted store:\n$scanStr")
+    }
+  }
+
   test("q_text_curate plan: composes three memoized artifacts with " +
       "two doc_id-keyed joins — no new corpus-wide work") {
     withStaticPlans {
