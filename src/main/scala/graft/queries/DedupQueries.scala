@@ -783,7 +783,12 @@ object DedupQueries {
       val r = Tables.documents(s, d)
         .filter(col("source") === IncNewSource)
         .agg(min("doc_id"), max("doc_id")).head
-      (r.getLong(0) + r.getLong(1)) / 2
+      // a corpus without the new-dump source has NULL min/max — both
+      // waves are empty under ANY midpoint (the wave filters also
+      // require the source), so answer 0 instead of NPE-ing while the
+      // oracle's NULL comparisons answer an empty pair set (the
+      // maintainRetrain ADVICE r15 lesson)
+      if (r.isNullAt(0)) 0L else (r.getLong(0) + r.getLong(1)) / 2
     }
   }
 
