@@ -1405,24 +1405,55 @@ object TextQueries {
     // qq), and the p75 cut rides [[narrowedP75]]'s histogram
     // narrowing, so no per-source value set ever buffers on one
     // reducer.
+    // The FULL recipe frame over the cleaned text: near-dup
+    // canonicalization (on RAW text — the memoized lshClusters run,
+    // published order: MinHash dedup is independent of span excision),
+    // quality + Gopher on CLEANED tokens, decontamination of WHAT
+    // SHIPS (the cleaned tokens' 8-grams probed against the raw eval
+    // set — and here a real Lee'22 §6 law falls out: any 8-gram
+    // shared with an eval doc occurs ≥ 2× corpus-wide, so the w = 8
+    // excision already REMOVED it; cleaned-text contamination is
+    // provably empty while the raw recipe flags docs, and
+    // CurateCleanedSpec pins exactly that subsumption), and the
+    // leakage-safe canonical-hash split.
     "q_text_curate_cleaned" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
       val kept = DedupQueries.substringKeptFrame(s, d)
+      val ct = kept.select(col("doc_id"), col("source"),
+          (col("n_tok") - size(col("kept"))).cast("long")
+            .as("n_removed"),
+          array_join(col("kept"), " ").as("text"))
+        .withColumn("toks", toks)
       val scored = graft.plans.Lineage.scratchCheckpoint(
-        kept.select(col("doc_id"), col("source"),
-            (col("n_tok") - size(col("kept"))).cast("long")
-              .as("n_removed"),
-            array_join(col("kept"), " ").as("text"))
-          .withColumn("toks", toks)
-          .select(col("doc_id"), col("source"), col("n_removed"),
+        ct.select(col("doc_id"), col("source"), col("n_removed"),
             qualityScore.as("quality"),
             gopherRuleCols.map(_._2).reduce(_ && _).as("gopher_keep"))
           .withColumn("qq",
             floor(col("quality") * lit(1.0e6) + lit(0.5)) / lit(1.0e6)))
+      val (evalGrams, bloomBytes) = decontEvalArtifacts(s, d)
+      val overlap = ct.filter(col("source") =!= "src0")
+        .select(col("doc_id"),
+          explode(call_function("word_gram_hashes60", col("toks"),
+            lit(8))).as("h"))
+        .filter(call_function("bloom_might_contain", lit(bloomBytes),
+          col("h")))
+        .join(evalGrams, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       scored.join(broadcast(narrowedP75(scored)), Seq("source"))
-        .select(col("doc_id"), col("source"), col("n_removed"),
-          col("quality"),
+        .join(DedupQueries.lshClusters(s, d).drop("cluster_n"),
+          Seq("doc_id"))
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("canonical_id"),
+          col("n_removed"), col("quality"),
           (col("qq") > col("cut")).as("kept"), col("gopher_keep"),
-          ((col("qq") > col("cut")) && col("gopher_keep"))
+          (col("source") === "src0").as("is_eval"),
+          (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"),
+          DedupQueries.splitCol(col("canonical_id")).as("split"),
+          ((col("qq") > col("cut"))
+            && col("doc_id") === col("canonical_id")
+            && col("gopher_keep")
+            && !(coalesce(col("n_overlap"), lit(0L)) > 0)
+            && col("source") =!= "src0")
             .as("selected"))
         .orderBy(col("doc_id"))
     }),
@@ -3094,55 +3125,87 @@ object TextQueries {
             JOIN qgk gk ON gk.doc_id = q.doc_id
             LEFT JOIN dcfin dd ON dd.doc_id = q.doc_id
             ORDER BY q.doc_id""",
-      // the q_dedup_substring_removed removal chain (its INDEPENDENT
-      // range-anti-join formulation — two algorithms agreeing on the
-      // cleaned text is the point), re-split into tokens, then the
-      // SAME quality/cut/gopher CTEs as q_text_curate but evaluated
+      // the FULL cleaned recipe replay: the q_dedup_cluster closure
+      // (shared clusterCompCtes — canonical on raw text) + the
+      // q_dedup_substring_removed removal chain (its INDEPENDENT
+      // range-anti-join formulation, r-prefixed names) re-split into
+      // cleaned tokens, the SAME quality/cut/gopher CTEs evaluated
       // over the CLEANED tokens (Lee'22 §5's order: excise before
-      // scoring). A fully-excised doc re-splits to [''] on both
-      // engines.
+      // scoring; a fully-excised doc re-splits to [''] on both
+      // engines), decontamination of the CLEANED grams against the
+      // raw eval set (empty by the w = 8 subsumption law — the spec
+      // pins it), and the canonical-hash split.
       "q_text_curate_cleaned" ->
-        s"""WITH t AS (SELECT doc_id, source,
+        s"""${DedupQueries.clusterCompCtes},
+            rt AS (SELECT doc_id, source,
                          string_split_regex(text, '\\s+') AS toks
                        FROM documents),
-            w AS (SELECT doc_id, i,
+            rw AS (SELECT doc_id, i,
                     CAST(('0x' || substring(md5(array_to_string(toks[i:i+7], ' ')),
                                             1, 15)) AS BIGINT) AS h
-                  FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)
+                  FROM rt, UNNEST(range(1, len(toks) - 6)) AS u(i)
                   WHERE len(toks) >= 8),
-            duph AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
-            dup AS (SELECT DISTINCT w.doc_id, w.i FROM w
-                    WHERE w.h IN (SELECT h FROM duph)),
-            tok AS (SELECT t.doc_id, u.i, toks[u.i] AS tk
-                    FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)),
-            cov AS (SELECT DISTINCT tk.doc_id, tk.i
-                    FROM tok tk JOIN dup dp
+            rduph AS (SELECT h FROM rw GROUP BY h HAVING count(*) >= 2),
+            rdup AS (SELECT DISTINCT rw.doc_id, rw.i FROM rw
+                    WHERE rw.h IN (SELECT h FROM rduph)),
+            rtok AS (SELECT rt.doc_id, u.i, toks[u.i] AS tk
+                    FROM rt, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+            rcov AS (SELECT DISTINCT tk.doc_id, tk.i
+                    FROM rtok tk JOIN rdup dp
                       ON tk.doc_id = dp.doc_id
                      AND tk.i BETWEEN dp.i AND dp.i + 7),
-            keptt AS (SELECT tk.doc_id,
+            rkept AS (SELECT tk.doc_id,
                        count(*) AS n_kept,
                        string_agg(tk.tk, ' ' ORDER BY tk.i) AS clean
-                     FROM tok tk LEFT JOIN cov c
+                     FROM rtok tk LEFT JOIN rcov c
                        ON tk.doc_id = c.doc_id AND tk.i = c.i
                      WHERE c.i IS NULL GROUP BY 1),
-            ct AS MATERIALIZED (SELECT t.doc_id, t.source,
-                   CAST(len(t.toks) - COALESCE(k.n_kept, 0) AS BIGINT)
+            ct AS MATERIALIZED (SELECT rt.doc_id, rt.source,
+                   CAST(len(rt.toks) - COALESCE(k.n_kept, 0) AS BIGINT)
                      AS n_removed,
                    string_split_regex(COALESCE(k.clean, ''), '\\s+')
                      AS toks
-                 FROM t LEFT JOIN keptt k ON t.doc_id = k.doc_id),
+                 FROM rt LEFT JOIN rkept k ON rt.doc_id = k.doc_id),
             ${qualityQqCtesFrom("c", "ct")},
             qc AS (SELECT source,
                     quantile_cont(qq, CAST(3 AS DOUBLE)/4) AS cut
                    FROM cs GROUP BY source),
-            ${gopherKeepCtes("cg", "ct")}
-            SELECT s.doc_id, s.source, ct.n_removed, s.quality,
+            ${gopherKeepCtes("cg", "ct")},
+            dce AS (SELECT DISTINCT
+                      CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT)
+                        AS h
+                    FROM (SELECT unnest([array_to_string(toks[i:i+7], ' ')
+                                         for i in range(1, len(toks) - 6)])
+                            AS g
+                          FROM rt
+                          WHERE source = 'src0' AND len(toks) >= 8)),
+            dcc AS (SELECT doc_id,
+                      CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT)
+                        AS h
+                    FROM (SELECT doc_id,
+                            unnest(CASE WHEN len(toks) >= 8
+                              THEN [array_to_string(toks[i:i+7], ' ')
+                                    for i in range(1, len(toks) - 6)]
+                              ELSE CAST([] AS VARCHAR[]) END) AS g
+                          FROM ct WHERE source <> 'src0')),
+            dcov AS (SELECT doc_id, count(*) AS n_overlap FROM dcc
+                     WHERE h IN (SELECT h FROM dce) GROUP BY doc_id)
+            SELECT s.doc_id, s.source, c2.canonical_id, ct.n_removed,
+                   s.quality,
                    s.qq > cc.cut AS kept,
                    gk.keep AS gopher_keep,
-                   (s.qq > cc.cut AND gk.keep) AS selected
+                   s.source = 'src0' AS is_eval,
+                   COALESCE(dcov.n_overlap, 0) > 0 AS contaminated,
+                   ${DedupQueries.splitSql("c2.canonical_id")} AS split,
+                   (s.qq > cc.cut AND s.doc_id = c2.canonical_id
+                     AND gk.keep
+                     AND NOT COALESCE(dcov.n_overlap, 0) > 0
+                     AND s.source <> 'src0') AS selected
             FROM cs s JOIN ct ON ct.doc_id = s.doc_id
+            JOIN comp c2 ON c2.page = s.doc_id
             JOIN qc cc ON cc.source = s.source
             JOIN cgk gk ON gk.doc_id = s.doc_id
+            LEFT JOIN dcov ON dcov.doc_id = s.doc_id
             ORDER BY s.doc_id""",
       // same integer ranks (count DESC, gram ASC), same LidK penalty,
       // same (dist, lang) argmin — every value an exact integer
