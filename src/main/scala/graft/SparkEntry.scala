@@ -77,7 +77,11 @@ object SparkEntry {
       // the append is a once-per-dump memoized bucketed write; the
       // timed probe is q_dedup_incremental's plan class over half the
       // dump — already benched
-      "q_dedup_store_append")
+      "q_dedup_store_append",
+      // training time is benched by q_text_bpe_train; the apply pass
+      // is the q_text_tokens_bpe narrow-replace class with 64 rules
+      // instead of 1200
+      "q_text_tokens_trained")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

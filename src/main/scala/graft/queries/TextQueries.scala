@@ -589,6 +589,27 @@ object TextQueries {
       onSyms: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame =
     bpeTrainLoop(wordSymVocab(docs), k, BpeBatchM, onSyms)
 
+  private val trainedRulesCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), IndexedSeq[(String, String)]]
+
+  /** The engine-trained K = [[BpeTrainK]] merge table as a bounded
+    * driver artifact (64 (a, b) rows in rank order), memoized per
+    * (session, dir) — production trains a tokenizer once and every
+    * downstream stage applies it. Consumed by the train→apply
+    * roundtrip gate. */
+  private[graft] def trainedRules(s: SparkSession,
+      d: String): IndexedSeq[(String, String)] = {
+    trainedRulesCache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) trainedRulesCache.remove(k)
+    }
+    graft.plans.Lineage.once(trainedRulesCache, (s, d)) {
+      bpeTrain(Tables.documents(s, d), BpeTrainK).collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    }
+  }
+
   /** The word-frequency symbol vocabulary (Sennrich'16's training
     * input): distinct words with counts, each word exploded to
     * SEP-terminated characters. Vocabulary-sized — the 100 TB corpus
@@ -1520,6 +1541,40 @@ object TextQueries {
     // why the oracle stays the sequential unrolled replay.
     "q_text_bpe_train" -> ((s, d) =>
       bpeTrain(Tables.documents(s, d), BpeTrainK)),
+
+    // TRAIN → APPLY ROUNDTRIP — the tokenizer workflow end to end
+    // under one gate: train the K = 64 merge table in-engine (the
+    // q_text_bpe_train loop, memoized — train once, apply everywhere)
+    // and tokenize the corpus WITH IT. Application is pure built-ins:
+    // the SEP-terminating init regexp (newlines skipped — '(.)'
+    // excludes line terminators on both engines) followed by the 64
+    // learned replaces CHAINED as one narrow codegen'd pass — the
+    // exact replace law shared by training, the shipped-table gate
+    // and BpeSymbolsUtil (TextBpeTrainSpec pins the column chain ==
+    // applyMerges per document). Per doc: BPE symbol count, char
+    // count, md5 of the symbol string (the q_text_tokens_bpe shape).
+    // The oracle re-derives the SAME table with the 64-step unrolled
+    // training replay and folds it over each document — a wrong rule
+    // anywhere in train OR apply hash-mismatches. Scale: training is
+    // the vocabulary-frame loop (corpus crosses once); application is
+    // one narrow pass; rules are a 64-row driver artifact (N-counter
+    // contract). Gate-only in the bench: training time is benched by
+    // q_text_bpe_train and the apply-pass class by q_text_tokens_bpe.
+    "q_text_tokens_trained" -> ((s, d) => {
+      val SEP = BpeSep
+      val init = regexp_replace(col("text"), "(.)", "$1" + SEP)
+      val sym = trainedRules(s, d).foldLeft(init) {
+        case (acc, (a, b)) =>
+          replace(acc, lit(a + SEP + b + SEP), lit(a + b + SEP))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (length(sym) - length(replace(sym, lit(SEP), lit(""))))
+            .cast("long").as("n_bpe"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(sym).as("bpe_md5"))
+        .orderBy(col("doc_id"))
+    }),
 
     // BPE training at PRODUCTION rule counts (K = 256) on the
     // boundary-crossing sentencepiece-style stream ('▁' for spaces,
@@ -2704,8 +2759,8 @@ object TextQueries {
     * proven rule-for-rule equal to the one-at-a-time argmax
     * ([[selectMergeBatch]]), so the oracle replays the SEQUENTIAL
     * definition and the gate pins the equivalence at full K. */
-  private def bpeTrainSqlOver(k: Int, baseCtes: String): String = {
-    val steps = (1 to k).map { r =>
+  private def bpeTrainStepCtes(k: Int): String =
+    (1 to k).map { r =>
       s"""p$r AS (SELECT p[1] AS a, p[2] AS b, CAST(SUM(c) AS BIGINT) AS cnt
                   FROM (SELECT unnest(
                           CASE WHEN len(ss) < 3 THEN CAST([] AS VARCHAR[][])
@@ -2720,22 +2775,30 @@ object TextQueries {
                             a || b || chr(1)) AS sym, c
                   FROM v${r - 1} CROSS JOIN b$r)"""
     }.mkString(",\n           ")
-    val sel = (1 to k)
+
+  private def bpeTrainUnionSel(k: Int): String =
+    (1 to k)
       .map(r => s"SELECT $r AS rk, a, b, cnt FROM b$r")
       .mkString(" UNION ALL ")
-    s"""WITH $baseCtes,
-        $steps
-        SELECT * FROM ($sel) ORDER BY rk"""
-  }
 
-  private def bpeTrainSql: String = bpeTrainSqlOver(BpeTrainK,
+  private def bpeTrainSqlOver(k: Int, baseCtes: String): String =
+    s"""WITH $baseCtes,
+        ${bpeTrainStepCtes(k)}
+        SELECT * FROM (${bpeTrainUnionSel(k)}) ORDER BY rk"""
+
+  /** The word-frequency v0 CTE chain (shared by the training oracle
+    * and the train→apply roundtrip oracle). */
+  private def bpeWordBaseCtes: String =
     s"""raw AS (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
                 FROM documents),
         w AS (SELECT tok, COUNT(*) AS c FROM raw WHERE tok <> ''
               GROUP BY tok),
         v0 AS MATERIALIZED (SELECT
                regexp_replace(tok, '(.)', '\\1' || chr(1), 'g') AS sym, c
-             FROM w)""")
+             FROM w)"""
+
+  private def bpeTrainSql: String =
+    bpeTrainSqlOver(BpeTrainK, bpeWordBaseCtes)
 
   private def bpeTrainSpSql: String = bpeTrainSqlOver(BpeSpTrainK,
     s"""w AS (SELECT replace(text, ' ', '▁') AS t, COUNT(*) AS c
@@ -3257,6 +3320,30 @@ object TextQueries {
                         ELSE 'fr' END AS pred
             FROM h ORDER BY doc_id""",
       "q_text_bpe_train" -> bpeTrainSql,
+      // the 64-step unrolled training replay feeding the shipped-table
+      // fold idiom: the oracle re-derives the learned rules itself and
+      // applies them per document, so a wrong rule anywhere in train
+      // OR apply hash-mismatches
+      "q_text_tokens_trained" ->
+        s"""WITH $bpeWordBaseCtes,
+            ${bpeTrainStepCtes(BpeTrainK)},
+            rl AS (SELECT list(a || chr(1) || b ORDER BY rk) AS rules
+                   FROM (${bpeTrainUnionSel(BpeTrainK)})),
+            applied AS (SELECT doc_id, text,
+                list_reduce(
+                  list_prepend(
+                    regexp_replace(text, '(.)', '\\1' || chr(1), 'g'),
+                    (SELECT rules FROM rl)),
+                  (acc, r) -> replace(acc, r || chr(1),
+                                      replace(r, chr(1), '') || chr(1)))
+                  AS sym
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(sym) - len(replace(sym, chr(1), ''))
+                     AS BIGINT) AS n_bpe,
+                   CAST(len(text) AS BIGINT) AS n_chars,
+                   md5(sym) AS bpe_md5
+            FROM applied ORDER BY doc_id""",
       "q_text_bpe_train_sp" -> bpeTrainSpSql,
       // 3-shingles via 1-based inclusive list slices (toks[i:i+2] is 3
       // elements); feature ids are the same 60-bit md5 the engine

@@ -103,4 +103,27 @@ class TextBpeTrainSpec extends SparkSpec {
       assert(syms.filter(_ != sep) == t.filter(_ != '\n'))
     }
   }
+  test("the roundtrip gate's column chain == BpeSymbolsUtil.applyMerges " +
+      "per document (one replace law: train, apply, gate)") {
+    val gate = SparkEntry.queries("q_text_tokens_trained")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(3)))
+      .toMap
+    val learned = graft.queries.TextQueries.trainedRules(spark, dir)
+    assert(learned.size == 64)
+    val sep = graft.functions.BpeSymbolsUtil.Sep
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").limit(50).collect()
+    assert(docs.nonEmpty)
+    docs.foreach { row =>
+      val (id, t) = (row.getLong(0), row.getString(1))
+      val syms = graft.functions.BpeSymbolsUtil.applyMerges(t, learned)
+      val (nBpe, md5Hex) = gate(id)
+      assert(nBpe == syms.count(_ == sep).toLong,
+        s"doc $id: symbol count diverged from applyMerges")
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(syms.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(md5Hex == want, s"doc $id: symbol string diverged")
+    }
+  }
 }
