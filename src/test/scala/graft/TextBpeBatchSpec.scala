@@ -102,7 +102,7 @@ class TextBpeBatchSpec extends SparkSpec {
           top, math.min(m, k - out.size), uni)) {
         v = applyMerge(v, a, b)
         out += ((a, b, c))
-        uni += (a + b)
+        TextQueries.universeAfterMerge(uni, a, b)
       }
     }
     out.toSeq

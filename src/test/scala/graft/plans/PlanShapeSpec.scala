@@ -1144,6 +1144,8 @@ class PlanShapeSpec extends SparkSpec {
     ns.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
   private def reuses(ns: Seq[SparkPlan]): Int =
     ns.count(_.isInstanceOf[ReusedExchangeExec])
+  private def aqeShuffles(ns: Seq[SparkPlan]): Int =
+    ns.count(_.isInstanceOf[ShuffleExchangeExec])
 
   test("q_text_pmi AQE final plan: exactly 2 corpus explodes (bigram + " +
       "unigram) — the 1-row totals reuse, never re-explode (r14 weak)") {
@@ -1181,6 +1183,16 @@ class PlanShapeSpec extends SparkSpec {
         s"$name: expected exactly 1 parquet scan, got ${fileScans(ns)}")
       assert(reuses(ns) >= 1,
         s"$name: df stopped reusing the counts exchange (${reuses(ns)})")
+      // the exchange COUNT pin (VERDICT r15 item 4 / r16 item 6): the
+      // reuse assert alone can stay green while an EXTRA exchange forks
+      // in beside the reused one — pin the distinct physical shuffles
+      // so the shared-counts-exchange claim can't silently regress
+      assert(aqeShuffles(ns) == 4,
+        s"$name: expected exactly 4 distinct shuffles — the (doc_id, " +
+          s"term) counts agg, the (term) df agg, the (doc_id) per-doc " +
+          s"normalization agg, and the presentation range sort — got " +
+          s"${aqeShuffles(ns)}: a fork beside the reused counts " +
+          s"exchange crept in")
     }
     }
   }

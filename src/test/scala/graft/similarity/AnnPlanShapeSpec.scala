@@ -76,6 +76,28 @@ class AnnPlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_hybrid_stored plan: the dense leg reads the BUCKET-PRUNED " +
+      "stored index — cell IN (probed) at the scan, no cartesian product") {
+    withPinnedConfs {
+      val df = graft.SparkEntry.queries("q_ann_hybrid_stored")(spark, Dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"q_ann_hybrid_stored: a leg degenerated to a cartesian " +
+          s"product:\n${plan.take(2000)}")
+      // the whole point of the gate (VERDICT r16 item 3): the dense
+      // leg must be the SUBLINEAR stored path, not a corpus scan —
+      // the probed-cell set filters the bucketed store AT the scan
+      assert(plan.contains("In(cell") || plan.contains("cell#"),
+        s"q_ann_hybrid_stored: the store's cell filter vanished:\n" +
+          plan.take(2000))
+      assert(plan.contains("SelectedBucketsCount"),
+        s"q_ann_hybrid_stored: the stored-index scan stopped bucket-" +
+          s"pruning — the dense leg reads the whole index:\n" +
+          plan.take(2000))
+    }
+  }
+
   test("q_text_mixture plan: totals broadcast back, no sort-merge") {
     withPinnedConfs {
       val df = graft.SparkEntry.queries("q_text_mixture")(spark, Dir)

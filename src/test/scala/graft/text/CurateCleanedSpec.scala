@@ -80,6 +80,17 @@ class CurateCleanedSpec extends SparkSpec {
     }
   }
 
+  // COUPLING (VERDICT r16 watch 3): `contaminated` on cleaned text is
+  // provably constant-false exactly while the excision window width
+  // equals the decontamination gram width (both w = 8 — excision
+  // removes any 8-gram shared >= 2x corpus-wide, and the eval set is a
+  // corpus subset, so every eval-overlapping 8-gram is already gone).
+  // If EITHER width moves (DedupQueries' substring-removal w, or the
+  // decontamination gram width in q_text_curate_cleaned), the column
+  // silently re-opens — and THIS test is the one that fails: the
+  // cleaned-side assert below trips on the first genuinely
+  // contaminated cleaned doc, and the raw-side teeth check keeps the
+  // pin from passing vacuously.
   test("the w = 8 subsumption law (Lee'22 §6): exact-substring " +
       "removal already excised every eval-overlapping 8-gram — " +
       "cleaned-text contamination is EMPTY while the raw recipe " +
