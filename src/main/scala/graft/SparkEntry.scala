@@ -81,7 +81,17 @@ object SparkEntry {
       // training time is benched by q_text_bpe_train; the apply pass
       // is the q_text_tokens_bpe narrow-replace class with 64 rules
       // instead of 1200
-      "q_text_tokens_trained")
+      "q_text_tokens_trained",
+      // both legs are benched operators (q_ann_bruteforce exact scan,
+      // q_ann_ivfpq_stored pruned search); the gate adds only the
+      // K-row-per-query hit join — harness overhead, not engine path.
+      // q_ann_filtered IS benched: the attribute-constrained pruned
+      // scan is a new plan shape.
+      "q_ann_recall",
+      // the curation frame is benched by q_text_curate_clf and the
+      // packing fold by q_text_pack; the composition adds only the
+      // checkpointed 2-column selection semi-join
+      "q_text_pack_curated")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

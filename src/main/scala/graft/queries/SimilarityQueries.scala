@@ -1152,21 +1152,7 @@ object SimilarityQueries {
       }.orderBy(col("vec_id"))),
 
     // Exact top-k: broadcast query set × corpus scan, window rank.
-    "q_ann_bruteforce" -> ((s, d) => {
-      graft.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      e.crossJoin(broadcast(queryVecs(e)))
-        .filter(col("vec_id") =!= col("qid"))
-        // unrounded: the index-order fold + sqrt pipeline is bit-equal
-        // to the oracle's list_sum replication, so ranks agree exactly;
-        // rounding would only add decimal-boundary risk
-        .select(col("qid"), col("vec_id"), cos.as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .orderBy(col("qid"), col("rank"))
-    }),
+    "q_ann_bruteforce" -> ((s, d) => bruteTopK(s, d)),
 
     // LSH-bucketed top-k: per table t, signature = sign bits against 6
     // md5-derived hyperplanes; candidates = the union over tables of
@@ -1379,6 +1365,62 @@ object SimilarityQueries {
     // per-probe tombstone filter.
     "q_ann_compact" -> ((s, d) =>
       storedSearch(Tables.embeddings(s, d), annStoreCompacted(s, d))),
+
+    // FILTERED vector search — the constraint every deployed vector
+    // store serves daily (in-tenant / in-language / in-collection kNN:
+    // Milvus scalar-field filters, Vespa/pgvector WHERE + ANN): each
+    // query's neighbors are restricted to candidates whose `label`
+    // equals the query's own. The filterable attribute lives INLINE in
+    // the persisted index rows ([[annStore]]), so the predicate is one
+    // more equi-key on the probe join evaluated on the BUCKET-PRUNED
+    // scan — PRE-filtering: excluded rows never reach the ADC, and all
+    // T shortlist slots go to admissible candidates (post-filtering a
+    // generic shortlist silently starves the result set whenever the
+    // predicate is selective). Scale: identical to q_ann_ivfpq_stored
+    // — index bytes read still scale with nprobe, the constraint adds
+    // zero shuffles (it rides the same broadcast), and a corpus-sized
+    // metadata side-join never happens because the attribute was
+    // denormalized into the index at build time. The probe set WIDENS
+    // with the filter ([[FilteredNprobe]]): a selective constraint
+    // spreads the true constrained top-K over more inverted lists
+    // than the generic nprobe covers (measured here: nprobe=3 drops
+    // constrained recall to 0.64 where unconstrained is 0.84 — the
+    // documented filtered-ANN failure mode), so filtered queries
+    // visit more lists, exactly the FAISS/Milvus guidance. Cost still
+    // scales with nprobe, never the corpus.
+    "q_ann_filtered" -> ((s, d) =>
+      storedSearch(Tables.embeddings(s, d), annStore(s, d),
+        queryAttr = Some("label"), nprobe = FilteredNprobe)),
+
+    // RECALL TELEMETRY — the index-quality monitor that closes the
+    // serving loop (q_embed_drift watches the DATA distribution; this
+    // watches the SERVING quality): recall@K of the stored-index
+    // search against the exact top-K on the same sampled query set,
+    // per query plus the count that produced it. Production runs this
+    // on a sampled cadence — the exact leg is the expensive one, and
+    // sampling bounds it: cost = |sample| × corpus narrow pass, while
+    // the approx leg rides the bucket-pruned stored search. Both legs
+    // are the already-gated operators (q_ann_bruteforce /
+    // q_ann_ivfpq_stored); the gate pins their COMPOSITION: the
+    // left-semi hit join, the zero-hit totality (a query whose
+    // shortlist misses everything still reports 0/K, not a dropped
+    // row), and the single-IEEE-division recall law.
+    "q_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val exact = bruteTopK(s, d).select("qid", "vec_id")
+      val approx = storedSearch(e, annStore(s, d))
+        .select("qid", "vec_id")
+      val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") /
+            lit(K.toDouble)).as("recall"))
+        .orderBy(col("qid"))
+    }),
 
     // STREAMING ANN serving — the stored index's QUERY path as a
     // stream, closing the lifecycle (build q_ann_ivfpq_stored →
@@ -1638,7 +1680,12 @@ object SimilarityQueries {
     * filters `cell IN (probed cells)`, which PRUNES BUCKETS at the
     * scan: only nprobe cells' worth of index bytes are ever read — at
     * 100 TB the index scan cost is the probed lists, not the corpus
-    * (PlanShapeSpec pins SelectedBucketsCount < total). Built once per
+    * (PlanShapeSpec pins SelectedBucketsCount < total). The row also
+    * carries the filterable scalar attribute (`label`) INLINE — the
+    * production vector-store shape (Milvus/Vespa scalar fields,
+    * FAISS-with-metadata): q_ann_filtered's per-query constraint
+    * evaluates inside the already-pruned scan instead of joining a
+    * corpus-sized side table at serve time. Built once per
     * (session, dir); in production the table outlives the session. */
   private[graft] def annStore(s: SparkSession, d: String): DataFrame = {
     graft.GraftFunctions.register(s) // the encode/assign exprs need them
@@ -1658,6 +1705,7 @@ object SimilarityQueries {
       if (fs.exists(loc)) fs.delete(loc, true)
       val e = Tables.embeddings(s, d)
       pqIndex(s, d).join(ivfAssign(e, ivfCentroids(e)), "vec_id")
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
         .write.bucketBy(8, "cell").sortBy("cell")
         .mode("overwrite").saveAsTable(tbl)
       tbl
@@ -1723,6 +1771,32 @@ object SimilarityQueries {
     }
   }
 
+  /** q_ann_filtered's widened probe count. A label filter keeping
+    * ~1/|labels| of each list spreads the true constrained top-K over
+    * more cells than the generic nprobe=3 covers; deployments scale
+    * nprobe with measured filter selectivity — the gate pins the
+    * widened-probe LAW (filtered ⇒ more lists visited, bytes read
+    * still ∝ nprobe), not this corpus's constant. */
+  private[graft] val FilteredNprobe = 5
+
+  /** Exact top-K (q_ann_bruteforce's body): broadcast query set ×
+    * corpus scan, window rank — also the ground-truth leg of
+    * q_ann_recall. Unrounded: the index-order fold + sqrt pipeline is
+    * bit-equal to the oracle's list_sum replication, so ranks agree
+    * exactly; rounding would only add decimal-boundary risk. */
+  private def bruteTopK(s: SparkSession, d: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(queryVecs(e)))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** ONE stored-index search strategy — q_ann_ivfpq_stored and
     * q_ann_incremental differ ONLY in the store expression (the
     * persisted full index vs standing ∪ freshly-encoded dump), so the
@@ -1733,20 +1807,38 @@ object SimilarityQueries {
     * `quantFrom` overrides the quantizer-training frame (IVF centroids
     * + PQ codebook) — the maintenance gate's append branch searches
     * under the STANDING-trained quantizers its store was built with;
-    * queries always come from `e`. */
+    * queries always come from `e`. `queryAttr` names a scalar
+    * attribute stored INLINE in the index rows ([[annStore]] carries
+    * `label`): each query is constrained to candidates whose attribute
+    * equals the query's own — the filtered-vector-search shape
+    * (in-tenant / in-language kNN). The constraint is one more
+    * equi-key on the SAME broadcast probe join, evaluated on the
+    * bucket-pruned scan BEFORE the ADC shortlist (pre-filtering: no
+    * ADC work on excluded candidates, and the shortlist's T slots all
+    * go to admissible rows — post-filtering would silently return <K
+    * whenever the constraint thins a generic shortlist). */
   private def storedSearch(e: DataFrame, store: DataFrame,
-      quantFrom: Option[DataFrame] = None): DataFrame = {
+      quantFrom: Option[DataFrame] = None,
+      queryAttr: Option[String] = None,
+      nprobe: Int = 3): DataFrame = {
     graft.GraftFunctions.register(e.sparkSession)
     val cents = ivfCentroids(quantFrom.getOrElse(e))
-    val probes = ivfProbes(e, cents, nprobe = 3)
+    val probes0 = ivfProbes(e, cents, nprobe = nprobe)
       .select(col("qid"), col("pcell"))
+    // the query set is bounded, so the attribute lookup is a pruned
+    // 2-column scan joined into the ≤(queries × nprobe)-row probe frame
+    val probes = queryAttr.fold(probes0)(a =>
+      probes0.join(e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col(a).as("qattr")), "qid"))
     val cellSet = probes.select("pcell").distinct()
       .collect().map(_.getLong(0))
     val wA = Window.partitionBy(col("qid"))
       .orderBy(col("adc"), col("vec_id"))
+    val candCond = queryAttr.fold(lit(true))(a => col(a) === col("qattr"))
     val shortlist = store.filter(col("cell").isin(cellSet: _*))
       .join(broadcast(probes),
-        col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+        col("cell") === col("pcell") && col("vec_id") =!= col("qid") &&
+          candCond)
       .join(broadcast(pqQueryTabs(e, cbFrom = quantFrom)), "qid")
       .select(col("qid"), col("vec_id"),
         call_function("pq_adc", col("qtab"), col("codes")).as("adc"))
@@ -2439,7 +2531,57 @@ object SimilarityQueries {
         ("q_ann_incremental" -> base("q_ann_ivfpq")) +
         // the stream serves the SAME stored search bit-identically
         // (AnnStreamSpec pins the row-for-row law) — one oracle
-        ("q_stream_ann" -> base("q_ann_ivfpq"))
+        ("q_stream_ann" -> base("q_ann_ivfpq")) +
+        // the ivfpq chain with the per-query attribute constraint on
+        // the CANDIDATE side only (quantizers, assignment and probing
+        // stay label-blind — the engine filters the pruned scan, not
+        // the index build); correlated lookups state "candidate's
+        // label = query's label" exactly where the engine's equi-key
+        // sits
+        ("q_ann_filtered" ->
+          s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
+                     FROM embeddings),
+          qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
+                 WHERE vec_id % 100 = 0),
+          ${ivfpqChainCtes("", standing = false, candWhere =
+            " AND (SELECT label FROM embeddings ex" +
+            " WHERE ex.vec_id = enc.vec_id)" +
+            " = (SELECT label FROM embeddings ey" +
+            " WHERE ey.vec_id = qp.qid)", nprobe = FilteredNprobe)}
+          SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
+          ORDER BY qid, rank""") +
+        // recall law: |approx top-K ∩ exact top-K| / K per query —
+        // the approx leg is the shared ivfpq chain, the exact leg the
+        // brute-force CTEs, joined on (qid, vec_id); LEFT JOIN from
+        // the query set keeps zero-hit queries as 0/K rows
+        ("q_ann_recall" ->
+          s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                            sqrt(list_sum([c * c for c in embedding::DOUBLE[]])) AS nrm
+                     FROM embeddings),
+          qq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
+                 WHERE vec_id % 100 = 0),
+          ${ivfpqChainCtes("", standing = false)},
+          bf0 AS (SELECT qq.qid, e.vec_id,
+                        list_sum([qq.qv[i] * e.v[i]
+                                  for i in range(1, len(qq.qv) + 1)]) /
+                              (qq.qn * e.nrm) AS cos
+                 FROM qq CROSS JOIN e WHERE e.vec_id <> qq.qid),
+          bf AS (SELECT qid, vec_id FROM
+                 (SELECT qid, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY cos DESC, vec_id) AS brank
+                  FROM bf0) WHERE brank <= $K),
+          ap AS (SELECT qid, vec_id FROM r WHERE rank <= $K),
+          hit AS (SELECT bf.qid, COUNT(*) AS n_hit
+                  FROM bf JOIN ap ON bf.qid = ap.qid
+                                 AND bf.vec_id = ap.vec_id
+                  GROUP BY bf.qid)
+          SELECT qq.qid, COALESCE(hit.n_hit, 0) AS n_hit,
+                 CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / ${K}.0
+                   AS recall
+          FROM qq LEFT JOIN hit ON qq.qid = hit.qid
+          ORDER BY qq.qid""")
     }
 
   /** The IVF+PQ+refine oracle CTE chain, parameterized so ONE
@@ -2458,7 +2600,7 @@ object SimilarityQueries {
     * quantizers, assignment, and probing stay trained/computed on the
     * full corpus; deleted rows just vanish from the inverted lists. */
   private def ivfpqChainCtes(sfx: String, standing: Boolean,
-      candWhere: String = ""): String = {
+      candWhere: String = "", nprobe: Int = 3): String = {
     val sf = if (standing) " AND vec_id < (SELECT thr FROM t)" else ""
     val dtab = (x: String) =>
       s"""[[list_sum([($x[j * $S + i] - cs[c + 1][j * $S + i]) *
@@ -2485,7 +2627,7 @@ object SimilarityQueries {
                                      for i in range(1, len(e.v) + 1)]) /
                                  (c$sfx.cn * e.nrm) DESC, c$sfx.cid DESC) AS rn
                   FROM e CROSS JOIN c$sfx WHERE e.vec_id % 100 = 0)
-                 WHERE rn <= 3),
+                 WHERE rn <= $nprobe),
           pc$sfx AS (SELECT vec_id AS scid, v AS scv FROM e
                  WHERE vec_id % 30 = 15 AND vec_id < 480$sf),
           cst$sfx AS (SELECT list(scv ORDER BY scid) AS cs FROM pc$sfx),

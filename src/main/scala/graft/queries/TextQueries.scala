@@ -302,6 +302,45 @@ object TextQueries {
         (col("qq") > col("cut")).as("kept"), col("gopher_keep"))
   }
 
+  /** q_text_curate_clf's engine body (unordered — callers add their
+    * ORDER BY), shared with q_text_pack_curated so the assembly gate
+    * consumes the IDENTICAL selection decision the curation gate
+    * states (one decision law, two consumers — the
+    * qualityCutFrame/lshClusters discipline). See the
+    * q_text_curate_clf gate comment for the full design rationale. */
+  private[graft] def curateClfFrame(s: SparkSession, d: String)
+      : DataFrame = {
+    val nTok = Tables.documents(s, d).select(col("doc_id"),
+      greatest(size(filter(toks, t => t =!= lit(""))), lit(1))
+        .cast("double").as("clf_n"))
+    val scoredClf = classifierScores(s, d).join(nTok, Seq("doc_id"))
+      .select(lit("all").as("source"), col("doc_id"), col("score"),
+        (col("score").cast("double") / col("clf_n")).as("qq"))
+    val clf = scoredClf
+      .join(broadcast(narrowedP75(scoredClf)
+        .select(col("source"), col("cut").as("clf_cut"))),
+        Seq("source"))
+      .select(col("doc_id"), col("score").as("clf_score"),
+        (col("qq") > col("clf_cut")).as("clf_keep"))
+    qualityCutFrame(s, d)
+      .join(DedupQueries.lshClusters(s, d).drop("cluster_n"),
+        Seq("doc_id"))
+      .join(decontBloom(s, d).select(col("doc_id"), col("contaminated")),
+        Seq("doc_id"), "left")
+      .join(clf, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("canonical_id"),
+        col("quality"), col("kept"),
+        col("clf_score"), col("clf_keep"), col("gopher_keep"),
+        (col("source") === "src0").as("is_eval"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        DedupQueries.splitCol(col("canonical_id")).as("split"),
+        (col("clf_keep") && col("doc_id") === col("canonical_id")
+          && col("gopher_keep")
+          && !coalesce(col("contaminated"), lit(false))
+          && col("source") =!= "src0")
+          .as("selected"))
+  }
+
   /** Histogram-narrowing bins for [[narrowedP75]] — also the
     * PlanShapeSpec row bound: ≤ QcBins rows per source cross the
     * first percentile shuffle. */
@@ -2281,36 +2320,56 @@ object TextQueries {
     // the full curate chain PLUS the 8 unrolled integer epochs +
     // score + quantile cut + decision ([[classifierCtes]] — exact
     // longs into the one proven quantile law).
-    "q_text_curate_clf" -> ((s, d) => {
-      val nTok = Tables.documents(s, d).select(col("doc_id"),
-        greatest(size(filter(toks, t => t =!= lit(""))), lit(1))
-          .cast("double").as("clf_n"))
-      val scoredClf = classifierScores(s, d).join(nTok, Seq("doc_id"))
-        .select(lit("all").as("source"), col("doc_id"), col("score"),
-          (col("score").cast("double") / col("clf_n")).as("qq"))
-      val clf = scoredClf
-        .join(broadcast(narrowedP75(scoredClf)
-          .select(col("source"), col("cut").as("clf_cut"))),
-          Seq("source"))
-        .select(col("doc_id"), col("score").as("clf_score"),
-          (col("qq") > col("clf_cut")).as("clf_keep"))
-      qualityCutFrame(s, d)
-        .join(DedupQueries.lshClusters(s, d).drop("cluster_n"),
-          Seq("doc_id"))
-        .join(decontBloom(s, d).select(col("doc_id"), col("contaminated")),
-          Seq("doc_id"), "left")
-        .join(clf, Seq("doc_id"))
-        .select(col("doc_id"), col("source"), col("canonical_id"),
-          col("quality"), col("kept"),
-          col("clf_score"), col("clf_keep"), col("gopher_keep"),
-          (col("source") === "src0").as("is_eval"),
-          coalesce(col("contaminated"), lit(false)).as("contaminated"),
-          DedupQueries.splitCol(col("canonical_id")).as("split"),
-          (col("clf_keep") && col("doc_id") === col("canonical_id")
-            && col("gopher_keep")
-            && !coalesce(col("contaminated"), lit(false))
-            && col("source") =!= "src0")
-            .as("selected"))
+    "q_text_curate_clf" -> ((s, d) =>
+      curateClfFrame(s, d).orderBy(col("doc_id"))),
+
+    // TRAIN-DATA ASSEMBLY — the composition the published recipes END
+    // with (GPT-3/RefinedWeb/Gopher all ship packed token sequences,
+    // not scored frames): the clf-gated curation DECISION
+    // ([[curateClfFrame]].selected = trained-classifier keep ∧
+    // canonical ∧ Gopher ∧ ¬contaminated ∧ ¬eval) feeds the
+    // fixed-token-budget sequence packer — and the packing key adds
+    // the leakage-safe SPLIT, so a sequence can never mix train and
+    // test documents (packing across the split is a real eval-
+    // contamination bug class: the split was leakage-safe per DOC,
+    // and a cross-split sequence would undo it at batch granularity).
+    // Selection runs BEFORE tokenization — only shipped documents pay
+    // the BPE fold (the pushed-down-filter discipline at the pipeline
+    // level). Gate-only in the bench: the curation frame is benched
+    // by q_text_curate_clf and the packing fold by q_text_pack; this
+    // gate's own work is the selection semi-join. Scale: the fold is
+    // per-(split, source, shard) sequential by design (packing is
+    // order-defined); shards bound group size exactly as q_text_pack.
+    "q_text_pack_curated" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftFunctions.register(s)
+      val limit = 512L
+      // checkpointed: the selection is a bounded 2-column decision
+      // frame — cutting the lineage here keeps the curate join tree
+      // out of the pack fold's plan (a downstream coalesce/sort would
+      // otherwise drag the whole chain into its own parallelism)
+      val sel = graft.plans.Lineage.scratchCheckpoint(
+        curateClfFrame(s, d).filter(col("selected"))
+          .select(col("doc_id"), col("split")))
+      val sym = bpeSymbols(col("text"))
+      val docs = Tables.documents(s, d)
+        .join(sel, Seq("doc_id"))
+        .select(col("doc_id"), col("split"), col("source"),
+          pmod(col("doc_id"), lit(4)).cast("int").as("shard"),
+          bpeTokenCount(sym).as("n_tok"))
+        .as[(Long, String, String, Int, Long)]
+      docs.groupByKey(r => (r._2, r._3, r._4))
+        .flatMapSortedGroups($"doc_id") { case ((split, src, shard), it) =>
+          var seq = 0L
+          var cum = 0L
+          it.map { case (id, _, _, _, n) =>
+            if (cum + n > limit && cum > 0) { seq += 1; cum = 0 }
+            cum += n
+            (id, split, src, shard, seq, cum)
+          }
+        }
+        .toDF("doc_id", "split", "source", "shard", "seq_id",
+          "cum_tokens")
         .orderBy(col("doc_id"))
     }),
 
@@ -3391,6 +3450,68 @@ object TextQueries {
             JOIN cfqn sc ON sc.doc_id = q.doc_id
             LEFT JOIN dcfin dd ON dd.doc_id = q.doc_id
             ORDER BY q.doc_id""",
+      // the FULL assembly replay: the q_text_curate_clf chain reduced
+      // to its selection decision (sel), then the q_text_pack
+      // recursion re-keyed by (split, source, shard) over ONLY the
+      // selected documents — one statement states curation AND
+      // packing, so a wrong decision OR a wrong fold hash-mismatches.
+      // base2 MATERIALIZED for the same reason as q_text_pack's base
+      // (the recursive join would re-run the BPE fold per step).
+      "q_text_pack_curated" ->
+        s"""${DedupQueries.clusterCompCtes},
+            ${decontCtes("dc")},
+            ${qualityQqCtes("q")},
+            ${gopherKeepCtes("qg", "qt")},
+            ${classifierCtes("cf")},
+            cfn AS (SELECT doc_id,
+                      greatest(len(list_filter(
+                        string_split_regex(text, '\\s+'),
+                        tk -> tk <> '')), 1) AS n
+                    FROM documents),
+            cfqn AS (SELECT s2.doc_id, s2.score,
+                       CAST(s2.score AS DOUBLE) / CAST(n AS DOUBLE) AS qn
+                     FROM cfsc s2 JOIN cfn ON cfn.doc_id = s2.doc_id),
+            cfcut AS (SELECT quantile_cont(qn, CAST(3 AS DOUBLE)/4) AS cut
+                      FROM cfqn),
+            sel AS (SELECT q.doc_id,
+                      ${DedupQueries.splitSql("c.canonical_id")} AS split
+                    FROM qs q JOIN comp c ON c.page = q.doc_id
+                    JOIN qgk gk ON gk.doc_id = q.doc_id
+                    JOIN cfqn sc ON sc.doc_id = q.doc_id
+                    LEFT JOIN dcfin dd ON dd.doc_id = q.doc_id
+                    WHERE sc.qn > (SELECT cut FROM cfcut)
+                      AND q.doc_id = c.canonical_id
+                      AND gk.keep
+                      AND NOT COALESCE(dd.contaminated, FALSE)
+                      AND q.source <> 'src0'),
+            base2 AS MATERIALIZED (
+              SELECT d.doc_id, sel.split, d.source,
+                     CAST(d.doc_id % 4 AS INT) AS shard,
+                     CAST(len(sym) - len(replace(sym, chr(1), ''))
+                          AS BIGINT) AS n,
+                     ROW_NUMBER() OVER (PARTITION BY sel.split, d.source,
+                                          d.doc_id % 4
+                                        ORDER BY d.doc_id) AS rn
+              FROM (SELECT doc_id, source, $bpeSymbolsSql AS sym
+                    FROM documents) d
+              JOIN sel ON sel.doc_id = d.doc_id),
+            r2 AS (
+              SELECT doc_id, split, source, shard, n, rn,
+                     CAST(0 AS BIGINT) AS seq_id, n AS cum
+              FROM base2 WHERE rn = 1
+              UNION ALL
+              SELECT b.doc_id, b.split, b.source, b.shard, b.n, b.rn,
+                     CASE WHEN r2.cum + b.n > 512 AND r2.cum > 0
+                          THEN r2.seq_id + 1 ELSE r2.seq_id END,
+                     CASE WHEN r2.cum + b.n > 512 AND r2.cum > 0
+                          THEN b.n ELSE r2.cum + b.n END
+              FROM r2 JOIN base2 b ON b.split = r2.split
+                                  AND b.source = r2.source
+                                  AND b.shard = r2.shard
+                                  AND b.rn = r2.rn + 1)
+            SELECT doc_id, split, source, shard, seq_id,
+                   cum AS cum_tokens
+            FROM r2 ORDER BY doc_id""",
       // the FULL cleaned recipe replay: the q_dedup_cluster closure
       // (shared clusterCompCtes — canonical on raw text) + the
       // q_dedup_substring_removed removal chain (its INDEPENDENT

@@ -1308,9 +1308,14 @@ class PlanShapeSpec extends SparkSpec {
           .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
           && e.output.exists(a => a.name == "toks" || a.name == "text") => e
     }
-    assert(textExchanges.size == 1,
+    // ≤ 1, not == 1: when an earlier suite leaves the documents scan
+    // cached already co-partitioned, the removal join legitimately
+    // needs NO text exchange — the law is an upper bound (the title's
+    // "at most ONE"); two or more is the regression this pin exists
+    // to catch
+    assert(textExchanges.size <= 1,
       s"q_dedup_substring_removed: corpus text crossed " +
-        s"${textExchanges.size} keyed exchanges, expected exactly the " +
+        s"${textExchanges.size} keyed exchanges, expected at most the " +
         s"removal join's:\n${p.toString.take(2000)}")
     }
   }
