@@ -41,6 +41,8 @@ object GraphCatalog {
     import graft.plans.Lineage.sweepStoppedKeys
     sweepStoppedKeys(graphs)(_._1)
     sweepStoppedKeys(ranks)(_._1)
+    sweepStoppedKeys(sranks)(_._1)
+    sweepStoppedKeys(orderThr)(_._1)
     sweepStoppedKeys(pranks)(_._1)
     sweepStoppedKeys(wranks)(_._1)
     sweepStoppedKeys(hitsCache)(_._1)
@@ -75,6 +77,58 @@ object GraphCatalog {
         .persist(StorageLevel.MEMORY_AND_DISK)
       r.count()
       // memoized across queries: exempt from harness scratch freeing
+      graft.plans.Lineage.pin(r)
+      r
+    })
+
+  private val sranks = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val orderThr = TrieMap.empty[(SparkSession, String), Long]
+
+  /** High-water mark for the incremental gate: orders at/above
+    * `max − max/10` are "the new dump" (the incVecThreshold idiom —
+    * appends get new keys, and a RANGE predicate pushes to the scan).
+    * 1-row max agg, memoized — the N-counter contract. */
+  def tpchOrderThreshold(spark: SparkSession, dir: String): Long =
+    graft.plans.Lineage.once(orderThr, (spark, dir))({
+      val hi = graft.Tables.orders(spark, dir)
+        .agg(org.apache.spark.sql.functions.max("o_orderkey"))
+        .first().getLong(0)
+      hi - hi / 10
+    })
+
+  /** Both directions of every edge — the SYMMETRIZED co-engagement
+    * graph (BiRank / co-visitation ranking: a bipartite purchase graph
+    * is symmetrized so rank circulates both ways). This is the graph
+    * the incremental gate ranks, for a structural reason: every
+    * DIRECTED graph in the synthetic catalog is a layered DAG, on
+    * which PageRank converges EXACTLY in depth+1 iterations — a
+    * warm-start gate there would pin a vacuous law. The symmetrized
+    * graph has cycles, so convergence is genuinely asymptotic and the
+    * standing-seed advantage is measurable (PageRankWarmSpec). The
+    * two halves cannot collide: src/dst prefixes ('c'/'s') flip. */
+  def symmetrized(edges: DataFrame): DataFrame =
+    edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** The STANDING rank store (q_pagerank_incremental): the reference-
+    * convention 8-iteration vector over the symmetrized edges that
+    * existed BEFORE the new-order dump — the persisted artifact a
+    * production graph pipeline keeps between dumps (the
+    * annStoreStanding shape for the graph family). Built once per
+    * (session, dir); the standing edge build reads only pre-threshold
+    * orders (range-pruned scan). */
+  def tpchStandingRanks(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.Lineage.once(sranks, (spark, dir))({
+      val g = tpch(spark, dir)
+      val thr = tpchOrderThreshold(spark, dir)
+      val sedges = symmetrized(LinkGraph
+        .removeRedLinks(
+          LinkGraph.tpchEdges(spark, dir, maxOrder = Some(thr)), g.pages))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val r = PageRank.run(g.pages, sedges)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      sedges.unpersist()
       graft.plans.Lineage.pin(r)
       r
     })

@@ -96,8 +96,15 @@ object LinkGraph {
     * set. [[removeRedLinks]]'s own dropDuplicates then dedups the
     * already-distinct string pairs — a cheap |E|-sized pass.
     */
-  def tpchEdges(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+  /** `maxOrder` restricts to orders BELOW the high-water mark — the
+    * standing edge set before a dump of new orders arrived
+    * (q_pagerank_incremental). A range predicate on the orders scan:
+    * the standing build never reads a new-dump byte, and at 100 TB the
+    * parquet row-group stats prune the dump's files entirely. */
+  def tpchEdges(spark: SparkSession, dir: String,
+      maxOrder: Option[Long] = None): DataFrame = {
+    val o0 = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val o = maxOrder.fold(o0)(t => o0.filter(col("o_orderkey") < lit(t)))
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(col("o_custkey"), col("l_suppkey")).distinct()

@@ -103,6 +103,16 @@ object PageRank {
     * `teleportTo` (weighted personalized PageRank: the weight changes
     * only how rank splits across out-edges, the teleport only where
     * reset mass lands — semantics pinned by WeightedPageRankSpec).
+    * @param initRanks WARM START: a caller-provided initial rank vector
+    * DataFrame["page", "rank"] replacing the uniform 1/N seed — the
+    * incremental-maintenance shape (a standing rank store seeds the
+    * re-run after the graph changed; the iteration count buys error
+    * ∝ ‖init − fixpoint‖·dampingⁱᵗᵉʳˢ, so a close seed needs fewer
+    * iterations than the uniform one). The vector must cover exactly
+    * `pages` (the caller's standing store does when the vertex set is
+    * stable; pages absent from the vector would silently start at
+    * no-rank). Reference-convention only: mutually exclusive with
+    * `teleportTo` and `redistributeDangling`.
     * @return DataFrame["page", "rank"] — one row per page.
     */
   def run(pages: DataFrame, edges: DataFrame, iters: Int = DefaultIters,
@@ -117,10 +127,15 @@ object PageRank {
           // because the redistribute branch hands it an already
           // checkpointed leaf. Must not execute the plan.
           onIterationPlan: (Int, DataFrame) => Unit = (_, _) => (),
-          weightCol: Option[String] = None):
+          weightCol: Option[String] = None,
+          initRanks: Option[DataFrame] = None):
       DataFrame = {
     require(teleportTo.isEmpty || !redistributeDangling,
       "personalized PageRank with dangling-mass redistribution is not supported")
+    require(initRanks.isEmpty ||
+        (teleportTo.isEmpty && !redistributeDangling),
+      "warm-start init is reference-convention only (no teleport, no " +
+        "dangling redistribution)")
     val spark = pages.sparkSession
 
     // cache ownership (see Hits.run): persist only if the caller hasn't,
@@ -186,13 +201,16 @@ object PageRank {
           when(deg("src").isNull, lit(1.0)).otherwise(lit(0.0)).as("dang"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var ranks = teleportTo match {
-      case Some(src) => p.select(col("page"),
-        when(col("page") === lit(src), lit(1.0)).otherwise(lit(0.0)).as("rank"))
-      case None if !redistributeDangling =>
-        p.select(col("page"), (lit(1.0) / lit(n)).as("rank"))
-      case None => zero.select(col("dst").as("page"),
-        (lit(1.0) / lit(n)).as("rank"), col("dang"))
+    var ranks = initRanks match {
+      case Some(r0) => r0.select(col("page"), col("rank"))
+      case None => teleportTo match {
+        case Some(src) => p.select(col("page"),
+          when(col("page") === lit(src), lit(1.0)).otherwise(lit(0.0)).as("rank"))
+        case None if !redistributeDangling =>
+          p.select(col("page"), (lit(1.0) / lit(n)).as("rank"))
+        case None => zero.select(col("dst").as("page"),
+          (lit(1.0) / lit(n)).as("rank"), col("dang"))
+      }
     }
     for (i <- 1 to iters) {
       val contribJoin = edgesWithDeg

@@ -35,6 +35,51 @@ object GraphQueries {
   private def pagerankSql(iters: Int, select: String): String =
     PageRankOracle.sql(graphCtes, iters, select)
 
+  /** Warm-restart iteration count (q_pagerank_incremental): the error
+    * after i iterations is ∝ ‖seed − fixpoint‖·0.85ⁱ, and the standing
+    * vector is a far closer seed than uniform when the dump is a ~10%
+    * append — half the cold budget measurably beats cold-at-equal-
+    * iterations on this corpus (PageRankWarmSpec pins it). A
+    * deployment picks this from its dump-size/Δ-tolerance telemetry;
+    * the gate pins the warm-start LAW, not the constant. */
+  private[graft] val WarmIters = 4
+
+  /** [[graphCtes]] plus the STANDING edge set (orders below the
+    * high-water mark — GraphCatalog.tpchOrderThreshold's rule inlined
+    * as the thr CTE) for the warm-start oracle, both SYMMETRIZED into
+    * the co-engagement graph the gate ranks (dgood/dsgood are the
+    * directed halves; the prefix flip makes the union collision-free). */
+  private val warmGraphCtes =
+    """pages AS (
+         SELECT 'c' || CAST(c_custkey AS VARCHAR) AS page FROM customer
+         UNION ALL
+         SELECT 's' || CAST(s_suppkey AS VARCHAR) AS page FROM supplier),
+       edges AS (
+         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                         's' || CAST(l_suppkey AS VARCHAR) AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       dgood AS (
+         SELECT e.src, e.dst FROM edges e
+         WHERE EXISTS (SELECT 1 FROM pages p WHERE p.page = e.dst)),
+       good AS (
+         SELECT src, dst FROM dgood
+         UNION ALL
+         SELECT dst AS src, src AS dst FROM dgood),
+       thr AS (SELECT MAX(o_orderkey) - MAX(o_orderkey) // 10 AS t
+               FROM orders),
+       sedges AS (
+         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                         's' || CAST(l_suppkey AS VARCHAR) AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey < (SELECT t FROM thr)),
+       dsgood AS (
+         SELECT e.src, e.dst FROM sedges e
+         WHERE EXISTS (SELECT 1 FROM pages p WHERE p.page = e.dst)),
+       sgood AS (
+         SELECT src, dst FROM dsgood
+         UNION ALL
+         SELECT dst AS src, src AS dst FROM dsgood)"""
+
   /** Weighted graph CTEs: `good(src, dst, w)` with w = purchase-line
     * multiplicity — the COUNT(*) group replaces [[graphCtes]]'s
     * DISTINCT, exactly like [[graft.graph.LinkGraph.tpchWeightedEdges]]
@@ -279,6 +324,36 @@ object GraphQueries {
     "q_pagerank_cold" -> ((s, d) => {
       val g = GraphCatalog.tpch(s, d)
       PageRank.run(g.pages, g.edges)
+        .select(col("page"), round(col("rank"), 6).as("pr"))
+        .orderBy(col("page"))
+    }),
+
+    // INCREMENTAL PageRank maintenance — the lifecycle pattern the
+    // ANN/dedup stores follow, brought to the graph family: a
+    // production interaction graph is re-ranked on a dump cadence,
+    // and recomputing from the uniform seed wastes the standing
+    // vector. The graph is the SYMMETRIZED co-engagement form
+    // ([[GraphCatalog.symmetrized]] — BiRank/co-visitation ranking;
+    // chosen structurally: the directed catalog graphs are layered
+    // DAGs on which PageRank converges exactly in depth+1 iterations,
+    // which would make a warm-start law vacuous). The STANDING rank
+    // store ([[GraphCatalog.tpchStandingRanks]] — 8 reference-
+    // convention iterations over the pre-dump symmetrized edges,
+    // built once and persisted like the annStoreStanding artifact)
+    // seeds [[WarmIters]] = 4 iterations over the APPENDED graph
+    // (the dump = orders above the high-water mark, a range predicate
+    // the standing build's scan prunes). Error after i iterations ∝
+    // ‖seed − fix‖·0.85ⁱ, so the close seed halves the iteration
+    // budget while landing closer to the appended graph's fixed point
+    // than even the full cold budget (PageRankWarmSpec measures
+    // both). Same per-iteration loop, shuffles and checkpoint
+    // discipline as q_pagerank — warm start changes r0, never the
+    // operator.
+    "q_pagerank_incremental" -> ((s, d) => {
+      val g = GraphCatalog.tpch(s, d)
+      PageRank.run(g.pages, GraphCatalog.symmetrized(g.edges),
+          iters = WarmIters,
+          initRanks = Some(GraphCatalog.tpchStandingRanks(s, d)))
         .select(col("page"), round(col("rank"), 6).as("pr"))
         .orderBy(col("page"))
     }),
@@ -534,6 +609,12 @@ object GraphQueries {
       PageRank.DefaultIters,
       "SELECT page, ROUND(pr, 6) AS pr FROM r8 ORDER BY page",
       personalized = true),
+    // the warm-start replay: the standing store's 8 iterations over
+    // the pre-dump edge set, then WarmIters iterations over the full
+    // set seeded from the standing vector — one statement
+    "q_pagerank_incremental" -> PageRankOracle.warmSql(warmGraphCtes,
+      PageRank.DefaultIters, WarmIters,
+      s"SELECT page, ROUND(pr, 6) AS pr FROM w$WarmIters ORDER BY page"),
     "q_graph_hits" -> Hits.oracleSql(graphCtes, Hits.DefaultIters,
       """SELECT page, ROUND(auth, 6) AS auth, ROUND(hub, 6) AS hub
          FROM hits ORDER BY page"""),

@@ -81,4 +81,44 @@ object PageRankOracle {
         $iterCtes
         $select"""
   }
+
+  /** One unrolled reference-convention iteration chain
+    * `${p}1..${p}$iters` over edge CTE `$good` and degree CTE `$deg`,
+    * seeded from a caller-provided `${p}0` — the warm-start oracle's
+    * building block (same update text as [[sql]]'s plain form, same
+    * MATERIALIZED rationale). */
+  private def chainCtes(p: String, good: String, deg: String,
+      iters: Int): String =
+    (1 to iters).map { k =>
+      s"""$p$k AS MATERIALIZED (
+            SELECT p.page,
+                   0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.mass, 0) AS pr
+            FROM pages p LEFT JOIN (
+              SELECT g.dst, SUM(r.pr / d.deg) AS mass
+              FROM $good g
+              JOIN $p${k - 1} r ON g.src = r.page
+              JOIN $deg d ON g.src = d.src
+              GROUP BY g.dst) m ON p.page = m.dst)"""
+    }.mkString(",\n")
+
+  /** WARM-START replay (q_pagerank_incremental): `standIters`
+    * reference-convention iterations over the STANDING edge set
+    * (callers' graphCtes must define `sgood(src, dst)` next to the
+    * full `good`), whose final vector seeds `warmIters` iterations
+    * over the full set — one statement states the standing store AND
+    * the warm re-run, so a wrong store or a wrong seed
+    * hash-mismatches. The select reads `w$warmIters`. */
+  def warmSql(graphCtes: String, standIters: Int, warmIters: Int,
+      select: String): String =
+    s"""WITH $graphCtes,
+        deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                FROM good GROUP BY src),
+        sdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                 FROM sgood GROUP BY src),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pages),
+        s0 AS (SELECT page, 1.0 / (SELECT n FROM nn) AS pr FROM pages),
+        ${chainCtes("s", "sgood", "sdeg", standIters)},
+        w0 AS (SELECT page, pr FROM s$standIters),
+        ${chainCtes("w", "good", "deg", warmIters)}
+        $select"""
 }
