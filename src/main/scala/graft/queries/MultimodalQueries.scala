@@ -77,6 +77,76 @@ object MultimodalQueries {
     smallCand.unionByName(bigCand).distinct()
   }
 
+  /** The tier-2 key rows of a band table: every (band, bkey) row
+    * fanned out to its 8 sub-blocks of the remaining 56 bits —
+    * (doc_id, bs, band, bkey, blk, bval). The double-pigeonhole law
+    * holds UNIVERSALLY (hamming ≤ 7 ⇒ some band byte equal ⇒ within
+    * that band ≥ 1 of the 8 remaining 7-bit blocks equal), so a join
+    * on the full composite key is EXACT at the threshold with no
+    * bucket-count bookkeeping at all — the form the persisted store
+    * uses: 64 index rows per asset buy a cap-free, count-free,
+    * co-located probe (an index-size-for-probe-simplicity trade;
+    * the in-session batch path keeps the counted two-tier routing
+    * because it pays the fan-out per query instead of once). */
+  private[graft] def tier2Rows(bands: DataFrame): DataFrame = {
+    val eb = bands.select(col("doc_id"), col("bs"), posexplode(col("bs")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val rest = expr(
+      """aggregate(sequence(0, 7), 0L, (acc, r) ->
+           IF(r = band, acc,
+              acc + shiftleft(CAST(element_at(bs, r + 1) AS BIGINT),
+                              8 * (r - IF(r > band, 1, 0)))))""")
+    eb.select(col("doc_id"), col("bs"), col("band"), col("bkey"),
+        rest.as("rest"))
+      .select(col("doc_id"), col("bs"), col("band"), col("bkey"),
+        explode(expr(
+          """transform(sequence(0, 7),
+               j -> named_struct('blk', j,
+                 'bval', shiftright(rest, 7 * j) % 128))""")).as("sb"))
+      .select(col("doc_id"), col("bs"), col("band"), col("bkey"),
+        col("sb.blk").as("blk"), col("sb.bval").as("bval"))
+  }
+
+  /** Context-keyed like [[DedupQueries.signatureStore]] (the persisted
+    * table is a catalog artifact; sibling sessions share it). */
+  private val phashStoreCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** PERSISTED pHash signature store over the STANDING assets (every
+    * source but [[DedupQueries.IncNewSource]]) — the image-dedup
+    * counterpart of the MinHash signature store: hash each dump's
+    * assets ONCE, write the tier-2 band rows `bucketBy(band, bkey)`,
+    * and every later dump probes the store with a co-located join —
+    * no standing payload is ever re-decoded or re-hashed (at 100 TB
+    * the store is the only representation of the standing corpus the
+    * image-dedup path touches again; 64 rows × ~40 B per asset ≪ the
+    * asset bytes). `bs` rides along so the Hamming verify needs no
+    * corpus lookup. */
+  private[graft] def phashStore(s: SparkSession, d: String): DataFrame = {
+    phashStoreCache.keys.foreach { k =>
+      if (k._1.isStopped) phashStoreCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(phashStoreCache,
+        (s.sparkContext, d)) {
+      val tbl = "graft_phash_store_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val standing = Multimodal.assets(s, d)
+        .filter(col("meta.origin") =!= DedupQueries.IncNewSource)
+      tier2Rows(Multimodal.aHashBands(standing, 32))
+        .write.bucketBy(8, "band", "bkey").sortBy("band", "bkey")
+        .mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
   private val phashCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
@@ -156,6 +226,50 @@ object MultimodalQueries {
         .select(col("doc_id"))
       DedupQueries.clusterAssign(verts, phashPairs(s, d))
         .orderBy(col("doc_id"))
+    }),
+
+    // INCREMENTAL image dedup against the PERSISTED pHash store — the
+    // q_dedup_incremental lifecycle for the multimodal family (the
+    // last family without a store: ANN, dedup, text artifacts and the
+    // graph rank store all have one). The new dump (the
+    // IncNewSource assets) is decoded + aHashed at probe time ONLY;
+    // the standing corpus is represented entirely by the bucketed
+    // tier-2 store ([[phashStore]]) — cross pairs come from ONE
+    // co-located equi-join on (band, bkey, blk, bval) (the composite
+    // key is EXACT at Hamming ≤ 7 by the universal double-pigeonhole
+    // law, so no bucket counting and no cap routing exist on this
+    // path), within-dump pairs from the same join shape dump-vs-dump,
+    // and the XOR-popcount verify reads the bs columns both sides
+    // carry — zero standing-corpus lookups. Output: verified pairs
+    // touching the dump (standing-vs-standing pairs are the batch
+    // gate's business and are already in the store's past). Scale:
+    // probe cost ∝ dump size × bucket occupancy; the store side never
+    // shuffles (bucket co-location, MmPhashIncSpec pins it).
+    "q_mm_phash_inc" -> ((s, d) => {
+      val dump = Multimodal.assets(s, d)
+        .filter(col("meta.origin") === DedupQueries.IncNewSource)
+      val nb = graft.plans.Lineage.scratchCheckpoint(
+        tier2Rows(Multimodal.aHashBands(dump, 32)))
+      val store = phashStore(s, d)
+      val key = Seq("band", "bkey", "blk", "bval")
+      def ham = expr("aggregate(zip_with(bsx, bsy, (p, q) -> " +
+        "bit_count(p ^ q)), 0, (acc, v) -> acc + v)").cast("long")
+      val cross = nb.as("x").join(store.as("y"),
+          key.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+          col("x.bs").as("bsx"), col("y.bs").as("bsy"))
+      val within = nb.as("x").join(nb.as("y"),
+          key.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.bs").as("bsx"), col("y.bs").as("bsy"))
+      cross.unionByName(within)
+        .select(col("a"), col("b"), ham.as("hamming"))
+        .groupBy("a", "b").agg(max("hamming").as("hamming"))
+        .filter(col("hamming") <= 7)
+        .orderBy(col("a"), col("b"))
     }),
 
     // REAL audio decode (javax.sound.sampled): each payload becomes a
@@ -292,6 +406,18 @@ object MultimodalQueries {
     "q_mm_phash" ->
       s"""WITH $phashPairCtes
          SELECT a, b, hamming FROM hd WHERE hamming <= 7 ORDER BY a, b""",
+    // the same routing-invariant pair law restricted to pairs touching
+    // the new dump — the store/probe split is physical plumbing the
+    // verified output cannot see (the q_ann_ivfpq_stored precedent)
+    "q_mm_phash_inc" ->
+      s"""WITH $phashPairCtes,
+          nd AS (SELECT doc_id FROM documents
+                 WHERE source = '${DedupQueries.IncNewSource}')
+         SELECT a, b, hamming FROM hd
+         WHERE hamming <= 7
+           AND (a IN (SELECT doc_id FROM nd)
+                OR b IN (SELECT doc_id FROM nd))
+         ORDER BY a, b""",
     // the verified pair CTEs above + the q_dedup_cluster recursive
     // min-label closure over the hashed (≥ 256-char) asset universe
     "q_mm_phash_cluster" ->
