@@ -91,7 +91,11 @@ object SparkEntry {
       // the curation frame is benched by q_text_curate_clf and the
       // packing fold by q_text_pack; the composition adds only the
       // checkpointed 2-column selection semi-join
-      "q_text_pack_curated")
+      "q_text_pack_curated",
+      // the allocation arithmetic is benched by q_text_mixture_epochs
+      // and the pack fold by q_text_pack; the schedule explode is a
+      // row multiplier on those same classes
+      "q_text_pack_epochs")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

@@ -302,6 +302,75 @@ object TextQueries {
         (col("qq") > col("cut")).as("kept"), col("gopher_keep"))
   }
 
+  /** [[epochAllocFrame]] as the identical DuckDB CTE chain ending in
+    * `f(source, tot, raw, alloc)`; `d0` carries doc_id + the md5 order
+    * key so the schedule-executing oracle can reuse the chain. */
+  private def epochAllocCtes: String =
+    s"""d0 AS (SELECT doc_id, source,
+                 CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                   AS n_tok,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+       t AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot
+             FROM d0 GROUP BY source),
+       tb AS (SELECT CAST(SUM(tot) AS BIGINT) AS corpus_tok,
+                ${sqrtWeightFoldSql()} AS ws
+              FROM t),
+       r AS (SELECT source, tot,
+               CAST(floor(CAST(2 * (SELECT corpus_tok FROM tb) AS DOUBLE)
+                    * sqrt(CAST(tot AS DOUBLE)) / (SELECT ws FROM tb))
+                 AS BIGINT) AS raw,
+               2 * tot AS cap
+             FROM t),
+       r2 AS (SELECT source, tot, raw, cap,
+                LEAST(raw, cap) AS alloc1, raw > cap AS clamped
+              FROM r),
+       pool AS (SELECT CAST(SUM(CASE WHEN clamped THEN raw - cap
+                                ELSE 0 END) AS BIGINT) AS over,
+                  ${sqrtWeightFoldSql(
+                    " FILTER (WHERE NOT clamped)")} AS wu
+                FROM r2),
+       f AS (SELECT source, tot, raw,
+               LEAST(alloc1 + CASE WHEN NOT clamped AND
+                   (SELECT wu FROM pool) > 0.0
+                 THEN CAST(floor(CAST((SELECT over FROM pool) AS DOUBLE)
+                      * sqrt(CAST(tot AS DOUBLE)) /
+                      (SELECT wu FROM pool)) AS BIGINT)
+                 ELSE 0 END, cap) AS alloc
+             FROM r2)"""
+
+  /** The Muennighoff'23 allocation plan (q_text_mixture_epochs'
+    * engine body, unordered): per-source (tot, raw_budget, alloc) —
+    * factored out so the schedule-executing gate
+    * (q_text_pack_epochs) consumes the IDENTICAL plan the planning
+    * gate states. Float/scale story on the q_text_mixture_epochs
+    * entry. */
+  private[graft] def epochAllocFrame(s: SparkSession, d: String)
+      : DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), size(toks).cast("long").as("n_tok"))
+    val totals = docs.groupBy("source").agg(sum(col("n_tok")).as("tot"))
+    val tb = totals.agg(sum(col("tot")).as("corpus_tok"),
+      expr(sqrtWeightFold).as("ws"))
+    val r = totals.crossJoin(broadcast(tb))
+      .select(col("source"), col("tot"),
+        expr("cast(floor(cast(2 * corpus_tok as double) * " +
+          "sqrt(cast(tot as double)) / ws) as bigint)").as("raw"))
+      .withColumn("cap", lit(2L) * col("tot"))
+      .withColumn("alloc1", least(col("raw"), col("cap")))
+      .withColumn("clamped", col("raw") > col("cap"))
+    val over = r.agg(sum(when(col("clamped"), col("raw") - col("cap"))
+      .otherwise(0L)).as("over"))
+    val wu = r.filter(!col("clamped")).agg(expr(sqrtWeightFold).as("wu"))
+    r.crossJoin(broadcast(over)).crossJoin(broadcast(wu))
+      .withColumn("add", when(!col("clamped") && col("wu") > 0.0,
+        expr("cast(floor(cast(over as double) * " +
+          "sqrt(cast(tot as double)) / wu) as bigint)"))
+        .otherwise(lit(0L)))
+      .select(col("source"), col("tot"), col("raw").as("raw_budget"),
+        least(col("alloc1") + col("add"), col("cap")).as("alloc"))
+  }
+
   /** q_text_curate_clf's engine body (unordered — callers add their
     * ORDER BY), shared with q_text_pack_curated so the assembly gate
     * consumes the IDENTICAL selection decision the curation gate
@@ -2007,32 +2076,72 @@ object TextQueries {
     // source-sorted (the logprob contract), budgets integer-floor, and
     // epochs = exact-long / exact-long division — bit-equal with no
     // rounding shim.
-    "q_text_mixture_epochs" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("source"), size(toks).cast("long").as("n_tok"))
-      val totals = docs.groupBy("source").agg(sum(col("n_tok")).as("tot"))
-      val tb = totals.agg(sum(col("tot")).as("corpus_tok"),
-        expr(sqrtWeightFold).as("ws"))
-      val r = totals.crossJoin(broadcast(tb))
-        .select(col("source"), col("tot"),
-          expr("cast(floor(cast(2 * corpus_tok as double) * " +
-            "sqrt(cast(tot as double)) / ws) as bigint)").as("raw"))
-        .withColumn("cap", lit(2L) * col("tot"))
-        .withColumn("alloc1", least(col("raw"), col("cap")))
-        .withColumn("clamped", col("raw") > col("cap"))
-      val over = r.agg(sum(when(col("clamped"), col("raw") - col("cap"))
-        .otherwise(0L)).as("over"))
-      val wu = r.filter(!col("clamped")).agg(expr(sqrtWeightFold).as("wu"))
-      r.crossJoin(broadcast(over)).crossJoin(broadcast(wu))
-        .withColumn("add", when(!col("clamped") && col("wu") > 0.0,
-          expr("cast(floor(cast(over as double) * " +
-            "sqrt(cast(tot as double)) / wu) as bigint)"))
-          .otherwise(lit(0L)))
-        .select(col("source"), col("tot"), col("raw").as("raw_budget"),
-          least(col("alloc1") + col("add"), col("cap")).as("alloc"))
+    "q_text_mixture_epochs" -> ((s, d) =>
+      epochAllocFrame(s, d)
+        .select(col("source"), col("tot"), col("raw_budget"), col("alloc"))
         .withColumn("epochs",
           col("alloc").cast("double") / col("tot").cast("double"))
-        .orderBy(col("source"))
+        .orderBy(col("source"))),
+
+    // EPOCH-SCHEDULED PACKING — the consumer the allocation plan was
+    // missing (the r16 lesson: an engine that computes a plan nobody
+    // executes has half an operator): q_text_mixture_epochs' per-
+    // source token allocation MATERIALIZED as the training schedule
+    // and packed into fixed-budget sequences. epochs = alloc/tot
+    // splits into FULL passes (every doc repeated ⌊alloc div tot⌋
+    // times — rep is the pass index) plus the REMAINDER pass (the
+    // md5(doc_id)-order prefix whose cumulative tokens fit
+    // alloc − full·tot — the q_text_mixture fill order; no first-doc
+    // exception here: a zero remainder must add zero docs, coverage
+    // is the full passes' job). Each (source, rep, shard) chain packs
+    // independently — epoch boundaries are sequence boundaries, the
+    // production rule (a sequence mixing pass k and pass k+1 of the
+    // same corpus would break the schedule's repetition accounting).
+    // Token counts are the ALLOCATION's units (whitespace tokens) so
+    // the schedule and the packing agree by construction. Scale: one
+    // corpus pass for counts, n_sources-row arithmetic, and the
+    // explode emits alloc/corpus-sized output — the schedule IS the
+    // training set, there is no avoiding its size; the pack fold is
+    // the q_text_pack shape per (source, rep, shard) chain.
+    "q_text_pack_epochs" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val limit = 512L
+      val alloc = epochAllocFrame(s, d)
+        .select(col("source"), col("tot"), col("alloc"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_tok"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .join(broadcast(alloc), "source")
+        .withColumn("full_e", expr("alloc div tot"))
+      val full = docs.filter(col("full_e") > 0)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          explode(expr("sequence(0L, full_e - 1L)")).as("rep"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val remr = docs.withColumn("cum", sum(col("n_tok")).over(w))
+        .filter(col("cum") <= col("alloc") - col("full_e") * col("tot"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("full_e").as("rep"))
+      val sched = full.unionByName(remr)
+        .select(col("doc_id"), col("rep"), col("source"),
+          pmod(col("doc_id"), lit(4)).cast("int").as("shard"),
+          col("n_tok"))
+        .as[(Long, Long, String, Int, Long)]
+      sched.groupByKey(r => (r._3, r._2, r._4))
+        .flatMapSortedGroups($"doc_id") { case ((src, rep, shard), it) =>
+          var seq = 0L
+          var cum = 0L
+          it.map { case (id, _, _, _, n) =>
+            if (cum + n > limit && cum > 0) { seq += 1; cum = 0 }
+            cum += n
+            (id, rep, src, shard, seq, cum)
+          }
+        }
+        .toDF("doc_id", "rep", "source", "shard", "seq_id", "cum_tokens")
+        .orderBy(col("doc_id"), col("rep"))
     }),
 
     // ONLINE token-budget admission — q_text_mixture's fill rule AS A
@@ -3838,40 +3947,53 @@ object TextQueries {
       // same cap/redistribute/re-clamp rule, same exact-long epochs
       // division
       "q_text_mixture_epochs" ->
-        s"""WITH d AS (SELECT source,
-                        CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
-                          AS n_tok
-                      FROM documents),
-           t AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tot
-                 FROM d GROUP BY source),
-           tb AS (SELECT CAST(SUM(tot) AS BIGINT) AS corpus_tok,
-                    ${sqrtWeightFoldSql()} AS ws
-                  FROM t),
-           r AS (SELECT source, tot,
-                   CAST(floor(CAST(2 * (SELECT corpus_tok FROM tb) AS DOUBLE)
-                        * sqrt(CAST(tot AS DOUBLE)) / (SELECT ws FROM tb))
-                     AS BIGINT) AS raw,
-                   2 * tot AS cap
-                 FROM t),
-           r2 AS (SELECT source, tot, raw, cap,
-                    LEAST(raw, cap) AS alloc1, raw > cap AS clamped
-                  FROM r),
-           pool AS (SELECT CAST(SUM(CASE WHEN clamped THEN raw - cap
-                                    ELSE 0 END) AS BIGINT) AS over,
-                      ${sqrtWeightFoldSql(
-                        " FILTER (WHERE NOT clamped)")} AS wu
-                    FROM r2),
-           f AS (SELECT source, tot, raw,
-                   LEAST(alloc1 + CASE WHEN NOT clamped AND
-                       (SELECT wu FROM pool) > 0.0
-                     THEN CAST(floor(CAST((SELECT over FROM pool) AS DOUBLE)
-                          * sqrt(CAST(tot AS DOUBLE)) /
-                          (SELECT wu FROM pool)) AS BIGINT)
-                     ELSE 0 END, cap) AS alloc
-                 FROM r2)
+        s"""WITH $epochAllocCtes
            SELECT source, tot, raw AS raw_budget, alloc,
                   CAST(alloc AS DOUBLE) / CAST(tot AS DOUBLE) AS epochs
            FROM f ORDER BY source""",
+      // the allocation chain above, EXECUTED: full passes exploded per
+      // doc, the remainder pass as the md5-order cumulative prefix,
+      // then the q_text_pack recursion per (source, rep, shard) chain
+      // — one statement states the plan AND the schedule AND the fold
+      "q_text_pack_epochs" ->
+        s"""WITH RECURSIVE $epochAllocCtes,
+           de AS (SELECT d0.doc_id, d0.source, d0.n_tok, d0.h,
+                         f.alloc, f.tot, f.alloc // f.tot AS full_e
+                  FROM d0 JOIN f USING (source)),
+           fp AS (SELECT doc_id, source, n_tok,
+                         unnest(range(0, full_e)) AS rep
+                  FROM de WHERE full_e > 0),
+           remr AS (SELECT doc_id, source, n_tok, full_e AS rep FROM
+                    (SELECT de.*,
+                            SUM(n_tok) OVER (PARTITION BY source
+                              ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+                     FROM de)
+                    WHERE cum <= alloc - full_e * tot),
+           sched AS (SELECT * FROM fp UNION ALL SELECT * FROM remr),
+           base3 AS MATERIALIZED (
+             SELECT doc_id, rep, source,
+                    CAST(doc_id % 4 AS INT) AS shard, n_tok AS n,
+                    ROW_NUMBER() OVER (PARTITION BY source, rep,
+                                         doc_id % 4
+                                       ORDER BY doc_id) AS rn
+             FROM sched),
+           r3 AS (
+             SELECT doc_id, rep, source, shard, n, rn,
+                    CAST(0 AS BIGINT) AS seq_id, n AS cum
+             FROM base3 WHERE rn = 1
+             UNION ALL
+             SELECT b.doc_id, b.rep, b.source, b.shard, b.n, b.rn,
+                    CASE WHEN r3.cum + b.n > 512 AND r3.cum > 0
+                         THEN r3.seq_id + 1 ELSE r3.seq_id END,
+                    CASE WHEN r3.cum + b.n > 512 AND r3.cum > 0
+                         THEN b.n ELSE r3.cum + b.n END
+             FROM r3 JOIN base3 b ON b.source = r3.source
+                                 AND b.rep = r3.rep
+                                 AND b.shard = r3.shard
+                                 AND b.rn = r3.rn + 1)
+           SELECT doc_id, rep, source, shard, seq_id, cum AS cum_tokens
+           FROM r3 ORDER BY doc_id, rep""",
       "q_text_sample_stratified" ->
         """WITH r AS (SELECT doc_id, lang,
                   ROW_NUMBER() OVER (PARTITION BY lang
