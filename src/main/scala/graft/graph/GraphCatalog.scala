@@ -41,7 +41,6 @@ object GraphCatalog {
     import graft.plans.Lineage.sweepStoppedKeys
     sweepStoppedKeys(graphs)(_._1)
     sweepStoppedKeys(ranks)(_._1)
-    sweepStoppedKeys(sranks)(_._1)
     sweepStoppedKeys(orderThr)(_._1)
     sweepStoppedKeys(pranks)(_._1)
     sweepStoppedKeys(wranks)(_._1)
@@ -81,7 +80,10 @@ object GraphCatalog {
       r
     })
 
-  private val sranks = TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Context-keyed: the rank store is a catalog table shared by
+    * sibling sessions (the sigStoreCache rationale). */
+  private val rankStoreCache =
+    TrieMap.empty[(org.apache.spark.SparkContext, String), String]
   private val orderThr = TrieMap.empty[(SparkSession, String), Long]
 
   /** High-water mark for the incremental gate: orders at/above
@@ -112,26 +114,43 @@ object GraphCatalog {
 
   /** The STANDING rank store (q_pagerank_incremental): the reference-
     * convention 8-iteration vector over the symmetrized edges that
-    * existed BEFORE the new-order dump — the persisted artifact a
-    * production graph pipeline keeps between dumps (the
-    * annStoreStanding shape for the graph family). Built once per
-    * (session, dir); the standing edge build reads only pre-threshold
-    * orders (range-pruned scan). */
-  def tpchStandingRanks(spark: SparkSession, dir: String): DataFrame =
-    graft.plans.Lineage.once(sranks, (spark, dir))({
+    * existed BEFORE the new-order dump, WRITTEN ONCE as a bucketed
+    * catalog table — the durable artifact a production graph pipeline
+    * keeps between dumps (the annStore/signature-store pattern, not a
+    * session memo: the store outlives the session that ranked the
+    * last dump, and the next dump's warm re-run READS it). Bucketed
+    * on `page` so the seed vector arrives pre-partitioned for the
+    * first iteration's contribution join. Context-keyed like the
+    * other catalog stores; the standing edge build reads only
+    * pre-threshold orders (range-pruned scan). */
+  def tpchStandingRanks(spark: SparkSession, dir: String): DataFrame = {
+    rankStoreCache.keys.foreach { k =>
+      if (k._1.isStopped) rankStoreCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(rankStoreCache,
+        (spark.sparkContext, dir)) {
+      val tbl = "graft_rank_store_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(dir).take(8)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       val g = tpch(spark, dir)
       val thr = tpchOrderThreshold(spark, dir)
       val sedges = symmetrized(LinkGraph
         .removeRedLinks(
           LinkGraph.tpchEdges(spark, dir, maxOrder = Some(thr)), g.pages))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val r = PageRank.run(g.pages, sedges)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      r.count()
+      PageRank.run(g.pages, sedges)
+        .write.bucketBy(8, "page").sortBy("page")
+        .mode("overwrite").saveAsTable(tbl)
       sedges.unpersist()
-      graft.plans.Lineage.pin(r)
-      r
-    })
+      tbl
+    }
+    spark.table(name)
+  }
 
   private val pranks = TrieMap.empty[(SparkSession, String), DataFrame]
 

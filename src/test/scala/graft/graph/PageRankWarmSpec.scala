@@ -81,6 +81,27 @@ class PageRankWarmSpec extends SparkSpec {
         "standing store is not worth keeping on this corpus")
   }
 
+  test("the rank store is a durable catalog table: load ≡ a fresh " +
+      "standing run, bucket spec intact") {
+    val g = GraphCatalog.tpch(spark, dir)
+    val thr = GraphCatalog.tpchOrderThreshold(spark, dir)
+    val fresh = ranksMap(PageRank.run(g.pages,
+      GraphCatalog.symmetrized(LinkGraph.removeRedLinks(
+        LinkGraph.tpchEdges(spark, dir, maxOrder = Some(thr)), g.pages)))
+      .select(col("page"), col("rank")))
+    val stored = ranksMap(GraphCatalog.tpchStandingRanks(spark, dir)
+      .select(col("page"), col("rank")))
+    assert(stored == fresh,
+      "the stored vector diverged from a fresh standing run")
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(
+      "graft_rank_store_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(dir).take(8))
+    val spec = spark.sessionState.catalog.getTableMetadata(id).bucketSpec
+    assert(spec.nonEmpty && spec.get.numBuckets == 8 &&
+      spec.get.bucketColumnNames == Seq("page"),
+      s"rank store bucket spec lost: $spec")
+  }
+
   test("seed law: zero warm iterations returns the standing store") {
     val g = GraphCatalog.tpch(spark, dir)
     val standing = GraphCatalog.tpchStandingRanks(spark, dir)
