@@ -95,7 +95,14 @@ object SparkEntry {
       // the allocation arithmetic is benched by q_text_mixture_epochs
       // and the pack fold by q_text_pack; the schedule explode is a
       // row multiplier on those same classes
-      "q_text_pack_epochs")
+      "q_text_pack_epochs",
+      // the partial-agg class is timed by q_agg_lineitem; the
+      // incremental serve adds a range-pruned delta agg + a
+      // ≤2×|groups|-row merge
+      "q_agg_incremental",
+      // the lag/lead window class is timed by q_window_lag and
+      // q_window_running on 3× the rows
+      "q_events_scd")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

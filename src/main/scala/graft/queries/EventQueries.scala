@@ -521,6 +521,39 @@ object EventQueries {
         .orderBy(col("user_id"), col("wstart"))
     }),
 
+    // SCD TYPE-2 dimension build — the warehouse temporal-table
+    // operator (Kimball type-2: a change log becomes versioned
+    // validity intervals): each user's event_type stream is an
+    // attribute-update log; consecutive no-change updates COLLAPSE
+    // (the lag-based change filter — real SCD2 versions changes, not
+    // arrivals), then each change row closes at the next change's
+    // timestamp (lead) with the last version left open
+    // (valid_to NULL, is_current). One shuffle on user_id serves both
+    // window passes — the change filter preserves partitioning AND
+    // ordering, so the second window plans no new exchange. The
+    // interval table is exactly what the as-of join family consumes
+    // downstream. Gate-only in the bench: the lag/lead window class
+    // is timed by q_window_lag / q_window_running.
+    "q_events_scd" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("ts"), Fmt).as("valid_from"),
+          date_format(col("valid_to_ts"), Fmt).as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"),
+          col("version"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
     // As-of join (backward): each error event paired with the latest
     // signup of the same user at or before it. Expressed the scale-right
     // way — union the tagged streams and carry the last signup forward
@@ -720,6 +753,27 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // the change-collapse + interval-close replay: LAG filters
+    // no-change updates, ROW_NUMBER/LEAD over the surviving changes
+    "q_events_scd" ->
+      """WITH c AS (SELECT user_id, event_id, ts, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+                FROM events),
+          ch AS (SELECT user_id, event_id, ts, event_type FROM c
+                 WHERE prev IS NULL OR prev <> event_type),
+          v AS (SELECT user_id, event_type,
+                  ts AS vf,
+                  LEAD(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS vt,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS BIGINT) AS version
+                FROM ch)
+         SELECT user_id, event_type,
+                strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+                vt IS NULL AS is_current, version
+         FROM v ORDER BY user_id, version""",
     // same exact-long moments and the same fixed IEEE expression as the
     // engine side — see the q_events_anomaly comment on determinism
     "q_events_anomaly" ->

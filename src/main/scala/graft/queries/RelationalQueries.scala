@@ -34,6 +34,42 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // INCREMENTAL materialized-view maintenance — the warehouse
+    // capability every nightly pipeline runs on: the standing agg MV
+    // (UNROUNDED partial sums + counts over rows below the order-key
+    // high-water mark) is a persisted catalog table built ONCE; a new
+    // dump arrives and the serve path aggregates ONLY the delta (the
+    // l_orderkey range predicate pushes to the parquet scan — the
+    // standing corpus's bytes are never re-read) and merges partials
+    // with the store: SUM and COUNT are self-decomposable, so
+    // merge(standing, delta) ≡ recompute(full) — stated by ONE oracle,
+    // q_agg_lineitem's SQL verbatim (the q_ann_compact one-oracle
+    // precedent: two physical paths, one law). Rounding happens at
+    // SERVE (the store holds raw partials): rounding partials would
+    // break the merge law. Gate-only in the bench: the partial-agg
+    // class is timed by q_agg_lineitem; the merge is a ≤2×|groups|-row
+    // aggregation. Scale: maintenance cost ∝ dump size, not corpus —
+    // the whole point of the MV.
+    "q_agg_incremental" -> ((s, d) => {
+      val thr = lineitemThreshold(s, d)
+      val store = aggStore(s, d)
+      val delta = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") >= lit(thr))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("p_qty"),
+          sum(col("l_extendedprice")).as("p_base"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("p_disc"),
+          count(lit(1)).as("p_n"))
+      store.unionByName(delta)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("p_qty")), 2).as("sum_qty"),
+          round(sum(col("p_base")), 2).as("sum_base"),
+          round(sum(col("p_disc")), 2).as("sum_disc_price"),
+          sum(col("p_n")).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // Existence semi-join — the J1 pattern (PageRank.java:130-157) on
     // relational data: orders whose customer is in the BUILDING segment.
     // The filtered customer side is small → Catalyst broadcasts it
@@ -413,15 +449,74 @@ object RelationalQueries {
     })
   )
 
+  /** q_agg_lineitem's oracle — ALSO q_agg_incremental's, verbatim:
+    * maintaining the MV from the store + the delta must answer exactly
+    * what recomputing from scratch answers (the one-oracle law). */
+  private val aggLineitemSql =
+    """SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS n_rows
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  /** The new-dump high-water mark on lineitem (max − max/10 of
+    * l_orderkey — the incVecThreshold idiom; a range predicate the
+    * delta scan pushes to parquet). 1-row agg, memoized. */
+  private val liThrCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), Long]
+
+  private[graft] def lineitemThreshold(s: SparkSession, d: String): Long = {
+    liThrCache.keys.foreach { k => if (k._1.isStopped) liThrCache.remove(k) }
+    graft.plans.Lineage.once(liThrCache, (s.sparkContext, d)) {
+      val hi = Tables.lineitem(s, d).agg(max("l_orderkey")).head.getLong(0)
+      hi - hi / 10
+    }
+  }
+
+  /** The persisted agg MV over the STANDING rows (l_orderkey below the
+    * high-water mark): UNROUNDED partial sums + counts per group,
+    * written once as a catalog table (the signature-store pattern for
+    * the relational family — in production a nightly job maintains
+    * this table instead of recomputing the corpus). Context-keyed. */
+  private val aggStoreCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  private[graft] def aggStore(s: SparkSession, d: String): DataFrame = {
+    aggStoreCache.keys.foreach { k =>
+      if (k._1.isStopped) aggStoreCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(aggStoreCache, (s.sparkContext, d)) {
+      val tbl = "graft_agg_store_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < lit(lineitemThreshold(s, d)))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("p_qty"),
+          sum(col("l_extendedprice")).as("p_base"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("p_disc"),
+          count(lit(1)).as("p_n"))
+        .write.mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
   def oracles: Map[String, String] = Map(
-    "q_agg_lineitem" ->
-      """SELECT l_returnflag, l_linestatus,
-         ROUND(SUM(l_quantity), 2) AS sum_qty,
-         ROUND(SUM(l_extendedprice), 2) AS sum_base,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         COUNT(*) AS n_rows
-         FROM lineitem GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_lineitem" -> aggLineitemSql,
+    // ONE oracle, two physical paths: incremental MV maintenance must
+    // be observationally equal to full recomputation
+    "q_agg_incremental" -> aggLineitemSql,
     "q_semijoin" ->
       """SELECT o_orderkey, o_custkey FROM orders
          WHERE EXISTS (SELECT 1 FROM customer
