@@ -102,7 +102,11 @@ object SparkEntry {
       "q_agg_incremental",
       // the lag/lead window class is timed by q_window_lag and
       // q_window_running on 3× the rows
-      "q_events_scd")
+      "q_events_scd",
+      // both branches are benched iteration classes
+      // (q_pagerank_incremental warm, q_pagerank_cold cold); the
+      // decision is two 1-row counts
+      "q_pagerank_maintain")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

@@ -44,6 +44,37 @@ object GraphQueries {
     * the gate pins the warm-start LAW, not the constant. */
   private[graft] val WarmIters = 4
 
+  /** Rebuild bound on the dump's edge-churn fraction
+    * (|new edges| / |standing edges|): past it, the standing seed is
+    * far enough from the new fixed point that the warm budget's
+    * savings vanish — recompute cold. Chosen so the GATE CORPORA
+    * exercise both branches (the q_ann_maintain discipline): sf0.01's
+    * dump churns 9.2% → WARM, sf0.1's churns 10.9% → COLD rebuild. A
+    * deployment tunes this to its own dump telemetry; the gate pins
+    * the decision LAW, not the constant. */
+  private[graft] val ChurnBound = 0.10
+
+  private val churnCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), Boolean]
+
+  /** The rebuild-or-warm decision: true iff the dump's directed
+    * edge-churn fraction exceeds [[ChurnBound]]. Two 1-row counts
+    * (N-counter contract), memoized per (context, dir). */
+  private[graft] def maintainRebuild(s: SparkSession, d: String): Boolean = {
+    churnCache.keys.foreach { k =>
+      if (k._1.isStopped) churnCache.remove(k)
+    }
+    graft.plans.Lineage.once(churnCache, (s.sparkContext, d)) {
+      val g = GraphCatalog.tpch(s, d)
+      val thr = GraphCatalog.tpchOrderThreshold(s, d)
+      val ns = LinkGraph.removeRedLinks(
+        LinkGraph.tpchEdges(s, d, maxOrder = Some(thr)), g.pages).count()
+      val nf = g.edges.count()
+      (nf - ns).toDouble / ns.toDouble > ChurnBound
+    }
+  }
+
   /** [[graphCtes]] plus the STANDING edge set (orders below the
     * high-water mark — GraphCatalog.tpchOrderThreshold's rule inlined
     * as the thr CTE) for the warm-start oracle, both SYMMETRIZED into
@@ -358,6 +389,32 @@ object GraphQueries {
         .orderBy(col("page"))
     }),
 
+    // GRAPH MAINTENANCE DECISION — the monitor→actuator loop
+    // q_ann_maintain closes for the ANN store, closed for the graph
+    // family: a dump arrives, and the pipeline decides WARM (seed the
+    // stored vector, half the budget — q_pagerank_incremental's path)
+    // vs COLD rebuild (uniform seed, full budget) by the dump's
+    // edge-churn fraction against [[ChurnBound]] — a large-churn dump
+    // moves the fixed point far enough that the warm savings vanish.
+    // The decision is two 1-row counts (N-counter contract); the
+    // emitted `rebuilt` flag states it, and the gate corpora exercise
+    // BOTH branches (sf0.01 warm, sf0.1 cold). The oracle replays the
+    // churn, BOTH chains and the selection in one statement.
+    "q_pagerank_maintain" -> ((s, d) => {
+      val g = GraphCatalog.tpch(s, d)
+      val rebuilt = maintainRebuild(s, d)
+      val ranks =
+        if (rebuilt)
+          PageRank.run(g.pages, GraphCatalog.symmetrized(g.edges))
+        else
+          PageRank.run(g.pages, GraphCatalog.symmetrized(g.edges),
+            iters = WarmIters,
+            initRanks = Some(GraphCatalog.tpchStandingRanks(s, d)))
+      ranks.select(col("page"), round(col("rank"), 6).as("pr"),
+          lit(rebuilt).as("rebuilt"))
+        .orderBy(col("page"))
+    }),
+
     // Personalized PageRank: all teleport mass seeded at one page (the
     // deterministic MIN(src)) — ranks become proximity-to-source
     // scores, the standard seeded-relevance / related-pages variant.
@@ -615,6 +672,17 @@ object GraphQueries {
     "q_pagerank_incremental" -> PageRankOracle.warmSql(warmGraphCtes,
       PageRank.DefaultIters, WarmIters,
       s"SELECT page, ROUND(pr, 6) AS pr FROM w$WarmIters ORDER BY page"),
+    // churn + both chains + the selection, one statement — the
+    // q_ann_maintain oracle shape for the graph store
+    "q_pagerank_maintain" -> PageRankOracle.maintainSql(warmGraphCtes,
+      PageRank.DefaultIters, WarmIters, PageRank.DefaultIters,
+      s"""SELECT w.page,
+            ROUND(CASE WHEN (SELECT cf FROM churn) > CAST($ChurnBound AS DOUBLE)
+                       THEN cc.pr ELSE w.pr END, 6) AS pr,
+            (SELECT cf FROM churn) > CAST($ChurnBound AS DOUBLE) AS rebuilt
+          FROM w$WarmIters w
+          JOIN c${PageRank.DefaultIters} cc ON cc.page = w.page
+          ORDER BY w.page"""),
     "q_graph_hits" -> Hits.oracleSql(graphCtes, Hits.DefaultIters,
       """SELECT page, ROUND(auth, 6) AS auth, ROUND(hub, 6) AS hub
          FROM hits ORDER BY page"""),

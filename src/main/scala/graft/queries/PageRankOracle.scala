@@ -121,4 +121,30 @@ object PageRankOracle {
         w0 AS (SELECT page, pr FROM s$standIters),
         ${chainCtes("w", "good", "deg", warmIters)}
         $select"""
+
+  /** MAINTENANCE-DECISION replay (q_pagerank_maintain): the warm
+    * chains of [[warmSql]] PLUS a cold chain `c1..c$coldIters`
+    * (uniform seed over the full graph) and a `churn` CTE (the
+    * directed new-edge fraction over `dgood`/`dsgood`, which callers'
+    * graphCtes must define) — one statement carries BOTH branches and
+    * the decision, the q_ann_maintain oracle shape. */
+  def maintainSql(graphCtes: String, standIters: Int, warmIters: Int,
+      coldIters: Int, select: String): String =
+    s"""WITH $graphCtes,
+        deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                FROM good GROUP BY src),
+        sdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                 FROM sgood GROUP BY src),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pages),
+        churn AS (SELECT CAST((SELECT COUNT(*) FROM dgood) -
+                              (SELECT COUNT(*) FROM dsgood) AS DOUBLE) /
+                         CAST((SELECT COUNT(*) FROM dsgood) AS DOUBLE)
+                    AS cf),
+        s0 AS (SELECT page, 1.0 / (SELECT n FROM nn) AS pr FROM pages),
+        ${chainCtes("s", "sgood", "sdeg", standIters)},
+        w0 AS (SELECT page, pr FROM s$standIters),
+        ${chainCtes("w", "good", "deg", warmIters)},
+        c0 AS (SELECT page, 1.0 / (SELECT n FROM nn) AS pr FROM pages),
+        ${chainCtes("c", "good", "deg", coldIters)}
+        $select"""
 }
