@@ -103,9 +103,14 @@ object SparkEntry {
       // the lag/lead window class is timed by q_window_lag and
       // q_window_running on 3× the rows
       "q_events_scd",
-      // both branches are benched iteration classes
-      // (q_pagerank_incremental warm, q_pagerank_cold cold); the
-      // decision is two 1-row counts
+      // both branches are benched ITERATION CLASSES — the warm branch
+      // IS q_pagerank_incremental's plan; the cold branch is
+      // q_pagerank_cold's loop class, but note (ADVICE r17) its COST
+      // is not covered verbatim: the maintain cold rebuild runs 8
+      // iterations over the ~2×-edge SYMMETRIZED graph, ~2× the
+      // benched directed cold run — the plan class, not the cost
+      // constant, is what the bench carries. The decision itself is
+      // two 1-row counts
       "q_pagerank_maintain")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -71,6 +71,12 @@ object GraphQueries {
       val ns = LinkGraph.removeRedLinks(
         LinkGraph.tpchEdges(s, d, maxOrder = Some(thr)), g.pages).count()
       val nf = g.edges.count()
+      // ADVICE r17: an empty standing set would make churn = ∞ (or
+      // NaN) and SILENTLY pick the cold branch — fixture drift must
+      // surface as an error, not an implicit decision
+      require(ns > 0,
+        s"q_pagerank_maintain: empty standing edge set under $d — no " +
+          "churn fraction to decide on")
       (nf - ns).toDouble / ns.toDouble > ChurnBound
     }
   }

@@ -46,7 +46,18 @@ object RelationalQueries {
     // q_agg_lineitem's SQL verbatim (the q_ann_compact one-oracle
     // precedent: two physical paths, one law). Rounding happens at
     // SERVE (the store holds raw partials): rounding partials would
-    // break the merge law. Gate-only in the bench: the partial-agg
+    // break the merge law. Float contract (ADVICE r17): the merge
+    // REORDERS IEEE double additions vs full recompute, so the
+    // one-oracle law rides the family round-to-2dp contract — safe
+    // while no group sum sits within the summation-reorder error of a
+    // 0.005 rounding boundary. AggIncrementalSpec MEASURES that margin
+    // on the gate corpus (min boundary distance ≫ the observed
+    // merge-vs-recompute drift) so a corpus that lands near a boundary
+    // fails loudly in the spec, not nondeterministically in the hash;
+    // the remedy then is DECIMAL partials on BOTH engines (a
+    // whole-family change — the base q_agg_lineitem law has the same
+    // exposure — deliberately not taken while the margin holds).
+    // Gate-only in the bench: the partial-agg
     // class is timed by q_agg_lineitem; the merge is a ≤2×|groups|-row
     // aggregation. Scale: maintenance cost ∝ dump size, not corpus —
     // the whole point of the MV.

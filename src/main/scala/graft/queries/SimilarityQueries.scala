@@ -188,9 +188,18 @@ object SimilarityQueries {
         SELECT qid, vec_id, cos, rank FROM r WHERE rank <= $K
         ORDER BY qid, rank"""
 
-  /** Query-vector set: every 100th vector. */
+  /** The query-sample membership rule — every 100th vector. ONE
+    * definition (ADVICE r17): every consumer that needs the query set
+    * in a shape [[queryVecs]] doesn't provide (the stored-search
+    * attribute lookup, the recall denominator, the LSH probe set)
+    * filters on THIS predicate, so a change to the sample rule can
+    * never silently diverge the filtered/recall gates from the probe
+    * set. */
+  private[graft] def isQueryVec: Column = col("vec_id") % 100 === 0
+
+  /** Query-vector set: the [[isQueryVec]] sample as (qid, qv). */
   private def queryVecs(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % 100 === 0)
+    e.filter(isQueryVec)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
 
   /** cosine(qv, embedding) via the native codegen'd expression
@@ -241,7 +250,7 @@ object SimilarityQueries {
   private def pqQueryTabs(e: DataFrame,
       seedRule: Column = PqSeedRule,
       cbFrom: Option[DataFrame] = None): DataFrame =
-    e.filter(col("vec_id") % 100 === 0)
+    e.filter(isQueryVec)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .crossJoin(broadcast(centroids(cbFrom.getOrElse(e), seedRule)))
       .select(col("qid"), expr(dtabExpr("qv", "cs")).as("qtab"))
@@ -1185,7 +1194,7 @@ object SimilarityQueries {
       // Hamming ≤ 2 masks, in EVERY table — enumerated probe keys keep
       // candidate generation a (t, sig) equi-join (the scale-sane
       // form); the union over tables is deduped below.
-      val q = sigs.filter(col("vec_id") % 100 === 0)
+      val q = sigs.filter(isQueryVec)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           col("t").as("qt"), col("sig").as("qs"),
           explode(lit(LshProbeMasks.toArray)).as("m"))
@@ -1412,7 +1421,7 @@ object SimilarityQueries {
         .select("qid", "vec_id")
       val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
         .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-      e.filter(col("vec_id") % 100 === 0)
+      e.filter(isQueryVec)
         .select(col("vec_id").as("qid"))
         .join(hits, Seq("qid"), "left")
         .select(col("qid"),
@@ -1828,7 +1837,7 @@ object SimilarityQueries {
     // the query set is bounded, so the attribute lookup is a pruned
     // 2-column scan joined into the ≤(queries × nprobe)-row probe frame
     val probes = queryAttr.fold(probes0)(a =>
-      probes0.join(e.filter(col("vec_id") % 100 === 0)
+      probes0.join(e.filter(isQueryVec)
         .select(col("vec_id").as("qid"), col(a).as("qattr")), "qid"))
     val cellSet = probes.select("pcell").distinct()
       .collect().map(_.getLong(0))

@@ -1276,17 +1276,61 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_events_scd AQE final plan: ONE hash exchange serves both " +
+      "window passes — the change filter preserves (user_id) " +
+      "partitioning and (ts, event_id) ordering (VERDICT r17 watch 1)") {
+    withAqePlans {
+    val ns = aqeFinalNodes(
+      graft.SparkEntry.queries("q_events_scd")(spark, Dir))
+    val hashEx = ns.count {
+      case e: ShuffleExchangeExec => e.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      case _ => false
+    }
+    // the lag/change-filter pass and the row_number/lead pass share
+    // the one (user_id) hash shuffle; a refactor inserting a
+    // projection that drops the sort order would silently plan a
+    // second one. Total = that hash exchange + the presentation
+    // range sort.
+    assert(hashEx == 1,
+      s"q_events_scd: expected exactly 1 hash exchange (the shared " +
+        s"user_id window shuffle), got $hashEx — the second window " +
+        s"pass stopped riding the first's partitioning")
+    assert(aqeShuffles(ns) == 2,
+      s"q_events_scd: expected 2 shuffles total (user_id windows + " +
+        s"presentation range sort), got ${aqeShuffles(ns)}")
+    }
+  }
+
   test("q_dedup_substring_removed plan (lazy form): every join is an " +
-      "equi-join and corpus text crosses at most ONE exchange — the " +
+      "equi-join and corpus text crosses exactly ONE exchange — the " +
       "counting half ships digests, only the removal join pays the " +
       "text shuffle") {
     withStaticPlans {
     // at-scale strategy: neither the dup set nor the starts broadcast
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // ADVICE r17: a sibling suite can leave a frame EMBEDDING the
+    // documents scan cached already co-partitioned, in which case the
+    // planner substitutes an InMemoryTableScan and the removal join
+    // legitimately needs no text exchange — which would force a <= 1
+    // pin that also passes an unintended zero. Evict every cached
+    // dependent of the documents scan first (cascade; memoized
+    // artifacts are checkpointed, so their caches don't embed the
+    // scan), then keep the EXACT == 1 pin.
+    spark.sharedState.cacheManager.uncacheQuery(
+      graft.Tables.documents(spark, Dir)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]],
+      cascade = true)
     val p = graft.queries.DedupQueries
       .substringRemoval(graft.Tables.documents(spark, Dir), 8,
         materialize = false)
       .queryExecution.executedPlan
+    // every subtree of this plan reads documents, so ANY surviving
+    // cache substitution means the eviction stopped matching
+    assert(!p.toString.contains("InMemoryTableScan"),
+      "q_dedup_substring_removed: the plan still reads a cached " +
+        "subtree — the uncache stopped matching and the == 1 pin " +
+        "below would be vacuous")
     assertNoAllPairs("q_dedup_substring_removed", p)
     // every join keyed (digest probe on h, removal join on doc_id)
     p.foreach {
@@ -1308,15 +1352,14 @@ class PlanShapeSpec extends SparkSpec {
           .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
           && e.output.exists(a => a.name == "toks" || a.name == "text") => e
     }
-    // ≤ 1, not == 1: when an earlier suite leaves the documents scan
-    // cached already co-partitioned, the removal join legitimately
-    // needs NO text exchange — the law is an upper bound (the title's
-    // "at most ONE"); two or more is the regression this pin exists
-    // to catch
-    assert(textExchanges.size <= 1,
+    // exact == 1 (ADVICE r17): the cache eviction above removes the
+    // only legitimate zero-exchange regime, so a zero here is an
+    // unintended plan change and two or more is the text re-shuffle
+    // regression this pin exists to catch
+    assert(textExchanges.size == 1,
       s"q_dedup_substring_removed: corpus text crossed " +
-        s"${textExchanges.size} keyed exchanges, expected at most the " +
-        s"removal join's:\n${p.toString.take(2000)}")
+        s"${textExchanges.size} keyed exchanges, expected exactly the " +
+        s"removal join's one:\n${p.toString.take(2000)}")
     }
   }
 }

@@ -50,6 +50,54 @@ class AggIncrementalSpec extends SparkSpec {
       "no group's count moved — the dump touched nothing")
   }
 
+  test("rounding-boundary margin: every unrounded group sum sits far " +
+      "from a 0.005 boundary relative to the merge-reorder drift " +
+      "(ADVICE r17 — the one-oracle law's float contract, measured)") {
+    val thr = RelationalQueries.lineitemThreshold(spark, dir)
+    def partials(f: org.apache.spark.sql.DataFrame) = f
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("p_qty"),
+        sum(col("l_extendedprice")).as("p_base"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("p_disc"))
+    val li = Tables.lineitem(spark, dir)
+    // merge path: store partials + delta partials, summed per group
+    val merged = RelationalQueries.aggStore(spark, dir)
+      .select("l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc")
+      .unionByName(partials(li.filter(col("l_orderkey") >= lit(thr))))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("p_qty").as("p_qty"), sum("p_base").as("p_base"),
+        sum("p_disc").as("p_disc"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val full = partials(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(merged.keySet == full.keySet)
+    // observed reorder drift vs distance to the nearest round(_, 2)
+    // decision boundary (k + 0.005 grid): the law is robust iff every
+    // sum clears the boundary by far more than the drift
+    val (drifts, margins) = merged.toSeq.flatMap { case (k, ms) =>
+      ms.zip(full(k)).map { case (a, b) =>
+        val frac = math.abs(a * 100 - math.floor(a * 100) - 0.5) / 100
+        (math.abs(a - b), frac)
+      }
+    }.unzip
+    val maxDrift = drifts.max
+    val minMargin = margins.min
+    info(f"max merge-vs-recompute drift = $maxDrift%.3e, " +
+      f"min 0.005-boundary distance = $minMargin%.3e")
+    // 50× the observed drift plus an absolute floor (measured at
+    // sf0.01: margin 1.0e-4 vs drift 6.6e-7 — a ~155× ratio)
+    assert(minMargin > 1e-5 &&
+        minMargin > 50 * math.max(maxDrift, 1e-12),
+      f"a group sum sits within ~the reorder error of a rounding " +
+        f"boundary (margin $minMargin%.3e vs drift $maxDrift%.3e) — " +
+        "the one-oracle 2-dp contract is no longer safe on this " +
+        "corpus; move the MV partials to DECIMAL on both engines")
+  }
+
   test("plan: delta scan pushes the range filter; store table read") {
     val df = SparkEntry.queries("q_agg_incremental")(spark, dir)
     df.collect()
