@@ -103,6 +103,11 @@ object SparkEntry {
       // the lag/lead window class is timed by q_window_lag and
       // q_window_running on 3× the rows
       "q_events_scd",
+      // the union-tag last-non-null window class is timed by
+      // q_events_asof (benched) and the dimension pass by
+      // q_window_lag; this gate adds only the tag column + one
+      // same-sort full-frame max
+      "q_events_pit",
       // both branches are benched ITERATION CLASSES — the warm branch
       // IS q_pagerank_incremental's plan; the cold branch is
       // q_pagerank_cold's loop class, but note (ADVICE r17) its COST

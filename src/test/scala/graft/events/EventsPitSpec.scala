@@ -1,0 +1,91 @@
+package graft.events
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+import graft.queries.EventQueries
+
+/** `q_events_pit` — the SCD2 point-in-time read (Kimball consumption):
+  * each purchase fact joined to the dimension version in effect when
+  * the fact arrived (exclusive as-of: the fact's own update has not
+  * applied yet).
+  *
+  * Laws:
+  *  1. CONTAINMENT — the gate equals an INDEPENDENT per-row interval
+  *     join against the built dimension ([[EventQueries.scdFrame]]):
+  *     version v matches fact f iff vf < f.ts ≤ vt (vt NULL = open),
+  *     row for row. The gate's window idiom and this join are two
+  *     formulations of one law.
+  *  2. TEETH — some fact maps to a NON-current version (otherwise the
+  *     join is vacuously as-of-now), some fact maps to the current
+  *     one, the dimension attribute read back genuinely varies, and
+  *     the open side (facts before the user's first version) occurs.
+  *  3. CONSUMPTION — every (version, dim_type) the gate emits exists
+  *     in the q_events_scd dimension for that user (the read path
+  *     consumes the BUILT table, not a private re-derivation).
+  */
+class EventsPitSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def pit = SparkEntry.queries("q_events_pit")(spark, dir)
+
+  test("containment: the gate equals the per-row interval join " +
+      "against the built dimension") {
+    val dim = EventQueries.scdFrame(spark, dir)
+      .select(col("user_id").as("du"), col("version").as("dver"),
+        col("event_type").as("ddt"), col("valid_from_ts"),
+        col("valid_to_ts"))
+    val facts = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("fact_id"), col("ts"))
+    val joined = facts.join(dim,
+        col("user_id") === col("du") &&
+          col("valid_from_ts") < col("ts") &&
+          (col("valid_to_ts").isNull ||
+            col("ts") <= col("valid_to_ts")), "left")
+      .select(col("user_id"), col("fact_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("fact_ts"),
+        col("dver").as("version"), col("ddt").as("dim_type"),
+        coalesce(col("dver").isNotNull && col("valid_to_ts").isNull,
+          lit(false)).as("at_current"))
+      .orderBy(col("fact_id"))
+      .collect().map(_.toSeq).toSeq
+    val got = pit.collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == joined,
+      "window-idiom PIT read diverged from the interval join")
+  }
+
+  test("teeth: non-current matches, current matches, varying " +
+      "attribute, open side") {
+    val rows = pit.collect()
+    val current = rows.count(_.getBoolean(5))
+    val nonCurrent = rows.count(r => !r.isNullAt(3) && !r.getBoolean(5))
+    val open = rows.count(_.isNullAt(3))
+    val types = rows.filter(!_.isNullAt(4)).map(_.getString(4)).toSet
+    assert(nonCurrent > 0, "every fact read the current version — " +
+      "the PIT join is vacuously as-of-now on this corpus")
+    assert(current > 0, "no fact reads the current version")
+    assert(open > 0, "no fact precedes its user's first version — " +
+      "the open (NULL) side is untested")
+    assert(types.size > 1,
+      s"the read-back attribute is constant ($types) — the " +
+        "exclusive-as-of semantics stopped varying it")
+  }
+
+  test("consumption: every emitted (user, version, dim_type) exists " +
+      "in the q_events_scd dimension") {
+    val dim = SparkEntry.queries("q_events_scd")(spark, dir)
+      .select(col("user_id"), col("version"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val read = pit.filter(col("version").isNotNull)
+      .select(col("user_id"), col("version"), col("dim_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(read.nonEmpty)
+    assert(read.subsetOf(dim),
+      s"PIT read versions missing from the dimension: ${read -- dim}")
+  }
+}
