@@ -78,6 +78,14 @@ object SparkEntry {
       // timed probe is q_dedup_incremental's plan class over half the
       // dump — already benched
       "q_dedup_store_append",
+      // same co-located probe plan as q_dedup_incremental (benched)
+      // plus one row filter on the store scan — the q_ann_delete
+      // rationale
+      "q_dedup_delete",
+      // the compaction REWRITE is a once-per-maintenance memoized
+      // write; the timed probe is again q_dedup_incremental's plan
+      // over the smaller compacted table — the q_ann_compact rationale
+      "q_dedup_compact",
       // training time is benched by q_text_bpe_train; the apply pass
       // is the q_text_tokens_bpe narrow-replace class with 64 rules
       // instead of 1200

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -144,6 +144,37 @@ object DedupQueries {
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("a"), col("b"))
     }),
+
+    // TOMBSTONE DELETES on the signature store (VERDICT r17 item 3)
+    // — the q_ann_delete lifecycle brought to dedup: a takedown /
+    // opt-out removal ([[DedupDeleteRule]], 10% of standing ids) must
+    // stop the store from ever pairing against the forgotten
+    // documents, WITHOUT rewriting the bucketed table per delete.
+    // The tombstone filter runs INSIDE the bucket-co-located probe
+    // (on the store side of the same join — never a post-filter of
+    // emitted pairs, which would be equivalent here but wrong the
+    // moment any per-pair cap exists), so the probe's zero-shuffle
+    // store side and pushdown story are exactly
+    // q_dedup_incremental's. ONE oracle with q_dedup_compact (the
+    // annDeleteServeSql precedent): filtered probe ≡ compacted probe
+    // IS the compaction correctness law.
+    "q_dedup_delete" -> ((s, d) =>
+      incrementalPairsOver(s, d, signatureStore(s, d)
+          .filter(!DedupDeleteRule))
+        .orderBy(col("a"), col("b"))),
+
+    // PHYSICAL COMPACTION of the tombstoned signature store — the
+    // lifecycle step after deletes accumulate (the q_ann_compact
+    // move): rewrite the store dropping the tombstoned rows, bucket-
+    // preserving, under the same fixed hash seeds — never a
+    // re-sketch. Probing the compacted table must answer exactly what
+    // the tombstone-filtered store answers (the shared oracle states
+    // it); DedupDeleteSpec additionally pins that the table on disk
+    // lost EXACTLY the tombstoned rows and that deletion genuinely
+    // changed served pairs at both SFs.
+    "q_dedup_compact" -> ((s, d) =>
+      incrementalPairsOver(s, d, sigStoreCompacted(s, d))
+        .orderBy(col("a"), col("b"))),
 
     // STREAMING incremental dedup — the INGEST-TIME shape of
     // q_dedup_incremental (the batch gate answers "dedup a dump I
@@ -731,8 +762,16 @@ object DedupQueries {
     * against the persisted store (scale/semantics on the gate entry).
     * Unordered. */
   private[queries] def incrementalPairs(s: SparkSession,
-      d: String): DataFrame = {
-    val store = signatureStore(s, d)
+      d: String): DataFrame =
+    incrementalPairsOver(s, d, signatureStore(s, d))
+
+  /** The same probe over ANY store expression — the delete gate passes
+    * the tombstone-filtered store, the compact gate the physically
+    * compacted table; q_dedup_incremental the standing store. ONE
+    * probe strategy, so a fix applied to one lifecycle gate cannot
+    * silently diverge the others (the storedSearch discipline). */
+  private def incrementalPairsOver(s: SparkSession, d: String,
+      store: DataFrame): DataFrame = {
     val nb = incNewBanded(s, d)
     val cross = nb.as("x").join(store.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
@@ -862,6 +901,53 @@ object DedupQueries {
           && col("doc_id") <= lit(incMidpoint(s, d))))
         .write.bucketBy(IncBuckets, "band", "bkey").sortBy("band", "bkey")
         .mode("append").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
+  /** Tombstoned STANDING documents (q_dedup_delete /
+    * q_dedup_compact): the takedown/opt-out set every real corpus
+    * pipeline must be able to forget — a deterministic 10%-of-ids
+    * rule (the [[SimilarityQueries.AnnDeleteRule]] shape), applied to
+    * STORE rows only (the new dump is not in the store, so its docs
+    * are never tombstoned). It genuinely hits served results at both
+    * SFs: pair (267, 413) at sf0.01 and (1287, 1513) at sf0.1 vanish
+    * (DedupDeleteSpec pins that deletion CHANGED answers). */
+  private[graft] val DedupDeleteRule: Column = col("doc_id") % 10 === 3
+
+  private val sigCompactCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The signature store PHYSICALLY COMPACTED under the tombstone set
+    * (q_dedup_compact — the q_ann_compact lifecycle brought to dedup):
+    * rewrite the bucketed store DROPPING the tombstoned docs' rows.
+    * Band signatures are per-row artifacts of the fixed hash seeds, so
+    * compaction is a filter + bucket-preserving rewrite — never a
+    * re-sketch. Scale: one pass over the INDEX (4 band rows per doc —
+    * index-sized, not corpus-sized), bucketed write so the probe's
+    * co-location contract is preserved; probes after compaction stop
+    * paying the per-probe tombstone filter. The gates' standing
+    * [[signatureStore]] is left untouched. */
+  private[graft] def sigStoreCompacted(s: SparkSession, d: String)
+      : DataFrame = {
+    sigCompactCache.keys.foreach { k =>
+      if (k._1.isStopped) sigCompactCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(sigCompactCache,
+        (s.sparkContext, d)) {
+      val tbl = "graft_sig_cmp_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      signatureStore(s, d).filter(!DedupDeleteRule)
+        .write.bucketBy(IncBuckets, "band", "bkey").sortBy("band", "bkey")
+        .mode("overwrite").saveAsTable(tbl)
       tbl
     }
     s.table(name)
@@ -1141,6 +1227,40 @@ object DedupQueries {
           h -> ((2 * i + 1) * h + (i * 2654435761) % 4294967296) % 4294967296),
         'min') for i in range(0, 16)]"""
 
+  /** The q_dedup_incremental pair derivation with tombstoned standing
+    * endpoints excluded — shared VERBATIM by q_dedup_delete and
+    * q_dedup_compact (two physical paths, one law). A new-dump doc
+    * whose id matches the 10% rule is NOT excluded: tombstones are a
+    * store lifecycle, and the dump is not in the store. */
+  private def dedupDeleteServeSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+          s AS (SELECT doc_id, $shingle3 AS sh FROM t),
+          hh AS (SELECT doc_id, $shingleHash AS hs FROM s),
+          g AS (SELECT doc_id, hs, $minhash16 AS sig FROM hh),
+          bands AS (SELECT doc_id, hs, b.range AS band,
+                           md5(array_to_string(sig[1 + b.range * 4 : 4 + b.range * 4], ','))
+                             AS bkey
+                    FROM g CROSS JOIN range(0, 4) b),
+          cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                          len(list_intersect(x.hs, y.hs)) AS inter,
+                          len(x.hs) AS la, len(y.hs) AS lb
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                        AND x.doc_id < y.doc_id),
+          pairs AS (SELECT a, b,
+                      MAX(CAST(inter AS DOUBLE) / (la + lb - inter))
+                        AS jaccard
+                    FROM cand GROUP BY a, b)
+          SELECT p.a, p.b, p.jaccard FROM pairs p
+          JOIN documents da ON da.doc_id = p.a
+          JOIN documents db ON db.doc_id = p.b
+          WHERE p.jaccard >= 0.5
+            AND (da.source = '$IncNewSource' OR db.source = '$IncNewSource')
+            AND NOT (da.source <> '$IncNewSource' AND da.doc_id % 10 = 3)
+            AND NOT (db.source <> '$IncNewSource' AND db.doc_id % 10 = 3)
+          ORDER BY a, b"""
+
   /** DuckDB replay of [[editdistPairs]] at the given block cap — the
     * SAME routing for every cap, so the default gate stays honest on a
     * corpus whose blocks overflow (ADVICE r6). */
@@ -1292,6 +1412,14 @@ object DedupQueries {
           WHERE p.jaccard >= 0.5
             AND (da.source = '$IncNewSource' OR db.source = '$IncNewSource')
           ORDER BY a, b""",
+    // serve-after-delete, ONE oracle for BOTH physical paths
+    // (q_dedup_delete's tombstone filter inside the co-located probe;
+    // q_dedup_compact's physically rewritten store): the incremental
+    // pair law with pairs whose STANDING endpoint is tombstoned
+    // excluded — filtering ≡ compaction under fixed hash seeds IS the
+    // compaction correctness law (the annDeleteServeSql precedent)
+    "q_dedup_delete" -> dedupDeleteServeSql,
+    "q_dedup_compact" -> dedupDeleteServeSql,
     // the same full-corpus pair derivation restricted to pairs
     // touching wave B (the new dump's id upper half) — append ≡
     // rebuild means the appended store answers exactly the fresh
