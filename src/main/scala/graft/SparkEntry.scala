@@ -108,6 +108,9 @@ object SparkEntry {
       // incremental serve adds a range-pruned delta agg + a
       // ≤2×|groups|-row merge
       "q_agg_incremental",
+      // same rationale, one more range-pruned slice agg (the negated
+      // retraction leg) and a ≤3×|groups|-row merge
+      "q_agg_retract",
       // the lag/lead window class is timed by q_window_lag and
       // q_window_running on 3× the rows
       "q_events_scd",

@@ -81,6 +81,55 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // MV maintenance with RETRACTIONS (VERDICT r17 item 4) — the
+    // delete leg q_agg_incremental lacks: real maintenance handles
+    // rows LEAVING the view (retention expiry, GDPR deletes,
+    // corrections), not only appends. The retraction set here is the
+    // deterministic aging-out rule a warehouse actually runs — the
+    // oldest order-key slice below [[retentionThreshold]] expires —
+    // which is a RANGE predicate, so the retracted partials' scan is
+    // as pruned as the delta's (neither the surviving standing bytes
+    // nor the dump are re-read to compute what leaves). SUM and COUNT
+    // are groups under negation, so the maintenance is
+    // merge(standing, +delta, −retracted): the store's partials, the
+    // dump's partials, and the retracted slice's partials NEGATED,
+    // one |groups|-bounded merge agg. A group whose surviving count
+    // hits zero drops from the view (the HAVING — exact on the long
+    // count; its float sums are then discarded, never compared). ONE
+    // oracle states the law: recompute over the SURVIVING rows
+    // (l_orderkey ≥ the retention cut — q_agg_lineitem's SQL with one
+    // WHERE), so merge ≡ recompute is pinned end-to-end. Same float
+    // contract as q_agg_incremental (the measured-margin note above);
+    // AggRetractSpec pins merge ≡ engine-recompute row-for-row and
+    // that retraction genuinely moved totals. Gate-only in the bench:
+    // the partial-agg class is timed by q_agg_lineitem; both extra
+    // legs are range-pruned slice aggs of the same class.
+    "q_agg_retract" -> ((s, d) => {
+      val thr = lineitemThreshold(s, d)
+      val ret = retentionThreshold(s, d)
+      val li = Tables.lineitem(s, d)
+      def partials(f: DataFrame, sign: Long) = f
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg((lit(sign) * sum(col("l_quantity"))).as("p_qty"),
+          (lit(sign) * sum(col("l_extendedprice"))).as("p_base"),
+          (lit(sign) * sum(col("l_extendedprice")
+            * (lit(1) - col("l_discount")))).as("p_disc"),
+          (lit(sign) * count(lit(1))).as("p_n"))
+      aggStore(s, d)
+        .unionByName(partials(li.filter(col("l_orderkey") >= lit(thr)), 1L))
+        .unionByName(partials(li.filter(col("l_orderkey") < lit(ret)), -1L))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("p_qty")).as("m_qty"), sum(col("p_base")).as("m_base"),
+          sum(col("p_disc")).as("m_disc"), sum(col("p_n")).as("m_n"))
+        .filter(col("m_n") > 0)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("m_qty"), 2).as("sum_qty"),
+          round(col("m_base"), 2).as("sum_base"),
+          round(col("m_disc"), 2).as("sum_disc_price"),
+          col("m_n").as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // Existence semi-join — the J1 pattern (PageRank.java:130-157) on
     // relational data: orders whose customer is in the BUILDING segment.
     // The filtered customer side is small → Catalyst broadcasts it
@@ -487,6 +536,26 @@ object RelationalQueries {
     }
   }
 
+  /** The retention cut (q_agg_retract): standing rows below
+    * min + (max − min)/20 of l_orderkey age out — the oldest ~5%
+    * slice, a range predicate the retracted-partials scan pushes to
+    * parquet. Integer floor division on both engines; one memoized
+    * 1-row agg (the N-counter contract). Strictly below the
+    * [[lineitemThreshold]] high-water mark by construction, so the
+    * retracted set is always a standing subset, never dump rows. */
+  private val retThrCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), Long]
+
+  private[graft] def retentionThreshold(s: SparkSession, d: String): Long = {
+    retThrCache.keys.foreach { k => if (k._1.isStopped) retThrCache.remove(k) }
+    graft.plans.Lineage.once(retThrCache, (s.sparkContext, d)) {
+      val r = Tables.lineitem(s, d)
+        .agg(min("l_orderkey"), max("l_orderkey")).head
+      r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 20
+    }
+  }
+
   /** The persisted agg MV over the STANDING rows (l_orderkey below the
     * high-water mark): UNROUNDED partial sums + counts per group,
     * written once as a catalog table (the signature-store pattern for
@@ -528,6 +597,22 @@ object RelationalQueries {
     // ONE oracle, two physical paths: incremental MV maintenance must
     // be observationally equal to full recomputation
     "q_agg_incremental" -> aggLineitemSql,
+    // the retraction law in one statement: maintaining with negated
+    // partials must equal recomputing over exactly the SURVIVING rows
+    // (the retention cut inlined as the engine's min + (max−min)//20)
+    "q_agg_retract" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_base,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         COUNT(*) AS n_rows
+         FROM lineitem
+         WHERE l_orderkey >= (SELECT MIN(l_orderkey)
+                              + (MAX(l_orderkey) - MIN(l_orderkey)) // 20
+                              FROM lineitem)
+         GROUP BY l_returnflag, l_linestatus
+         HAVING COUNT(*) > 0
+         ORDER BY l_returnflag, l_linestatus""",
     "q_semijoin" ->
       """SELECT o_orderkey, o_custkey FROM orders
          WHERE EXISTS (SELECT 1 FROM customer
