@@ -90,6 +90,9 @@ object SparkEntry {
       // is the q_text_tokens_bpe narrow-replace class with 64 rules
       // instead of 1200
       "q_text_tokens_trained",
+      // the serve is q_text_classifier's scoring-agg class (benched);
+      // the epoch loop class is benched there too, on 2× the sample
+      "q_text_clf_stored",
       // both legs are benched operators (q_ann_bruteforce exact scan,
       // q_ann_ivfpq_stored pruned search); the gate adds only the
       // K-row-per-query hit join — harness overhead, not engine path.
@@ -108,17 +111,9 @@ object SparkEntry {
       // incremental serve adds a range-pruned delta agg + a
       // ≤2×|groups|-row merge
       "q_agg_incremental",
-      // same rationale, one more range-pruned slice agg (the negated
-      // retraction leg) and a ≤3×|groups|-row merge
-      "q_agg_retract",
       // the lag/lead window class is timed by q_window_lag and
       // q_window_running on 3× the rows
       "q_events_scd",
-      // the union-tag last-non-null window class is timed by
-      // q_events_asof (benched) and the dimension pass by
-      // q_window_lag; this gate adds only the tag column + one
-      // same-sort full-frame max
-      "q_events_pit",
       // both branches are benched ITERATION CLASSES — the warm branch
       // IS q_pagerank_incremental's plan; the cold branch is
       // q_pagerank_cold's loop class, but note (ADVICE r17) its COST

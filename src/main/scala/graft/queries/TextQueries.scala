@@ -60,8 +60,15 @@ object TextQueries {
     * counts, margins, gradients, weights, scores — bit-equal
     * cross-engine with no float contract at all. Unordered. */
   private[graft] def perceptronTrain(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val feat = graft.plans.Lineage.scratchCheckpoint(docs
+    val feat = clfFeatures(docs)
+    perceptronScore(feat, perceptronWeights(feat))
+  }
+
+  /** The hashed bag-of-words feature frame (doc_id, y, b, c) —
+    * checkpointed once and shared by every epoch pass AND the scoring
+    * pass over the same docs slice. */
+  private[graft] def clfFeatures(docs: DataFrame): DataFrame =
+    graft.plans.Lineage.scratchCheckpoint(docs
       .select(col("doc_id"),
         when(col("source").isin(ClfPos: _*), lit(1L)).otherwise(lit(-1L))
           .as("y"),
@@ -71,6 +78,13 @@ object TextQueries {
         (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
           % ClfB).as("b"))
       .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("c")))
+
+  /** The [[ClfEpochs]]-epoch batch-perceptron loop over a checkpointed
+    * feature frame → the final ClfB-long weight vector (each epoch:
+    * one window pass + one ≤ClfB-row gradient collect — the N-counter
+    * contract). */
+  private[graft] def perceptronWeights(feat: DataFrame): Array[Long] = {
+    import org.apache.spark.sql.expressions.Window
     val w = Array.fill(ClfB)(0L)
     val byDoc = Window.partitionBy("doc_id")
     for (_ <- 1 to ClfEpochs) {
@@ -84,6 +98,13 @@ object TextQueries {
         .collect()
         .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
     }
+    w
+  }
+
+  /** One scoring pass of a weight vector over a feature frame —
+    * (doc_id, label, score, pred_curated), exact longs. */
+  private[graft] def perceptronScore(feat: DataFrame,
+      w: Array[Long]): DataFrame = {
     val wCol = typedLit(w.toSeq)
     feat
       .groupBy(col("doc_id"), col("y"))
@@ -106,6 +127,72 @@ object TextQueries {
   private[graft] def classifierScores(s: SparkSession, d: String): DataFrame =
     graft.plans.Lineage.memo(clfCache, s, d)(
       perceptronTrain(Tables.documents(s, d)))
+
+  /** Training-sample membership for the PRODUCTION classifier
+    * (q_text_clf_stored / the curation gate's stored model): a
+    * deterministic md5 half of the corpus — the published recipes
+    * train the quality classifier on a sample, never the full corpus
+    * (VERDICT r17 watch 2: at 100 TB each perceptron epoch is a
+    * corpus scan; sampling caps training at |sample| × epochs while
+    * scoring stays one full narrow pass). The md5 rule (the splitCol
+    * idiom) is label-blind and replayed verbatim by the oracle. */
+  private[graft] val ClfSampleRule: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 2 === 0
+
+  /** [[ClfSampleRule]] as the identical DuckDB predicate. */
+  private[graft] val ClfSampleSql: String =
+    """CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       AS BIGINT) % 2 = 0"""
+
+  /** PERSISTED sampled-trained weight vector (the trainedRulesStore
+    * pattern brought to the classifier): train the 8-epoch perceptron
+    * on the md5-half sample ONCE, write the ClfB (b, w) rows as a
+    * catalog table — the production artifact a nightly curation job
+    * reads instead of retraining. Context-keyed (a catalog table is
+    * shared by sibling sessions). */
+  private val clfWCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  private[graft] def clfWeightsStore(s: SparkSession, d: String)
+      : DataFrame = {
+    clfWCache.keys.foreach { k => if (k._1.isStopped) clfWCache.remove(k) }
+    val name = graft.plans.Lineage.once(clfWCache, (s.sparkContext, d)) {
+      val tbl = "graft_clf_w_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val w = perceptronWeights(
+        clfFeatures(Tables.documents(s, d).filter(ClfSampleRule)))
+      import s.implicits._
+      w.toSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) }
+        .toDF("b", "w")
+        .coalesce(1).write.mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
+  /** The FULL corpus scored under the STORED sampled-trained weights
+    * — the production serve path (one narrow pass; the ClfB-row
+    * weight read is the bounded N-counter contract). Memoized like
+    * [[classifierScores]]; the curation gate reads THIS frame. */
+  private val clfStoredCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def storedClassifierScores(s: SparkSession,
+      d: String): DataFrame =
+    graft.plans.Lineage.memo(clfStoredCache, s, d) {
+      val w = Array.fill(ClfB)(0L)
+      clfWeightsStore(s, d).collect()
+        .foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+      perceptronScore(clfFeatures(Tables.documents(s, d)), w)
+    }
 
   /** q_text_langid_ngram's engine body over any (doc_id, lang, text)
     * frame — exposed for LangidNgramSpec, which feeds a constructed
@@ -382,7 +469,11 @@ object TextQueries {
     val nTok = Tables.documents(s, d).select(col("doc_id"),
       greatest(size(filter(toks, t => t =!= lit(""))), lit(1))
         .cast("double").as("clf_n"))
-    val scoredClf = classifierScores(s, d).join(nTok, Seq("doc_id"))
+    // the STORED sampled-trained model (VERDICT r17 item 5): the
+    // curation decision reads the persisted production artifact
+    // ([[clfWeightsStore]] via [[storedClassifierScores]]), not a
+    // fresh full-corpus training — the GPT-3/CCNet deployment shape
+    val scoredClf = storedClassifierScores(s, d).join(nTok, Seq("doc_id"))
       .select(lit("all").as("source"), col("doc_id"), col("score"),
         (col("score").cast("double") / col("clf_n")).as("qq"))
     val clf = scoredClf
@@ -2394,6 +2485,28 @@ object TextQueries {
     "q_text_classifier" -> ((s, d) =>
       classifierScores(s, d).orderBy(col("doc_id"))),
 
+    // THE STORED PRODUCTION CLASSIFIER (VERDICT r17 item 5 / watch 2)
+    // — q_text_classifier trains on the full corpus (the gate that
+    // pins the training recurrence); production curation cannot
+    // afford 8 full-corpus epochs per dump, so the deployment shape
+    // is: train ONCE on a deterministic md5-half sample
+    // ([[ClfSampleRule]] — the q_text_bpe_train_sp sampling
+    // precedent), PERSIST the ClfB-long weight vector as a catalog
+    // artifact ([[clfWeightsStore]] — the trainedRulesStore pattern),
+    // and serve every corpus scoring as one narrow pass under the
+    // stored weights. This gate dumps that serve over the full
+    // corpus; the clf-gated curation (q_text_curate_clf) reads the
+    // SAME stored model. Oracle: the identical 8 unrolled integer
+    // epochs restricted to the sample, scoring unrestricted —
+    // training and serving are different slices of one law.
+    // ClfStoredSpec pins stored ≡ fresh-sampled-trained and
+    // quantifies the sample's agreement with the full-corpus
+    // decision. Gate-only in the bench: the serve is
+    // q_text_classifier's scoring-agg class; the training loop class
+    // is benched there too (on 2× the sample).
+    "q_text_clf_stored" -> ((s, d) =>
+      storedClassifierScores(s, d).orderBy(col("doc_id"))),
+
     // CURATION GATED BY THE TRAINED CLASSIFIER (VERDICT r16 item 2) —
     // the published recipes' actual quality gate: GPT-3 (Brown'20
     // App. A) and CCNet filter on the TRAINED curated-vs-crawl
@@ -3182,16 +3295,24 @@ object TextQueries {
     * body, two oracles: q_text_classifier's dump and the clf-gated
     * curation frame replay the identical training (the decontCtes
     * sharing pattern). */
-  private def classifierCtes(p: String): String = {
+  private def classifierCtes(p: String, sampled: Boolean = false): String = {
     val pos = ClfPos.map(x => s"'$x'").mkString(", ")
+    // TRAINING reads tfeat (the md5-half sample when `sampled` — the
+    // stored production model's law), SCORING always reads the full
+    // feat: one recurrence, two slices
+    val tfeat =
+      if (sampled)
+        s"""${p}tfeat AS MATERIALIZED (SELECT * FROM ${p}feat
+             WHERE $ClfSampleSql)"""
+      else s"${p}tfeat AS (SELECT * FROM ${p}feat)"
     val epochs = (1 to ClfEpochs).map { k =>
       s"""${p}m$k AS (SELECT f.doc_id, any_value(f.y) AS y,
                  SUM(w${k - 1}.w * f.c) AS dot
-               FROM ${p}feat f JOIN ${p}w${k - 1} w${k - 1}
+               FROM ${p}tfeat f JOIN ${p}w${k - 1} w${k - 1}
                  ON w${k - 1}.b = f.b
                GROUP BY f.doc_id),
         ${p}g$k AS (SELECT f.b, SUM(f.y * f.c) AS g
-               FROM ${p}feat f JOIN ${p}m$k m$k ON m$k.doc_id = f.doc_id
+               FROM ${p}tfeat f JOIN ${p}m$k m$k ON m$k.doc_id = f.doc_id
                WHERE m$k.y * m$k.dot <= 0
                GROUP BY f.b),
         ${p}w$k AS MATERIALIZED (SELECT w${k - 1}.b,
@@ -3211,6 +3332,7 @@ object TextQueries {
                     FROM documents)
               WHERE tok <> '')
         GROUP BY 1, 2, 3),
+      $tfeat,
       ${p}w0 AS (SELECT i.range AS b, CAST(0 AS BIGINT) AS w
              FROM range(0, $ClfB) i),
       $epochs,
@@ -3226,6 +3348,13 @@ object TextQueries {
       SELECT doc_id, label, score, pred AS pred_curated
       FROM cfsc ORDER BY doc_id"""
 
+  /** q_text_clf_stored: the identical recurrence, training restricted
+    * to the md5-half sample, scoring over the full corpus. */
+  private def clfStoredOracle: String =
+    s"""WITH ${classifierCtes("cf", sampled = true)}
+      SELECT doc_id, label, score, pred AS pred_curated
+      FROM cfsc ORDER BY doc_id"""
+
   def oracles: Map[String, String] = {
     val en = sqlStopList(StopLists.head._2)
     val langHits = StopLists.map { case (lang, words) =>
@@ -3236,6 +3365,7 @@ object TextQueries {
       // ClfB-row (b, w) table per epoch, margins/gradients/updates the
       // same exact-integer expressions the engine folds
       "q_text_classifier" -> classifierOracle,
+      "q_text_clf_stored" -> clfStoredOracle,
       // same integer window arithmetic; DuckDB's inclusive slice
       // toks[a : a+63] is the 64-length clamped window
       "q_text_chunk" ->
@@ -3515,10 +3645,12 @@ object TextQueries {
             LEFT JOIN dcfin dd ON dd.doc_id = q.doc_id
             ORDER BY q.doc_id""",
       // the q_text_curate chain PLUS the classifier's 8 unrolled
-      // integer epochs (cf-prefixed shared classifierCtes): the
-      // quality decision in `selected` is the TRAINED score against
-      // the top-quartile retention cut (the one proven quantile law,
-      // global over the corpus); the heuristic cut stays as `kept`
+      // integer epochs (cf-prefixed shared classifierCtes, SAMPLED
+      // training — the curation gate reads the stored production
+      // model, r17 item 5): the quality decision in `selected` is the
+      // TRAINED score against the top-quartile retention cut (the one
+      // proven quantile law, global over the corpus); the heuristic
+      // cut stays as `kept`
       "q_text_curate_clf" ->
         s"""${DedupQueries.clusterCompCtes},
             ${decontCtes("dc")},
@@ -3527,7 +3659,7 @@ object TextQueries {
                     quantile_cont(qq, CAST(3 AS DOUBLE)/4) AS cut
                    FROM qs GROUP BY source),
             ${gopherKeepCtes("qg", "qt")},
-            ${classifierCtes("cf")},
+            ${classifierCtes("cf", sampled = true)},
             cfn AS (SELECT doc_id,
                       greatest(len(list_filter(
                         string_split_regex(text, '\\s+'),
@@ -3571,7 +3703,7 @@ object TextQueries {
             ${decontCtes("dc")},
             ${qualityQqCtes("q")},
             ${gopherKeepCtes("qg", "qt")},
-            ${classifierCtes("cf")},
+            ${classifierCtes("cf", sampled = true)},
             cfn AS (SELECT doc_id,
                       greatest(len(list_filter(
                         string_split_regex(text, '\\s+'),

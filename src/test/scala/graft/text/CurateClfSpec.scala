@@ -4,9 +4,10 @@ import graft.{SparkEntry, SparkSpec}
 
 /** `q_text_curate_clf` — the curation frame whose quality gate is the
   * TRAINED classifier (VERDICT r16 item 2: GPT-3/CCNet filter on the
-  * trained curated-vs-crawl score, not a heuristic blend): per-column
+  * trained curated-vs-crawl score, not a heuristic blend; since r18
+  * the STORED sampled-trained model, q_text_clf_stored): per-column
   * equality against the gates it composes (classifier score/verdict
-  * from q_text_classifier, everything else from q_text_curate), the
+  * from q_text_clf_stored, everything else from q_text_curate), the
   * decision law selected = clf_keep ∧ canonical ∧ gopher ∧
   * ¬contaminated ∧ ¬is_eval, and the teeth check that the trained
   * gate genuinely DISAGREES with the heuristic cut on this corpus —
@@ -22,7 +23,10 @@ class CurateClfSpec extends SparkSpec {
   test("clf_score equals q_text_classifier per document, the heuristic " +
       "kept column equals q_text_curate's, and clf_keep is the " +
       "top-quartile retention law (a strict upper set of scores)") {
-    val clf = SparkEntry.queries("q_text_classifier")(spark, dir)
+    // the STORED sampled-trained production model (r17 item 5) — the
+    // curation gate reads the persisted artifact, not the full-corpus
+    // training q_text_classifier pins
+    val clf = SparkEntry.queries("q_text_clf_stored")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val curate = SparkEntry.queries("q_text_curate")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
@@ -30,8 +34,8 @@ class CurateClfSpec extends SparkSpec {
     rows.foreach { r =>
       val id = r.getLong(0)
       assert(r.getLong(5) == clf(id),
-        s"doc $id: classifier score diverged from q_text_classifier " +
-          "— the memoized artifact forked")
+        s"doc $id: classifier score diverged from q_text_clf_stored " +
+          "— the stored-model artifact forked")
       assert(r.getBoolean(4) == curate(id),
         s"doc $id: heuristic kept diverged from q_text_curate")
     }
