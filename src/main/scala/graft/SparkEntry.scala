@@ -74,6 +74,10 @@ object SparkEntry {
       // q_embed_drift and the update-mode stateful emission class by
       // q_stream_running
       "q_stream_maintain",
+      // same rationale for the graph trigger: replay floor + the
+      // update-mode count class (q_stream_running); the standing edge
+      // build is q_graph_edges' benched class
+      "q_stream_graph_maintain",
       // the append is a once-per-dump memoized bucketed write; the
       // timed probe is q_dedup_incremental's plan class over half the
       // dump — already benched

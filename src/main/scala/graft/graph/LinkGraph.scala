@@ -102,9 +102,13 @@ object LinkGraph {
     * the standing build never reads a new-dump byte, and at 100 TB the
     * parquet row-group stats prune the dump's files entirely. */
   def tpchEdges(spark: SparkSession, dir: String,
-      maxOrder: Option[Long] = None): DataFrame = {
+      maxOrder: Option[Long] = None,
+      minOrder: Option[Long] = None): DataFrame = {
     val o0 = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-    val o = maxOrder.fold(o0)(t => o0.filter(col("o_orderkey") < lit(t)))
+    val o1 = maxOrder.fold(o0)(t => o0.filter(col("o_orderkey") < lit(t)))
+    // the dump slice (q_stream_graph_maintain's feed): orders at or
+    // above the high-water mark — a range predicate, scan-pruned
+    val o = minOrder.fold(o1)(t => o1.filter(col("o_orderkey") >= lit(t)))
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(col("o_custkey"), col("l_suppkey")).distinct()

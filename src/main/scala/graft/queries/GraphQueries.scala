@@ -421,6 +421,50 @@ object GraphQueries {
         .orderBy(col("page"))
     }),
 
+    // STREAMING maintenance TRIGGER for the graph family (VERDICT r17
+    // item 7) — the churn fraction computed AT INGEST TIME, closing
+    // the last monitor→actuator asymmetry between the ANN and graph
+    // lifecycles (q_stream_maintain fires the retrain decision from
+    // the vector stream; this fires [[maintainRebuild]]'s decision
+    // from the edge stream): the dump's candidate edges (orders at or
+    // above the high-water mark — [[LinkGraph.tpchEdges]]' minOrder
+    // range slice) replay through a MemoryStream; per micro-batch a
+    // stream-static left-semi screens red links against the page
+    // universe and a stream-static left-outer against the
+    // CHECKPOINTED standing edge set keeps only NOVEL edges; one
+    // update-mode count per (src, dst) is the only stateful operator
+    // (state ∝ distinct new edges — dump-sized). The emitted table's
+    // distinct key set IS the churn numerator (chunking-invariant);
+    // with the standing count (one 1-row agg, the N-counter contract)
+    // the gate emits exactly the (n_new, n_standing, rebuilt) decision
+    // q_pagerank_maintain actuates — StreamGraphMaintainSpec pins
+    // streamed ≡ maintainRebuild and exercises the fired branch on a
+    // constructed high-churn feed. Serving the chosen branch stays
+    // q_pagerank_maintain's job. The oracle replays churn + decision
+    // from the shared warm-graph CTEs in one statement.
+    "q_stream_graph_maintain" -> ((s, d) => {
+      import s.implicits._
+      val thr = GraphCatalog.tpchOrderThreshold(s, d)
+      val g = GraphCatalog.tpch(s, d)
+      val standing = graft.plans.Lineage.scratchCheckpoint(
+        LinkGraph.removeRedLinks(
+          LinkGraph.tpchEdges(s, d, maxOrder = Some(thr)), g.pages))
+      val ns = standing.count()
+      require(ns > 0,
+        s"q_stream_graph_maintain: empty standing edge set under $d")
+      val chunks = EventQueries.cachedChunks(s, d, "graphmaint")(
+        EventQueries.sortedFeed(
+          LinkGraph.tpchEdges(s, d, minOrder = Some(thr))
+            .as[(String, String)], "src"))
+      val emitted = EventQueries.replayToTable(s, chunks,
+          outputMode = "update")(stream =>
+        graft.streaming.GraphStreams.churnStream(
+          stream.toDF.toDF("src", "dst"), standing, g.pages))
+      val nNew = emitted.select("src", "dst").distinct().count()
+      val rebuilt = nNew.toDouble / ns.toDouble > ChurnBound
+      Seq((nNew, ns, rebuilt)).toDF("n_new", "n_standing", "rebuilt")
+    }),
+
     // Personalized PageRank: all teleport mass seeded at one page (the
     // deterministic MIN(src)) — ranks become proximity-to-source
     // scores, the standard seeded-relevance / related-pages variant.
@@ -689,6 +733,18 @@ object GraphQueries {
           FROM w$WarmIters w
           JOIN c${PageRank.DefaultIters} cc ON cc.page = w.page
           ORDER BY w.page"""),
+    // churn counts + the decision from the shared warm-graph CTEs —
+    // the streamed trigger must state exactly what maintainRebuild
+    // decides (dgood = full good edge set, dsgood = standing)
+    "q_stream_graph_maintain" ->
+      s"""WITH $warmGraphCtes,
+          nn AS (SELECT (SELECT COUNT(*) FROM dgood)
+                        - (SELECT COUNT(*) FROM dsgood) AS n_new,
+                        (SELECT COUNT(*) FROM dsgood) AS n_standing)
+          SELECT n_new, n_standing,
+                 (CAST(n_new AS DOUBLE) / CAST(n_standing AS DOUBLE))
+                   > CAST($ChurnBound AS DOUBLE) AS rebuilt
+          FROM nn""",
     "q_graph_hits" -> Hits.oracleSql(graphCtes, Hits.DefaultIters,
       """SELECT page, ROUND(auth, 6) AS auth, ROUND(hub, 6) AS hub
          FROM hits ORDER BY page"""),
