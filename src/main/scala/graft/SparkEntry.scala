@@ -21,7 +21,8 @@ object SparkEntry {
     (DedupQueries.queries, DedupQueries.oracles),
     (SimilarityQueries.queries, SimilarityQueries.oracles),
     (EventQueries.queries, EventQueries.oracles),
-    (MultimodalQueries.queries, MultimodalQueries.oracles)
+    (MultimodalQueries.queries, MultimodalQueries.oracles),
+    (PipelineQueries.queries, PipelineQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -78,6 +79,11 @@ object SparkEntry {
       // update-mode count class (q_stream_running); the standing edge
       // build is q_graph_edges' benched class
       "q_stream_graph_maintain",
+      // every engine path in the pipeline frame is a benched/gated
+      // constituent (curate-incremental, dedup probe, ann maintain,
+      // rank warm/rebuild, MV merge, pHash probe); the composition's
+      // own work is six 1-row counts
+      "q_pipeline_dump",
       // the append is a once-per-dump memoized bucketed write; the
       // timed probe is q_dedup_incremental's plan class over half the
       // dump — already benched

@@ -521,20 +521,19 @@ object RelationalQueries {
        FROM lineitem GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
 
-  /** The new-dump high-water mark on lineitem (max − max/10 of
-    * l_orderkey — the incVecThreshold idiom; a range predicate the
-    * delta scan pushes to parquet). 1-row agg, memoized. */
-  private val liThrCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.SparkContext, String), Long]
-
-  private[graft] def lineitemThreshold(s: SparkSession, d: String): Long = {
-    liThrCache.keys.foreach { k => if (k._1.isStopped) liThrCache.remove(k) }
-    graft.plans.Lineage.once(liThrCache, (s.sparkContext, d)) {
-      val hi = Tables.lineitem(s, d).agg(max("l_orderkey")).head.getLong(0)
-      hi - hi / 10
-    }
-  }
+  /** The new-dump high-water mark for the MV family — THE order-key
+    * boundary, shared verbatim with the graph family
+    * ([[graft.graph.GraphCatalog.tpchOrderThreshold]]: max − max/10
+    * of o_orderkey; a range predicate the delta scan pushes to
+    * parquet). One dump, ONE boundary (VERDICT r17 item 1): before
+    * r18 this was derived from max(l_orderkey) instead — numerically
+    * equal on the gate corpora but a SEPARATE definition, so a corpus
+    * whose top order carries no line items would silently give the
+    * graph and MV families different dump boundaries. The merge law
+    * itself is boundary-invariant (merge ≡ recompute at any split),
+    * which is exactly why the unification is safe. */
+  private[graft] def lineitemThreshold(s: SparkSession, d: String): Long =
+    graft.graph.GraphCatalog.tpchOrderThreshold(s, d)
 
   /** The retention cut (q_agg_retract): standing rows below
     * min + (max − min)/20 of l_orderkey age out — the oldest ~5%

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import graft.graph.GraphCatalog
+
+/** `q_pipeline_dump` — the six incremental families as ONE
+  * dump-arrival pass. The gate's oracle proves the VALUES; this spec
+  * pins what no per-family gate could state: that every family sees
+  * the SAME dump.
+  *
+  * Laws:
+  *  1. ONE DOC DUMP — the curation gate's decision rows, the dedup
+  *     probe's sketched ids, and the pHash probe's hashed ids all
+  *     derive from the one IncNewSource doc_id set (pHash = its
+  *     ≥256-byte subset, the aHash width·8 floor — a documented
+  *     restriction, not a second boundary).
+  *  2. ONE ORDER BOUNDARY — the MV family's high-water mark IS the
+  *     graph family's (the delegation a refactor must not undo).
+  *  3. COMPOSITION — each pipeline row's decision and counts equal
+  *     the constituent gates' own results (ann decision =
+  *     maintainRetrain, graph row = the streamed trigger's counts and
+  *     maintainRebuild, outputs = the constituent serves' row
+  *     counts).
+  *  4. TEETH — every family's dump_rows > 0 (an empty slice would
+  *     make that family's pipeline law vacuous).
+  */
+class PipelineDumpSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val rows =
+    SparkEntry.queries("q_pipeline_dump")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+
+  test("one doc dump: curate, dedup and phash slice the same id set") {
+    val dump = Tables.documents(spark, dir)
+      .filter(col("source") === DedupQueries.IncNewSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dump.nonEmpty)
+    val curIds = TextQueries.queries("q_text_curate_incremental")(
+      spark, dir).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curIds == dump,
+      "the curation gate decided a different doc set than the dump")
+    val dedupIds = DedupQueries.incNewBanded(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(dedupIds == dump,
+      "the dedup probe sketched a different doc set than the dump")
+    val phashIds = graft.multimodal.Multimodal.aHashBands(
+      graft.multimodal.Multimodal.assets(spark, dir)
+        .filter(col("meta.origin") === DedupQueries.IncNewSource), 32)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hashable = Tables.documents(spark, dir)
+      .filter(col("source") === DedupQueries.IncNewSource
+        && octet_length(col("text")) >= 256)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(phashIds == hashable && phashIds.subsetOf(dump),
+      "the pHash probe hashed ids outside the dump's ≥256-byte subset")
+  }
+
+  test("one order boundary: the MV high-water mark IS the graph's") {
+    assert(RelationalQueries.lineitemThreshold(spark, dir) ==
+        GraphCatalog.tpchOrderThreshold(spark, dir),
+      "the MV and graph families derive different order boundaries " +
+        "— the r18 unification was undone")
+  }
+
+  test("composition: decisions and counts equal the constituents'") {
+    val (annDump, annDec, annOut) = rows("ann")
+    assert(annDec ==
+        (if (SimilarityQueries.maintainRetrain(spark, dir)) "retrain"
+         else "append"),
+      "ann decision diverged from maintainRetrain")
+    assert(annDump == Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >=
+        lit(SimilarityQueries.incVecThreshold(spark, dir))).count())
+    assert(annOut ==
+      SimilarityQueries.queries("q_ann_maintain")(spark, dir).count())
+
+    val (gDump, gDec, gOut) = rows("graph")
+    val sg = SparkEntry.queries("q_stream_graph_maintain")(spark, dir)
+      .head
+    assert(gDump == sg.getLong(0),
+      "graph dump_rows diverged from the streamed trigger's n_new")
+    assert(gDec ==
+        (if (GraphQueries.maintainRebuild(spark, dir)) "rebuild"
+         else "warm"),
+      "graph decision diverged from maintainRebuild")
+    assert(gOut == GraphCatalog.tpch(spark, dir).n)
+
+    assert(rows("dedup")._3 ==
+      DedupQueries.incrementalPairs(spark, dir).count())
+    assert(rows("curate")._3 ==
+      TextQueries.queries("q_text_curate_incremental")(spark, dir)
+        .filter(col("selected")).count())
+    assert(rows("mv")._3 ==
+      RelationalQueries.queries("q_agg_incremental")(spark, dir).count())
+    assert(rows("phash")._3 ==
+      MultimodalQueries.queries("q_mm_phash_inc")(spark, dir).count())
+    assert(rows("curate")._1 == rows("dedup")._1,
+      "curate and dedup report different dump sizes for ONE dump")
+  }
+
+  test("teeth: every family's dump slice is non-empty") {
+    rows.foreach { case (fam, (dumpRows, _, _)) =>
+      assert(dumpRows > 0, s"family $fam: empty dump slice — its " +
+        "pipeline law is vacuous on this corpus")
+    }
+  }
+}
