@@ -92,6 +92,10 @@ object SparkEntry {
       // plus one row filter on the store scan — the q_ann_delete
       // rationale
       "q_dedup_delete",
+      // same co-located probe plan as q_mm_phash_inc (benched) plus
+      // one row filter / the once-per-maintenance compaction rewrite
+      "q_mm_phash_delete",
+      "q_mm_phash_compact",
       // the compaction REWRITE is a once-per-maintenance memoized
       // write; the timed probe is again q_dedup_incremental's plan
       // over the smaller compacted table — the q_ann_compact rationale

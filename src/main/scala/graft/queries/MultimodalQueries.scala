@@ -174,6 +174,71 @@ object MultimodalQueries {
       out
     }
 
+  /** q_mm_phash_inc's probe over ANY store expression — the delete
+    * gate passes the tombstone-filtered store, the compact gate the
+    * physically compacted table (the incrementalPairsOver /
+    * storedSearch one-strategy discipline). The dump's tier-2 rows
+    * are memoized so the three lifecycle gates sketch the dump once. */
+  private val dumpT2Cache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  private def phashProbeOver(s: SparkSession, d: String,
+      store: DataFrame): DataFrame = {
+    val nb = graft.plans.Lineage.memo(dumpT2Cache, s, d)(
+      tier2Rows(Multimodal.aHashBands(Multimodal.assets(s, d)
+        .filter(col("meta.origin") === DedupQueries.IncNewSource), 32)))
+    val key = Seq("band", "bkey", "blk", "bval")
+    def ham = expr("aggregate(zip_with(bsx, bsy, (p, q) -> " +
+      "bit_count(p ^ q)), 0, (acc, v) -> acc + v)").cast("long")
+    val cross = nb.as("x").join(store.as("y"),
+        key.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+        col("x.bs").as("bsx"), col("y.bs").as("bsy"))
+    val within = nb.as("x").join(nb.as("y"),
+        key.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.bs").as("bsx"), col("y.bs").as("bsy"))
+    cross.unionByName(within)
+      .select(col("a"), col("b"), ham.as("hamming"))
+      .groupBy("a", "b").agg(max("hamming").as("hamming"))
+      .filter(col("hamming") <= 7)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val phashCompactCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The pHash store physically compacted under the shared tombstone
+    * set — a filter + bucket-preserving rewrite of the tier-2 index
+    * (the sigStoreCompacted pattern; never a re-decode or re-hash). */
+  private[graft] def phashStoreCompacted(s: SparkSession, d: String)
+      : DataFrame = {
+    phashCompactCache.keys.foreach { k =>
+      if (k._1.isStopped) phashCompactCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(phashCompactCache,
+        (s.sparkContext, d)) {
+      val tbl = "graft_phash_cmp_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      phashStore(s, d).filter(!DedupQueries.DedupDeleteRule)
+        .write.bucketBy(8, "band", "bkey").sortBy("band", "bkey")
+        .mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> ((s, d) => {
       val feats = Multimodal.extractFeatures(Multimodal.assets(s, d))
@@ -245,32 +310,32 @@ object MultimodalQueries {
     // gate's business and are already in the store's past). Scale:
     // probe cost ∝ dump size × bucket occupancy; the store side never
     // shuffles (bucket co-location, MmPhashIncSpec pins it).
-    "q_mm_phash_inc" -> ((s, d) => {
-      val dump = Multimodal.assets(s, d)
-        .filter(col("meta.origin") === DedupQueries.IncNewSource)
-      val nb = graft.plans.Lineage.scratchCheckpoint(
-        tier2Rows(Multimodal.aHashBands(dump, 32)))
-      val store = phashStore(s, d)
-      val key = Seq("band", "bkey", "blk", "bval")
-      def ham = expr("aggregate(zip_with(bsx, bsy, (p, q) -> " +
-        "bit_count(p ^ q)), 0, (acc, v) -> acc + v)").cast("long")
-      val cross = nb.as("x").join(store.as("y"),
-          key.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
-            col("x.doc_id") =!= col("y.doc_id"))
-        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
-          greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
-          col("x.bs").as("bsx"), col("y.bs").as("bsy"))
-      val within = nb.as("x").join(nb.as("y"),
-          key.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.bs").as("bsx"), col("y.bs").as("bsy"))
-      cross.unionByName(within)
-        .select(col("a"), col("b"), ham.as("hamming"))
-        .groupBy("a", "b").agg(max("hamming").as("hamming"))
-        .filter(col("hamming") <= 7)
-        .orderBy(col("a"), col("b"))
-    }),
+    "q_mm_phash_inc" -> ((s, d) =>
+      phashProbeOver(s, d, phashStore(s, d))),
+
+    // TOMBSTONE DELETES on the pHash store — the forget path for
+    // image assets (the q_dedup_delete / q_ann_delete lifecycle,
+    // completing the delete/compact column of the store matrix): the
+    // [[DedupQueries.DedupDeleteRule]] tombstones (the SAME rule as
+    // the text store — one takedown set forgets a document in EVERY
+    // index that carries it, which is what a real takedown means)
+    // filter INSIDE the co-located probe; the bucketed table is never
+    // rewritten per delete and no standing payload is re-decoded.
+    // Deletion genuinely changes served pairs at both SFs (the
+    // (267,413)/(1287,1513) planted near-dups vanish — the same docs
+    // the text-signature delete forgets, the cross-index consistency
+    // a takedown demands).
+    "q_mm_phash_delete" -> ((s, d) =>
+      phashProbeOver(s, d,
+        phashStore(s, d).filter(!DedupQueries.DedupDeleteRule))),
+
+    // PHYSICAL COMPACTION of the tombstoned pHash store: rewrite
+    // bucket-preserving without the tombstoned rows — aHash band rows
+    // are per-asset artifacts of the fixed hash, so compaction is a
+    // filter over the index (64 rows/asset), never a re-decode. ONE
+    // oracle with q_mm_phash_delete: filtered ≡ compacted IS the law.
+    "q_mm_phash_compact" -> ((s, d) =>
+      phashProbeOver(s, d, phashStoreCompacted(s, d))),
 
     // REAL audio decode (javax.sound.sampled): each payload becomes a
     // genuine 8-bit-PCM mono WAV, is parsed back through the JDK codec
@@ -351,6 +416,26 @@ object MultimodalQueries {
                  FROM cand JOIN bands bx ON bx.doc_id = cand.a
                            JOIN bands by ON by.doc_id = cand.b)"""
 
+  /** Shared VERBATIM by q_mm_phash_delete and q_mm_phash_compact (two
+    * physical paths, one law): the q_mm_phash_inc pair derivation with
+    * tombstoned standing endpoints excluded — the SAME doc_id % 10 = 3
+    * takedown set the text signature store forgets. */
+  private def phashDeleteServeSql: String =
+    s"""WITH $phashPairCtes,
+          nd AS (SELECT doc_id FROM documents
+                 WHERE source = '${DedupQueries.IncNewSource}')
+         SELECT hd.a, hd.b, hd.hamming FROM hd
+         JOIN documents da ON da.doc_id = hd.a
+         JOIN documents db ON db.doc_id = hd.b
+         WHERE hd.hamming <= 7
+           AND (hd.a IN (SELECT doc_id FROM nd)
+                OR hd.b IN (SELECT doc_id FROM nd))
+           AND NOT (da.source <> '${DedupQueries.IncNewSource}'
+                    AND da.doc_id % 10 = 3)
+           AND NOT (db.source <> '${DedupQueries.IncNewSource}'
+                    AND db.doc_id % 10 = 3)
+         ORDER BY a, b"""
+
   def oracles: Map[String, String] = Map(
     "q_mm_features" -> {
       val histCols = (0 until 16)
@@ -418,6 +503,12 @@ object MultimodalQueries {
            AND (a IN (SELECT doc_id FROM nd)
                 OR b IN (SELECT doc_id FROM nd))
          ORDER BY a, b""",
+    // serve-after-delete, ONE oracle for BOTH physical paths (the
+    // dedupDeleteServeSql precedent): the dump-touching pair law minus
+    // pairs whose STANDING endpoint is tombstoned — filtering ≡
+    // compaction under the fixed aHash
+    "q_mm_phash_delete" -> phashDeleteServeSql,
+    "q_mm_phash_compact" -> phashDeleteServeSql,
     // the verified pair CTEs above + the q_dedup_cluster recursive
     // min-label closure over the hashed (≥ 256-char) asset universe
     "q_mm_phash_cluster" ->
