@@ -81,8 +81,8 @@ object SparkEntry {
       "q_stream_graph_maintain",
       // every engine path in the pipeline frame is a benched/gated
       // constituent (curate-incremental, dedup probe, ann maintain,
-      // rank warm/rebuild, MV merge, pHash probe); the composition's
-      // own work is six 1-row counts
+      // rank warm/rebuild, MV merge, pHash probe, SCD merge); the
+      // composition's own work is seven 1-row counts
       "q_pipeline_dump",
       // the append is a once-per-dump memoized bucketed write; the
       // timed probe is q_dedup_incremental's plan class over half the
@@ -128,6 +128,10 @@ object SparkEntry {
       // the lag/lead window class is timed by q_window_lag and
       // q_window_running on 3× the rows
       "q_events_scd",
+      // the same window classes over a DUMP-sized frame (open rows +
+      // delta) plus the once-per-round store build; the full-log
+      // class is q_events_scd's
+      "q_events_scd_inc",
       // both branches are benched ITERATION CLASSES — the warm branch
       // IS q_pagerank_incremental's plan; the cold branch is
       // q_pagerank_cold's loop class, but note (ADVICE r17) its COST

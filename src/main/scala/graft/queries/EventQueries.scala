@@ -34,11 +34,17 @@ object EventQueries {
     * change filter preserves (user_id) partitioning AND (ts, event_id)
     * ordering, so the second window pass plans no new exchange
     * (PlanShapeSpec pins it). Unordered. */
-  private[graft] def scdFrame(s: SparkSession, d: String): DataFrame = {
+  private[graft] def scdFrame(s: SparkSession, d: String): DataFrame =
+    scdOf(Tables.events(s, d))
+
+  /** [[scdFrame]] over any (user_id, event_id, ts, event_type) log —
+    * factored so the standing-dimension store build (the incremental
+    * gate's artifact) shares the one build definition. */
+  private[graft] def scdOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(s, d)
+    events
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
@@ -47,6 +53,56 @@ object EventQueries {
       .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("ts").as("valid_from_ts"), col("valid_to_ts"), col("version"))
+  }
+
+  /** The events dump boundary in epoch MICROSECONDS — max − (max −
+    * min)/10 of ts (the shared high-water-mark idiom on the event
+    * family's ordering key; integer floor division both engines).
+    * Memoized 1-row agg — the N-counter contract. */
+  private val evThrCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), Long]
+
+  private[graft] def eventsTsThreshold(s: SparkSession, d: String): Long = {
+    evThrCache.keys.foreach { k => if (k._1.isStopped) evThrCache.remove(k) }
+    graft.plans.Lineage.once(evThrCache, (s.sparkContext, d)) {
+      val r = Tables.events(s, d)
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head
+      r.getLong(1) - (r.getLong(1) - r.getLong(0)) / 10
+    }
+  }
+
+  /** The STANDING SCD2 dimension as a persisted catalog table — the
+    * warehouse artifact the incremental maintenance reads (the
+    * aggStore / rank-store pattern for the event family): the type-2
+    * build over events BELOW the ts high-water mark, written once,
+    * bucketed on user_id so the maintenance's open-version read and
+    * any downstream user_id join co-locate. */
+  private val scdStoreCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  private[graft] def scdStore(s: SparkSession, d: String): DataFrame = {
+    scdStoreCache.keys.foreach { k =>
+      if (k._1.isStopped) scdStoreCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(scdStoreCache, (s.sparkContext, d)) {
+      val tbl = "graft_scd_store_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      scdOf(Tables.events(s, d).filter(col("ts") <
+          timestamp_micros(lit(eventsTsThreshold(s, d)))))
+        .write.bucketBy(8, "user_id").sortBy("user_id", "version")
+        .mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
   }
 
   /** Bounded-replay harness shared by the q_stream_* gates: feed the
@@ -567,6 +623,64 @@ object EventQueries {
           col("version"))
         .orderBy(col("user_id"), col("version"))),
 
+    // INCREMENTAL SCD2 MAINTENANCE — the dimension's nightly merge
+    // (the MV-incremental move for the event family, and the seventh
+    // leg of q_pipeline_dump): the standing dimension lives as a
+    // persisted user_id-bucketed catalog table ([[scdStore]] — built
+    // once over events below the ts high-water mark); a dump arrives
+    // and maintenance touches ONLY the store's OPEN versions (one row
+    // per user with standing data) plus the delta events (a pushed ts
+    // range predicate — the standing log's bytes are never re-read).
+    // The collapse law makes this exact: a change row depends only on
+    // the PREVIOUS change's type, and the open version's type IS the
+    // user's last standing type, so chaining (open row ∪ delta) under
+    // the same lag filter reproduces the full-log chain's tail —
+    // the open version closes at the first new change (lead), new
+    // versions number on from the stored max, closed standing
+    // versions pass through untouched. merge(store, delta) ≡
+    // rebuild(full log): ONE oracle, q_events_scd's SQL verbatim (the
+    // q_agg_incremental one-oracle precedent). Scale: maintenance
+    // cost ∝ dump + |users touched| open rows — never the history.
+    // Gate-only in the bench: the window classes are q_window_lag's
+    // (benched) over a dump-sized frame.
+    "q_events_scd_inc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val store = scdStore(s, d)
+      val closed = store.filter(col("valid_to_ts").isNotNull)
+      val open = store.filter(col("valid_to_ts").isNull)
+        .select(col("user_id"), col("event_id"),
+          col("valid_from_ts").as("ts"), col("event_type"),
+          col("version").as("base_version"))
+      val delta = Tables.events(s, d)
+        .filter(col("ts") >= timestamp_micros(lit(eventsTsThreshold(s, d))))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), lit(null).cast("long").as("base_version"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      val chain = open.unionByName(delta)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val tail = chain
+        .withColumn("base", max(col("base_version")).over(wAll))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("version",
+          when(col("base").isNotNull, col("base") + col("rn") - 1)
+            .otherwise(col("rn")))
+        .withColumn("vt", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from_ts"), col("vt").as("valid_to_ts"),
+          col("version"))
+      tail.unionByName(closed.select(col("user_id"), col("event_type"),
+          col("valid_from_ts"), col("valid_to_ts"), col("version")))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from_ts"), Fmt).as("valid_from"),
+          date_format(col("valid_to_ts"), Fmt).as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"),
+          col("version"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
     // SCD2 POINT-IN-TIME READ (VERDICT r17 item 2) — the Kimball
     // consumption query the built dimension existed for: each FACT
     // (the purchase events) joined to the [[scdFrame]] version in
@@ -820,11 +934,12 @@ object EventQueries {
     })
   )
 
-  def oracles: Map[String, String] = Map(
-    // the change-collapse + interval-close replay: LAG filters
-    // no-change updates, ROW_NUMBER/LEAD over the surviving changes
-    "q_events_scd" ->
-      """WITH c AS (SELECT user_id, event_id, ts, event_type,
+  /** q_events_scd's oracle — ALSO q_events_scd_inc's, VERBATIM:
+    * maintaining the dimension from the store + the delta must answer
+    * exactly what rebuilding from the full log answers (the
+    * q_agg_incremental one-oracle law, event family). */
+  private val scdSql =
+    """WITH c AS (SELECT user_id, event_id, ts, event_type,
                   LAG(event_type) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id) AS prev
                 FROM events),
@@ -841,7 +956,15 @@ object EventQueries {
                 strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
                 strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
                 vt IS NULL AS is_current, version
-         FROM v ORDER BY user_id, version""",
+         FROM v ORDER BY user_id, version"""
+
+  def oracles: Map[String, String] = Map(
+    // the change-collapse + interval-close replay: LAG filters
+    // no-change updates, ROW_NUMBER/LEAD over the surviving changes
+    "q_events_scd" -> scdSql,
+    // ONE oracle, two physical paths: incremental dimension
+    // maintenance must be observationally equal to a full rebuild
+    "q_events_scd_inc" -> scdSql,
     // the INDEPENDENT interval-containment replay of the PIT read:
     // the same dimension CTEs, then each purchase fact LEFT-joined to
     // the version whose lead-closed interval strictly precedes and

@@ -7,15 +7,17 @@ import graft.Tables
 import graft.graph.{GraphCatalog, LinkGraph}
 import graft.multimodal.Multimodal
 
-/** THE dump-arrival pipeline (VERDICT r17 item 1) — the six
-  * per-family incremental paths run as ONE orchestrated nightly pass.
+/** THE dump-arrival pipeline (VERDICT r17 item 1) — the per-family
+  * incremental paths (six from the r17 list, plus the event family's
+  * dimension merge) run as ONE orchestrated nightly pass.
   *
   * A production corpus pipeline sees a dump land ONCE and every store
   * family reacts to the SAME arrival: the curation recipe admits
   * against standing artifacts, the dedup signature store is probed
   * (and appended), the ANN index takes its append-or-retrain
   * decision, the graph rank store its warm-or-rebuild decision, the
-  * relational MV merges the delta, and the pHash store is probed.
+  * relational MV merges the delta, the pHash store is probed, and the SCD2
+  * dimension store merges the event dump (q_events_scd_inc).
   * Every stage was already gated separately; what no gate asserted is
   * CROSS-FAMILY CONSISTENCY — that each family derives its slice from
   * one dump boundary, never six private ones. This module makes the
@@ -27,6 +29,8 @@ import graft.multimodal.Multimodal
   *     width·8 floor, stated below);
   *   - the embedding family: vec_id ≥
   *     [[SimilarityQueries.incVecThreshold]] (max − max/10);
+  *   - the event family: ts at or above the epoch-micros high-water
+  *     mark [[EventQueries.eventsTsThreshold]];
   *   - the order-keyed families (graph, MV): o_orderkey ≥
   *     [[GraphCatalog.tpchOrderThreshold]] — since r18 the MV's
   *     [[RelationalQueries.lineitemThreshold]] DELEGATES to it, so
@@ -45,12 +49,12 @@ import graft.multimodal.Multimodal
   * hash-mismatches the pipeline row. PipelineDumpSpec pins the
   * same-dump-id-set claims the frame's counts summarize.
   *
-  * Scale: the pipeline adds NOTHING to the constituent costs — six
-  * bounded counts (the N-counter contract) over stages whose
+  * Scale: the pipeline adds NOTHING to the constituent costs —
+  * seven bounded counts (the N-counter contract) over stages whose
   * dump-proportional cost stories are each family's own gate's.
   * Gate-only in the bench for the same reason: every engine path here
-  * is a benched constituent; the composition's own work is six 1-row
-  * aggs.
+  * is a benched constituent; the composition's own work is seven
+  * 1-row aggs.
   */
 object PipelineQueries {
 
@@ -90,6 +94,13 @@ object PipelineQueries {
       val mvRows = RelationalQueries.queries("q_agg_incremental")(s, d)
         .count()
 
+      // scd — the event family's dump (the ts high-water mark) merged
+      // into the standing dimension store
+      val nDeltaEv = Tables.events(s, d)
+        .filter(col("ts") >= timestamp_micros(
+          lit(EventQueries.eventsTsThreshold(s, d)))).count()
+      val scdRows = EventQueries.queries("q_events_scd_inc")(s, d).count()
+
       // phash — the SAME document dump, restricted to hashable assets
       // (payload ≥ 256 bytes — aHashBands' width·8 floor)
       val nDumpAssets = Multimodal.aHashBands(Multimodal.assets(s, d)
@@ -106,13 +117,14 @@ object PipelineQueries {
         ("graph", nNewEdges,
           if (graphRebuild) "rebuild" else "warm", g.n),
         ("mv", nDelta, "merge", mvRows),
-        ("phash", nDumpAssets, "probe", phashPairs))
+        ("phash", nDumpAssets, "probe", phashPairs),
+        ("scd", nDeltaEv, "merge", scdRows))
         .toDF("family", "dump_rows", "decision", "output_rows")
         .orderBy("family")
     })
   )
 
-  /** One statement, six proved laws: each family's leg wraps its own
+  /** One statement, seven proved laws: each family's leg wraps its own
     * gate's oracle as a SCOPED derived table (a subquery's WITH is
     * local, so the reuse is verbatim — the strongest form of "the
     * pipeline states nothing new, it states the gates TOGETHER"). */
@@ -156,6 +168,16 @@ object PipelineQueries {
             'merge',
             (SELECT COUNT(*)
              FROM (${RelationalQueries.oracles("q_agg_incremental")}) t)
+        UNION ALL
+          SELECT 'scd',
+            (SELECT COUNT(*) FROM events
+             WHERE epoch_us(ts) >= (SELECT MAX(epoch_us(ts))
+                                    - (MAX(epoch_us(ts))
+                                       - MIN(epoch_us(ts))) // 10
+                                    FROM events)),
+            'merge',
+            (SELECT COUNT(*)
+             FROM (${EventQueries.oracles("q_events_scd")}) t)
         UNION ALL
           SELECT 'phash',
             (SELECT COUNT(*) FROM documents

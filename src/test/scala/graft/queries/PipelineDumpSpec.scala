@@ -99,6 +99,11 @@ class PipelineDumpSpec extends SparkSpec {
       RelationalQueries.queries("q_agg_incremental")(spark, dir).count())
     assert(rows("phash")._3 ==
       MultimodalQueries.queries("q_mm_phash_inc")(spark, dir).count())
+    assert(rows("scd")._1 == Tables.events(spark, dir)
+      .filter(col("ts") >= timestamp_micros(
+        lit(EventQueries.eventsTsThreshold(spark, dir)))).count())
+    assert(rows("scd")._3 ==
+      EventQueries.queries("q_events_scd_inc")(spark, dir).count())
     assert(rows("curate")._1 == rows("dedup")._1,
       "curate and dedup report different dump sizes for ONE dump")
   }
