@@ -20,7 +20,7 @@ import graft.multimodal.Multimodal
   * dimension store merges the event dump (q_events_scd_inc).
   * Every stage was already gated separately; what no gate asserted is
   * CROSS-FAMILY CONSISTENCY — that each family derives its slice from
-  * one dump boundary, never six private ones. This module makes the
+  * one dump boundary, never seven private ones. This module makes the
   * boundary a single definition:
   *
   *   - document-keyed families (curate, dedup, phash): the dump IS
@@ -43,7 +43,7 @@ import graft.multimodal.Multimodal
   * ([[SimilarityQueries.maintainRetrain]],
   * [[GraphQueries.maintainRebuild]]), outputs as the row counts of
   * the already-proved serves. The oracle is ONE statement composing
-  * the six proved oracle chains as scoped derived tables (DuckDB CTE
+  * the seven proved oracle chains as scoped derived tables (DuckDB CTE
   * scoping makes the reuse verbatim — no renaming, no restatement),
   * so a wrong boundary, a wrong decision, or a drifted family law
   * hash-mismatches the pipeline row. PipelineDumpSpec pins the
