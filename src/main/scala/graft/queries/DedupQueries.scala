@@ -916,6 +916,14 @@ object DedupQueries {
     * (DedupDeleteSpec pins that deletion CHANGED answers). */
   private[graft] val DedupDeleteRule: Column = col("doc_id") % 10 === 3
 
+  /** The tombstoned-STANDING-endpoint predicate as the identical
+    * DuckDB fragment over a documents alias — ONE definition for both
+    * serve-after-delete oracles (text signatures here, the pHash
+    * store's), the isQueryVec lesson: a rule restated per consumer can
+    * silently diverge them. */
+  private[graft] def tombstonedSql(alias: String): String =
+    s"($alias.source <> '$IncNewSource' AND $alias.doc_id % 10 = 3)"
+
   private val sigCompactCache =
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.SparkContext, String), String]
@@ -1257,8 +1265,8 @@ object DedupQueries {
           JOIN documents db ON db.doc_id = p.b
           WHERE p.jaccard >= 0.5
             AND (da.source = '$IncNewSource' OR db.source = '$IncNewSource')
-            AND NOT (da.source <> '$IncNewSource' AND da.doc_id % 10 = 3)
-            AND NOT (db.source <> '$IncNewSource' AND db.doc_id % 10 = 3)
+            AND NOT ${tombstonedSql("da")}
+            AND NOT ${tombstonedSql("db")}
           ORDER BY a, b"""
 
   /** DuckDB replay of [[editdistPairs]] at the given block cap — the

@@ -430,10 +430,8 @@ object MultimodalQueries {
          WHERE hd.hamming <= 7
            AND (hd.a IN (SELECT doc_id FROM nd)
                 OR hd.b IN (SELECT doc_id FROM nd))
-           AND NOT (da.source <> '${DedupQueries.IncNewSource}'
-                    AND da.doc_id % 10 = 3)
-           AND NOT (db.source <> '${DedupQueries.IncNewSource}'
-                    AND db.doc_id % 10 = 3)
+           AND NOT ${DedupQueries.tombstonedSql("da")}
+           AND NOT ${DedupQueries.tombstonedSql("db")}
          ORDER BY a, b"""
 
   def oracles: Map[String, String] = Map(
