@@ -125,6 +125,26 @@ object SparkEntry {
       // incremental serve adds a range-pruned delta agg + a
       // ≤2×|groups|-row merge
       "q_agg_incremental",
+      // the re-entrancy gates (round 19) re-run the SAME merge/probe
+      // plan classes their one-dump parents carry, over half-dump
+      // slices, through an extra once-per-round persisted store:
+      // q_agg_inc2 is q_agg_incremental's range-pruned-delta + merge
+      // class twice; q_events_scd_inc2 is q_events_scd_inc's window
+      // classes twice over half the dump each; q_dedup_append2 is
+      // q_dedup_incremental's (benched) co-located probe over wave B;
+      // q_mm_phash_inc2 is q_mm_phash_inc's (benched) co-located
+      // probe, cross route only. Each intermediate store build is a
+      // once-per-dump memoized bucketed write the warm-up pass would
+      // absorb.
+      "q_agg_inc2", "q_events_scd_inc2", "q_dedup_append2",
+      "q_mm_phash_inc2",
+      // both legs are q_pagerank_incremental's (benched) warm
+      // 4-iteration plan class — the same pinned per-iteration
+      // shuffles over a bucketed seed store; note (the
+      // q_pagerank_maintain honesty rule) the COST is two instances
+      // of that class, not one — the plan class, not the cost
+      // constant, is what the bench carries
+      "q_pagerank_inc2",
       // the lag/lead window class is timed by q_window_lag and
       // q_window_running on 3× the rows
       "q_events_scd",

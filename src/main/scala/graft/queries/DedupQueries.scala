@@ -145,6 +145,41 @@ object DedupQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // RE-ENTRANT store accretion — TWO successive appends (VERDICT
+    // r18 item 1, dedup family): q_dedup_store_append proves one
+    // append; a production store accretes a dump EVERY night. Here
+    // BOTH waves append in order (standing write, then A, then B —
+    // two successive bucket-spec-matching appends to one table,
+    // [[sigStoreAppended2]]), and the serve probes wave B against the
+    // twice-appended store CROSS-ONLY (x ≠ y; no within-wave
+    // self-join): B's within-pairs must now come from the STORE's own
+    // B rows — so a second append that dropped, duplicated, or
+    // mis-bucketed rows hash-mismatches, which the within-route form
+    // would silently mask. ONE oracle: q_dedup_store_append's SQL
+    // VERBATIM (pairs touching wave B) — append∘append ≡ rebuild.
+    // DedupAppend2Spec additionally pins the store's row set equals
+    // the from-scratch sketch of standing ∪ dump. Gate-only in the
+    // bench: the probe is q_dedup_incremental's (benched) co-located
+    // plan; the appends are once-per-dump memoized bucketed writes.
+    "q_dedup_append2" -> ((s, d) => {
+      val mid = incMidpoint(s, d)
+      val store = sigStoreAppended2(s, d)
+      val nb = graft.plans.Lineage.memo(waveBCache, s, d)(
+        bandedSigs(Tables.documents(s, d)
+          .filter(col("source") === IncNewSource
+            && col("doc_id") > lit(mid))))
+      nb.as("x").join(store.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+          Dedup.jaccardSorted(col("x.hs"), col("y.hs")).as("j"))
+        .groupBy("a", "b").agg(max("j").as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // TOMBSTONE DELETES on the signature store (VERDICT r17 item 3)
     // — the q_ann_delete lifecycle brought to dedup: a takedown /
     // opt-out removal ([[DedupDeleteRule]], 10% of standing ids) must
@@ -906,6 +941,51 @@ object DedupQueries {
     s.table(name)
   }
 
+  private val sigApp2Cache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The signature store after BOTH waves' appends (q_dedup_append2 —
+    * round-19 re-entrancy): standing signatures written, then wave A
+    * appended, then wave B appended — two successive bucketed appends
+    * with the arrival mark advancing, the operation a nightly store
+    * runs forever. Per-row sketching under fixed hash seeds makes
+    * append∘append ≡ rebuild (DedupAppend2Spec pins the row-set
+    * equality against a from-scratch sketch of standing ∪ dump). The
+    * gates' [[sigStoreAppended]] and [[signatureStore]] stay
+    * untouched. */
+  private[graft] def sigStoreAppended2(s: SparkSession, d: String)
+      : DataFrame = {
+    sigApp2Cache.keys.foreach { k =>
+      if (k._1.isStopped) sigApp2Cache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(sigApp2Cache, (s.sparkContext, d)) {
+      val tbl = "graft_sig_app2_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val docs = Tables.documents(s, d)
+      val mid = incMidpoint(s, d)
+      bandedSigs(docs.filter(col("source") =!= IncNewSource))
+        .write.bucketBy(IncBuckets, "band", "bkey").sortBy("band", "bkey")
+        .mode("overwrite").saveAsTable(tbl)
+      bandedSigs(docs.filter(col("source") === IncNewSource
+          && col("doc_id") <= lit(mid)))
+        .write.bucketBy(IncBuckets, "band", "bkey").sortBy("band", "bkey")
+        .mode("append").saveAsTable(tbl)
+      bandedSigs(docs.filter(col("source") === IncNewSource
+          && col("doc_id") > lit(mid)))
+        .write.bucketBy(IncBuckets, "band", "bkey").sortBy("band", "bkey")
+        .mode("append").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
   /** Tombstoned STANDING documents (q_dedup_delete /
     * q_dedup_compact): the takedown/opt-out set every real corpus
     * pipeline must be able to forget — a deterministic 10%-of-ids
@@ -913,7 +993,21 @@ object DedupQueries {
     * STORE rows only (the new dump is not in the store, so its docs
     * are never tombstoned). It genuinely hits served results at both
     * SFs: pair (267, 413) at sf0.01 and (1287, 1513) at sf0.1 vanish
-    * (DedupDeleteSpec pins that deletion CHANGED answers). */
+    * (DedupDeleteSpec pins that deletion CHANGED answers).
+    *
+    * LOAD-BEARING INVARIANT (ADVICE r18): this engine-side Column is
+    * the bare id rule, while the shared oracle predicate
+    * [[tombstonedSql]] ALSO guards `source <> IncNewSource` — the two
+    * agree only because [[signatureStore]] and
+    * [[graft.queries.MultimodalQueries.phashStore]] are built
+    * exclusively from standing rows (both builders filter
+    * `source =!= IncNewSource` / `meta.origin =!= IncNewSource` at the
+    * write). A store build that ever admitted dump rows would silently
+    * tombstone dump documents here and diverge from the oracle;
+    * DedupDeleteSpec pins the invariant on the tables themselves (no
+    * store row carries a dump doc_id). Store rows deliberately carry
+    * no source column — provenance is the build filter's job, not the
+    * index schema's. */
   private[graft] val DedupDeleteRule: Column = col("doc_id") % 10 === 3
 
   /** The tombstoned-STANDING-endpoint predicate as the identical
@@ -1269,6 +1363,44 @@ object DedupQueries {
             AND NOT ${tombstonedSql("db")}
           ORDER BY a, b"""
 
+  /** The full-corpus pair derivation restricted to pairs touching wave
+    * B (the new dump's id upper half) — shared VERBATIM by
+    * q_dedup_store_append (one append, wave B probes standing ∪ A) and
+    * q_dedup_append2 (BOTH waves appended, wave B probes the store's
+    * own rows cross-only): append ≡ rebuild and append∘append ≡
+    * rebuild are the same statement over this pair set. */
+  private def storeAppendSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                     FROM documents),
+          m AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid
+                FROM documents WHERE source = '$IncNewSource'),
+          s AS (SELECT doc_id, $shingle3 AS sh FROM t),
+          hh AS (SELECT doc_id, $shingleHash AS hs FROM s),
+          g AS (SELECT doc_id, hs, $minhash16 AS sig FROM hh),
+          bands AS (SELECT doc_id, hs, b.range AS band,
+                           md5(array_to_string(sig[1 + b.range * 4 : 4 + b.range * 4], ','))
+                             AS bkey
+                    FROM g CROSS JOIN range(0, 4) b),
+          cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                          len(list_intersect(x.hs, y.hs)) AS inter,
+                          len(x.hs) AS la, len(y.hs) AS lb
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.bkey = y.bkey
+                        AND x.doc_id < y.doc_id),
+          pairs AS (SELECT a, b,
+                      MAX(CAST(inter AS DOUBLE) / (la + lb - inter))
+                        AS jaccard
+                    FROM cand GROUP BY a, b)
+          SELECT p.a, p.b, p.jaccard FROM pairs p
+          JOIN documents da ON da.doc_id = p.a
+          JOIN documents db ON db.doc_id = p.b
+          WHERE p.jaccard >= 0.5
+            AND ((da.source = '$IncNewSource'
+                    AND da.doc_id > (SELECT mid FROM m))
+              OR (db.source = '$IncNewSource'
+                    AND db.doc_id > (SELECT mid FROM m)))
+          ORDER BY a, b"""
+
   /** DuckDB replay of [[editdistPairs]] at the given block cap — the
     * SAME routing for every cap, so the default gate stays honest on a
     * corpus whose blocks overflow (ADVICE r6). */
@@ -1433,37 +1565,12 @@ object DedupQueries {
     // rebuild means the appended store answers exactly the fresh
     // standing ∪ A derivation, which is what one corpus-wide banding
     // replay states
-    "q_dedup_store_append" ->
-      s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-                     FROM documents),
-          m AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid
-                FROM documents WHERE source = '$IncNewSource'),
-          s AS (SELECT doc_id, $shingle3 AS sh FROM t),
-          hh AS (SELECT doc_id, $shingleHash AS hs FROM s),
-          g AS (SELECT doc_id, hs, $minhash16 AS sig FROM hh),
-          bands AS (SELECT doc_id, hs, b.range AS band,
-                           md5(array_to_string(sig[1 + b.range * 4 : 4 + b.range * 4], ','))
-                             AS bkey
-                    FROM g CROSS JOIN range(0, 4) b),
-          cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
-                          len(list_intersect(x.hs, y.hs)) AS inter,
-                          len(x.hs) AS la, len(y.hs) AS lb
-                   FROM bands x JOIN bands y
-                     ON x.band = y.band AND x.bkey = y.bkey
-                        AND x.doc_id < y.doc_id),
-          pairs AS (SELECT a, b,
-                      MAX(CAST(inter AS DOUBLE) / (la + lb - inter))
-                        AS jaccard
-                    FROM cand GROUP BY a, b)
-          SELECT p.a, p.b, p.jaccard FROM pairs p
-          JOIN documents da ON da.doc_id = p.a
-          JOIN documents db ON db.doc_id = p.b
-          WHERE p.jaccard >= 0.5
-            AND ((da.source = '$IncNewSource'
-                    AND da.doc_id > (SELECT mid FROM m))
-              OR (db.source = '$IncNewSource'
-                    AND db.doc_id > (SELECT mid FROM m)))
-          ORDER BY a, b""",
+    "q_dedup_store_append" -> storeAppendSql,
+    // ONE oracle, two physical paths: probing wave B against the
+    // TWICE-appended store (B's pairs served from the store's own
+    // rows, cross-only) must answer exactly what the single-append
+    // probe answers — append∘append ≡ rebuild, the re-entrancy law
+    "q_dedup_append2" -> storeAppendSql,
     // the same full-corpus pair derivation restricted to CROSS pairs
     // (exactly one side in the new dump) — the streaming stream-static
     // route must equal this without re-sketching the standing corpus

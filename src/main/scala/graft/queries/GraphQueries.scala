@@ -117,6 +117,27 @@ object GraphQueries {
          UNION ALL
          SELECT dst AS src, src AS dst FROM dsgood)"""
 
+  /** [[warmGraphCtes]] plus the MID edge set (orders below the
+    * ADVANCED mark — GraphCatalog.tpchOrderMid's thr + (max − thr)/2
+    * rule inlined as the midk CTE) for the twice-warmed oracle,
+    * symmetrized like the other two sets. */
+  private val warm2GraphCtes = warmGraphCtes + """,
+       midk AS (SELECT (SELECT t FROM thr)
+                       + (MAX(o_orderkey) - (SELECT t FROM thr)) // 2 AS m
+                FROM orders),
+       medges AS (
+         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                         's' || CAST(l_suppkey AS VARCHAR) AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey < (SELECT m FROM midk)),
+       dmgood AS (
+         SELECT e.src, e.dst FROM medges e
+         WHERE EXISTS (SELECT 1 FROM pages p WHERE p.page = e.dst)),
+       mgood AS (
+         SELECT src, dst FROM dmgood
+         UNION ALL
+         SELECT dst AS src, src AS dst FROM dmgood)"""
+
   /** Weighted graph CTEs: `good(src, dst, w)` with w = purchase-line
     * multiplicity — the COUNT(*) group replaces [[graphCtes]]'s
     * DISTINCT, exactly like [[graft.graph.LinkGraph.tpchWeightedEdges]]
@@ -391,6 +412,34 @@ object GraphQueries {
       PageRank.run(g.pages, GraphCatalog.symmetrized(g.edges),
           iters = WarmIters,
           initRanks = Some(GraphCatalog.tpchStandingRanks(s, d)))
+        .select(col("page"), round(col("rank"), 6).as("pr"))
+        .orderBy(col("page"))
+    }),
+
+    // RE-ENTRANT warm maintenance — TWO successive dumps (VERDICT r18
+    // item 1, graph family): q_pagerank_incremental proves ONE warm
+    // re-run off the standing store; a production pipeline warms
+    // nightly, each run reading the store the PREVIOUS run wrote.
+    // Here the order dump splits at the shared midpoint
+    // ([[GraphCatalog.tpchOrderMid]]) and the mark advances twice:
+    // pass 1 warms 4 iterations over the mid graph seeded from the
+    // standing store and PERSISTS the vector as its own bucketed
+    // catalog table ([[GraphCatalog.tpchStandingRanks2]] — parquet
+    // doubles round-trip exactly, so no precision leaks between
+    // passes); pass 2 warms 4 iterations over the full graph seeded
+    // from THAT store. The oracle unrolls all three chains (8 standing
+    // + 4 mid + 4 full) in one statement — a mark that failed to
+    // advance, a store written lossily, or a seed read from the wrong
+    // side hash-mismatches. Gate-only in the bench: both legs are
+    // q_pagerank_incremental's (benched) warm-iteration plan class —
+    // the same 1-2 pinned shuffles/iteration over the bucketed seed;
+    // the composition adds a second instance of that class, not a new
+    // plan shape.
+    "q_pagerank_inc2" -> ((s, d) => {
+      val g = GraphCatalog.tpch(s, d)
+      PageRank.run(g.pages, GraphCatalog.symmetrized(g.edges),
+          iters = WarmIters,
+          initRanks = Some(GraphCatalog.tpchStandingRanks2(s, d)))
         .select(col("page"), round(col("rank"), 6).as("pr"))
         .orderBy(col("page"))
     }),
@@ -721,6 +770,12 @@ object GraphQueries {
     // set seeded from the standing vector — one statement
     "q_pagerank_incremental" -> PageRankOracle.warmSql(warmGraphCtes,
       PageRank.DefaultIters, WarmIters,
+      s"SELECT page, ROUND(pr, 6) AS pr FROM w$WarmIters ORDER BY page"),
+    // the twice-warmed replay: 8 standing iterations, 4 over the mid
+    // graph, 4 over the full graph — three chains, one statement (the
+    // re-entrancy law for the rank store)
+    "q_pagerank_inc2" -> PageRankOracle.warm2Sql(warm2GraphCtes,
+      PageRank.DefaultIters, WarmIters, WarmIters,
       s"SELECT page, ROUND(pr, 6) AS pr FROM w$WarmIters ORDER BY page"),
     // churn + both chains + the selection, one statement — the
     // q_ann_maintain oracle shape for the graph store

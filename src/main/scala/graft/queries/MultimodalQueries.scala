@@ -184,7 +184,7 @@ object MultimodalQueries {
       .empty[(SparkSession, String), DataFrame]
 
   private def phashProbeOver(s: SparkSession, d: String,
-      store: DataFrame): DataFrame = {
+      store: DataFrame, withinRoute: Boolean = true): DataFrame = {
     val nb = graft.plans.Lineage.memo(dumpT2Cache, s, d)(
       tier2Rows(Multimodal.aHashBands(Multimodal.assets(s, d)
         .filter(col("meta.origin") === DedupQueries.IncNewSource), 32)))
@@ -202,11 +202,63 @@ object MultimodalQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.bs").as("bsx"), col("y.bs").as("bsy"))
-    cross.unionByName(within)
+    // withinRoute = false (q_mm_phash_inc2): within-dump pairs must
+    // come from the STORE's own appended dump rows — the re-entrancy
+    // teeth; the within self-join would mask a broken second append
+    (if (withinRoute) cross.unionByName(within) else cross)
       .select(col("a"), col("b"), ham.as("hamming"))
       .groupBy("a", "b").agg(max("hamming").as("hamming"))
       .filter(col("hamming") <= 7)
       .orderBy(col("a"), col("b"))
+  }
+
+  private val phashApp2Cache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The pHash store after TWO successive dump-slice appends
+    * (q_mm_phash_inc2 — round-19 re-entrancy, multimodal family):
+    * standing tier-2 rows written, then the dump's id lower half
+    * appended, then its upper half — two bucket-spec-matching appends
+    * with the arrival mark advancing at the shared
+    * [[DedupQueries.incMidpoint]] (assets share doc_id with their
+    * documents, so ONE midpoint rules both index families). aHash
+    * rows are per-asset artifacts of the fixed hash, so
+    * append∘append ≡ rebuild; MmPhashInc2Spec pins the store's row
+    * set against a from-scratch hash of ALL assets. The gates'
+    * standing [[phashStore]] stays untouched. */
+  private[graft] def phashStoreAppended2(s: SparkSession, d: String)
+      : DataFrame = {
+    phashApp2Cache.keys.foreach { k =>
+      if (k._1.isStopped) phashApp2Cache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(phashApp2Cache,
+        (s.sparkContext, d)) {
+      val tbl = "graft_phash_app2_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val assets = Multimodal.assets(s, d)
+      val mid = DedupQueries.incMidpoint(s, d)
+      def slice(f: DataFrame) = tier2Rows(Multimodal.aHashBands(f, 32))
+      slice(assets.filter(col("meta.origin") =!= DedupQueries.IncNewSource))
+        .write.bucketBy(8, "band", "bkey").sortBy("band", "bkey")
+        .mode("overwrite").saveAsTable(tbl)
+      slice(assets.filter(col("meta.origin") === DedupQueries.IncNewSource
+          && col("doc_id") <= lit(mid)))
+        .write.bucketBy(8, "band", "bkey").sortBy("band", "bkey")
+        .mode("append").saveAsTable(tbl)
+      slice(assets.filter(col("meta.origin") === DedupQueries.IncNewSource
+          && col("doc_id") > lit(mid)))
+        .write.bucketBy(8, "band", "bkey").sortBy("band", "bkey")
+        .mode("append").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
   }
 
   private val phashCompactCache =
@@ -313,6 +365,25 @@ object MultimodalQueries {
     "q_mm_phash_inc" -> ((s, d) =>
       phashProbeOver(s, d, phashStore(s, d))),
 
+    // RE-ENTRANT pHash store accretion — TWO successive appends
+    // (VERDICT r18 item 1, multimodal family): both dump slices append
+    // to the store in arrival order ([[phashStoreAppended2]]) and the
+    // serve probes the FULL dump against it CROSS-ONLY (no within-dump
+    // self-join): within-dump pairs must come from the store's OWN
+    // appended rows, so a second append that dropped, duplicated or
+    // mis-bucketed rows hash-mismatches — the self-join form would
+    // silently mask it. ONE oracle: q_mm_phash_inc's SQL VERBATIM
+    // (pairs touching the dump) — append∘append ≡ rebuild. On this
+    // corpus all dump-touching pairs are cross-route
+    // (MmPhashInc2Spec therefore pins the store row set against a
+    // from-scratch hash of all assets — the direct store-level
+    // re-entrancy law the pair set can't state here). Gate-only in
+    // the bench: the probe is q_mm_phash_inc's (benched) co-located
+    // plan; the appends are once-per-dump memoized bucketed writes.
+    "q_mm_phash_inc2" -> ((s, d) =>
+      phashProbeOver(s, d, phashStoreAppended2(s, d),
+        withinRoute = false)),
+
     // TOMBSTONE DELETES on the pHash store — the forget path for
     // image assets (the q_dedup_delete / q_ann_delete lifecycle,
     // completing the delete/compact column of the store matrix): the
@@ -416,6 +487,22 @@ object MultimodalQueries {
                  FROM cand JOIN bands bx ON bx.doc_id = cand.a
                            JOIN bands by ON by.doc_id = cand.b)"""
 
+  /** The routing-invariant pair law restricted to pairs touching the
+    * new dump — shared VERBATIM by q_mm_phash_inc (probe vs the
+    * standing store + within-dump self-join) and q_mm_phash_inc2 (the
+    * full dump cross-probing the TWICE-appended store): the store /
+    * probe split is physical plumbing the verified output cannot see
+    * (the q_ann_ivfpq_stored precedent). */
+  private def phashIncSql: String =
+    s"""WITH $phashPairCtes,
+          nd AS (SELECT doc_id FROM documents
+                 WHERE source = '${DedupQueries.IncNewSource}')
+         SELECT a, b, hamming FROM hd
+         WHERE hamming <= 7
+           AND (a IN (SELECT doc_id FROM nd)
+                OR b IN (SELECT doc_id FROM nd))
+         ORDER BY a, b"""
+
   /** Shared VERBATIM by q_mm_phash_delete and q_mm_phash_compact (two
     * physical paths, one law): the q_mm_phash_inc pair derivation with
     * tombstoned standing endpoints excluded — the SAME doc_id % 10 = 3
@@ -492,15 +579,11 @@ object MultimodalQueries {
     // the same routing-invariant pair law restricted to pairs touching
     // the new dump — the store/probe split is physical plumbing the
     // verified output cannot see (the q_ann_ivfpq_stored precedent)
-    "q_mm_phash_inc" ->
-      s"""WITH $phashPairCtes,
-          nd AS (SELECT doc_id FROM documents
-                 WHERE source = '${DedupQueries.IncNewSource}')
-         SELECT a, b, hamming FROM hd
-         WHERE hamming <= 7
-           AND (a IN (SELECT doc_id FROM nd)
-                OR b IN (SELECT doc_id FROM nd))
-         ORDER BY a, b""",
+    "q_mm_phash_inc" -> phashIncSql,
+    // ONE oracle, two physical paths: the full dump probing the
+    // TWICE-appended store cross-only must answer exactly what the
+    // single-store probe answers — append∘append ≡ rebuild
+    "q_mm_phash_inc2" -> phashIncSql,
     // serve-after-delete, ONE oracle for BOTH physical paths (the
     // dedupDeleteServeSql precedent): the dump-touching pair law minus
     // pairs whose STANDING endpoint is tombstoned — filtering ≡

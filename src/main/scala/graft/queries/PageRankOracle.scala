@@ -88,12 +88,12 @@ object PageRankOracle {
     * building block (same update text as [[sql]]'s plain form, same
     * MATERIALIZED rationale). */
   private def chainCtes(p: String, good: String, deg: String,
-      iters: Int): String =
+      iters: Int, pages: String = "pages", nn: String = "nn"): String =
     (1 to iters).map { k =>
       s"""$p$k AS MATERIALIZED (
             SELECT p.page,
-                   0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.mass, 0) AS pr
-            FROM pages p LEFT JOIN (
+                   0.15 / (SELECT n FROM $nn) + 0.85 * COALESCE(m.mass, 0) AS pr
+            FROM $pages p LEFT JOIN (
               SELECT g.dst, SUM(r.pr / d.deg) AS mass
               FROM $good g
               JOIN $p${k - 1} r ON g.src = r.page
@@ -120,6 +120,60 @@ object PageRankOracle {
         ${chainCtes("s", "sgood", "sdeg", standIters)},
         w0 AS (SELECT page, pr FROM s$standIters),
         ${chainCtes("w", "good", "deg", warmIters)}
+        $select"""
+
+  /** TWICE-WARMED replay (q_pagerank_inc2 — round-19 re-entrancy):
+    * `standIters` iterations over the STANDING edge set seed
+    * `warm1Iters` iterations over the MID edge set (callers' graphCtes
+    * must define `mgood(src, dst)` — the graph at the advanced mark —
+    * next to `sgood` and `good`), whose final vector seeds
+    * `warm2Iters` iterations over the full set. ONE statement states
+    * the standing store, the intermediate store, and both warm
+    * re-runs: a mark that failed to advance, a store written lossily,
+    * or a seed read from the wrong side hash-mismatches. The select
+    * reads `w$warm2Iters`. */
+  def warm2Sql(graphCtes: String, standIters: Int, warm1Iters: Int,
+      warm2Iters: Int, select: String): String =
+    s"""WITH $graphCtes,
+        deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                FROM good GROUP BY src),
+        sdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                 FROM sgood GROUP BY src),
+        mdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                 FROM mgood GROUP BY src),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pages),
+        s0 AS (SELECT page, 1.0 / (SELECT n FROM nn) AS pr FROM pages),
+        ${chainCtes("s", "sgood", "sdeg", standIters)},
+        m0 AS (SELECT page, pr FROM s$standIters),
+        ${chainCtes("m", "mgood", "mdeg", warm1Iters)},
+        w0 AS (SELECT page, pr FROM m$warm1Iters),
+        ${chainCtes("w", "good", "deg", warm2Iters)}
+        $select"""
+
+  /** WARM-AFTER-DELETE replay (q_graph_delete — the graph family's
+    * tombstone leg): `standIters` iterations over the STANDING edge
+    * set (callers' graphCtes must define `sgood` over `pages`), then
+    * the standing vector RESTRICTED to the survivor page set seeds
+    * `warmIters` iterations over the survivor graph — callers define
+    * `pages2` (the pages the takedown keeps) and `gdel` (the standing
+    * edges with both endpoints surviving). The survivor chain's
+    * teleport uses the SURVIVOR count (nn2): removing a vertex changes
+    * N, exactly as the engine's PageRank.run recounts the page set it
+    * is given. The select reads `w$warmIters`. */
+  def warmDeleteSql(graphCtes: String, standIters: Int, warmIters: Int,
+      select: String): String =
+    s"""WITH $graphCtes,
+        sdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                 FROM sgood GROUP BY src),
+        ddeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                 FROM gdel GROUP BY src),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pages),
+        nn2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pages2),
+        s0 AS (SELECT page, 1.0 / (SELECT n FROM nn) AS pr FROM pages),
+        ${chainCtes("s", "sgood", "sdeg", standIters)},
+        w0 AS (SELECT page, pr FROM s$standIters
+               WHERE page IN (SELECT page FROM pages2)),
+        ${chainCtes("w", "gdel", "ddeg", warmIters, "pages2", "nn2")}
         $select"""
 
   /** MAINTENANCE-DECISION replay (q_pagerank_maintain): the warm

@@ -60,8 +60,28 @@ class DedupDeleteSpec extends SparkSpec {
     assert(after.subsetOf(before),
       "deletion ADDED a pair — the tombstone filter touched the wrong side")
     assert(after != before,
-      "deletion removed nothing — the tombstone set is vacuous on " +
-        "this corpus (expected pair (267, 413) to vanish at sf0.01)")
+      "deletion removed nothing — the corpus no longer plants a " +
+        "takedown-visible near-dup (fixture teeth lost; regenerate " +
+        "them before suspecting the takedown logic)")
+  }
+
+  test("load-bearing provenance invariant (ADVICE r18): the stores " +
+      "hold ONLY standing rows, so the bare engine-side id rule and " +
+      "the source-guarded oracle predicate agree") {
+    val dumpIds = graft.Tables.documents(spark, dir)
+      .filter(col("source") === DedupQueries.IncNewSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sigDocs = DedupQueries.signatureStore(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(sigDocs.intersect(dumpIds).isEmpty,
+      "the signature store contains dump rows — the engine's bare " +
+        "DedupDeleteRule would tombstone dump documents the oracle's " +
+        "standing-guarded predicate keeps")
+    val phashDocs = graft.queries.MultimodalQueries
+      .phashStore(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(phashDocs.intersect(dumpIds).isEmpty,
+      "the pHash store contains dump rows — same divergence risk")
   }
 
   test("compaction dropped exactly the tombstoned rows") {

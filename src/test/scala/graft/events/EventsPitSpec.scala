@@ -23,6 +23,11 @@ import graft.queries.EventQueries
   *  3. CONSUMPTION — every (version, dim_type) the gate emits exists
   *     in the q_events_scd dimension for that user (the read path
   *     consumes the BUILT table, not a private re-derivation).
+  *  4. STORE-SERVED ≡ REBUILD-SERVED (VERDICT r18 item 4) — since
+  *     round 19 the gate's dimension side is the MAINTAINED store +
+  *     merge tail; serving the read from a full-log rebuild instead
+  *     must give the identical row sequence (the merge law carried
+  *     through the consumer).
   */
 class EventsPitSpec extends SparkSpec {
 
@@ -87,5 +92,42 @@ class EventsPitSpec extends SparkSpec {
     assert(read.nonEmpty)
     assert(read.subsetOf(dim),
       s"PIT read versions missing from the dimension: ${read -- dim}")
+  }
+
+  test("store-served == rebuild-served, row for row: the consumer " +
+      "reads what the nightly merge maintains, and a full-log rebuild " +
+      "dimension would answer identically") {
+    import org.apache.spark.sql.expressions.Window
+    // the gate (store + merge tail) vs the same window idiom over the
+    // REBUILT dimension — engine-side, both paths, no oracle between
+    val dim = EventQueries.scdFrame(spark, dir)
+      .select(col("user_id"), col("event_id"), col("valid_from_ts")
+        .as("ts"), col("version"), col("event_type").as("dim_type"),
+        lit(1).as("tag"))
+    val facts = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lit(null).cast("long").as("version"),
+        lit(null).cast("string").as("dim_type"), lit(0).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("user_id"))
+    val rebuilt = facts.unionByName(dim)
+      .select(col("user_id"), col("event_id"), col("ts"), col("tag"),
+        last(col("version"), ignoreNulls = true).over(w).as("ver"),
+        last(col("dim_type"), ignoreNulls = true).over(w).as("dt"),
+        max(col("version")).over(all).as("umax"))
+      .filter(col("tag") === 0)
+      .select(col("user_id"), col("event_id").as("fact_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("fact_ts"),
+        col("ver").as("version"), col("dt").as("dim_type"),
+        coalesce(col("ver") === col("umax"), lit(false)).as("at_current"))
+      .orderBy(col("fact_id"))
+      .collect().map(_.toSeq).toSeq
+    val stored = pit.collect().map(_.toSeq).toSeq
+    assert(stored.nonEmpty)
+    assert(stored == rebuilt,
+      "the store-served PIT read diverged from the rebuild-served one")
   }
 }

@@ -66,14 +66,41 @@ class MmPhashDeleteSpec extends SparkSpec {
       "the compacted table's rows are not standing-minus-tombstones")
   }
 
-  test("cross-index takedown: the forgotten doc set is the text " +
-      "store's, and the planted near-dup pair dies in BOTH indexes") {
-    // the shared rule: both stores tombstone doc_id % 10 == 3 on
-    // standing rows; the planted pair (267, 413) — 413 tombstoned —
-    // must vanish from the text-signature serve AND the pHash serve
-    def gone(q: String) = !SparkEntry.queries(q)(spark, dir)
-      .filter(col("a") === 267 && col("b") === 413).collect().nonEmpty
-    assert(gone("q_dedup_delete") && gone("q_mm_phash_delete"),
-      "the takedown left the planted pair alive in one index")
+  test("cross-index takedown: every pre-delete pair with a tombstoned " +
+      "standing endpoint vanishes from BOTH indexes (victims DERIVED " +
+      "from the serves, not hardcoded — ADVICE r18)") {
+    val tombstoned = graft.Tables.documents(spark, dir)
+      .filter(col("source") =!= DedupQueries.IncNewSource)
+      .filter(DedupQueries.DedupDeleteRule)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def pairs(q: String) = SparkEntry.queries(q)(spark, dir)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def victims(pre: Set[(Long, Long)]) = pre.filter { case (a, b) =>
+      tombstoned(a) || tombstoned(b)
+    }
+    val textVictims = victims(pairs("q_dedup_incremental"))
+    val phashVictims = victims(pairs("q_mm_phash_inc"))
+    // teeth (fixture-derived): if either set is empty the corpus no
+    // longer plants a takedown-visible near-dup — regenerate teeth
+    // before trusting the delete gates, the logic is not at fault
+    assert(textVictims.nonEmpty,
+      "no text-served pair touches a tombstoned doc — fixture teeth " +
+        "lost, not a takedown bug")
+    assert(phashVictims.nonEmpty,
+      "no pHash-served pair touches a tombstoned asset — fixture " +
+        "teeth lost, not a takedown bug")
+    assert(textVictims.intersect(pairs("q_dedup_delete")).isEmpty,
+      "the text index still serves a pair with a tombstoned endpoint")
+    assert(phashVictims.intersect(pairs("q_mm_phash_delete")).isEmpty,
+      "the pHash index still serves a pair with a tombstoned endpoint")
+    // the same documents die in both indexes where both hashed them:
+    // a doc the rule forgets must pair in NEITHER serve
+    val forgotten = textVictims.union(phashVictims)
+      .flatMap { case (a, b) => Seq(a, b) }.filter(tombstoned)
+    val after = pairs("q_dedup_delete").union(pairs("q_mm_phash_delete"))
+      .flatMap { case (a, b) => Seq(a, b) }
+    assert(forgotten.intersect(after).isEmpty,
+      "a forgotten doc still pairs in some index after the takedown")
   }
 }

@@ -114,4 +114,52 @@ class PipelineDumpSpec extends SparkSpec {
         "pipeline law is vacuous on this corpus")
     }
   }
+
+  test("memoization coupling (VERDICT r18 watch item 3): a warm " +
+      "pipeline pass launches only bounded count/serve jobs, never a " +
+      "second full build of any constituent") {
+    // the gate re-executes constituent serves to COUNT them; that is
+    // a cache hit only because every family memoizes its heavy build
+    // (stores are Lineage.once catalog tables, rank vectors and pair
+    // lists are session memos). If any family silently un-memoizes,
+    // the pipeline gate degrades to a full recompute — this pin makes
+    // that a test failure instead of a silent cost cliff. A COLD pass
+    // is hundreds of jobs (8-16 PageRank iterations, store writes,
+    // IVF training); a warm pass is the ~10 one-row counts plus a few
+    // AQE stages each.
+    rows // force the first (possibly cold) pass
+    def measure(): Int = {
+      var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        SparkEntry.queries("q_pipeline_dump")(spark, dir).collect()
+        // listener events are delivered async; the bus has no public
+        // drain — a short settle keeps the count complete
+        Thread.sleep(1000)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs
+    }
+    val pass2 = measure()
+    val pass3 = measure()
+    info(s"warm pipeline passes launched $pass2 then $pass3 jobs")
+    assert(pass2 > 0, "listener saw no jobs — the pin is not measuring")
+    // a warm pass re-executes only the seven families' SERVE plans
+    // over memoized inputs (~124 AQE stage-jobs measured); a single
+    // de-memoized BUILD (8 PageRank iterations + store write, IVF
+    // training, a corpus re-sketch) adds hundreds
+    assert(pass2 <= 200,
+      s"a warm q_pipeline_dump pass launched $pass2 jobs — a " +
+        "constituent family stopped memoizing its build and the " +
+        "pipeline gate now re-runs it in full")
+    // steady state: a third pass must not grow — rebuilding-under-
+    // the-gate would show up as extra build jobs every pass
+    assert(pass3 <= pass2 + 10,
+      s"warm passes are not steady-state ($pass2 -> $pass3 jobs) — " +
+        "something rebuilds on every pipeline serve")
+  }
 }

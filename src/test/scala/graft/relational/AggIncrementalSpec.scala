@@ -98,6 +98,27 @@ class AggIncrementalSpec extends SparkSpec {
         "corpus; move the MV partials to DECIMAL on both engines")
   }
 
+  test("the margin guard itself has teeth: an adversarial sum ON a " +
+      "0.005 boundary is flagged (VERDICT r18 item 8 — prove the " +
+      "spec fails loudly there, not that the corpus is lucky)") {
+    // a group whose quantity sum lands (to within double error) on a
+    // k + 0.005 rounding boundary: 0.335 * 3 = 1.005. The margin
+    // formula the corpus test enforces must measure ~0 here — i.e.
+    // the whole-family DECIMAL remedy would be demanded.
+    import spark.implicits._
+    val sums = Seq(("A", 0.335), ("A", 0.335), ("A", 0.335))
+      .toDF("l_returnflag", "l_quantity")
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      .collect().map(_.getDouble(1))
+    val margins = sums.map { a =>
+      math.abs(a * 100 - math.floor(a * 100) - 0.5) / 100
+    }
+    assert(margins.min < 1e-5,
+      f"the adversarial boundary fixture was NOT flagged (margin " +
+        f"${margins.min}%.3e) — the guard formula is broken and the " +
+        "corpus margin test above is not protecting the 2-dp contract")
+  }
+
   test("plan: delta scan pushes the range filter; store table read") {
     val df = SparkEntry.queries("q_agg_incremental")(spark, dir)
     df.collect()
