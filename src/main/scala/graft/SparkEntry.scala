@@ -84,6 +84,11 @@ object SparkEntry {
       // rank warm/rebuild, MV merge, pHash probe, SCD merge); the
       // composition's own work is seven 1-row counts
       "q_pipeline_dump",
+      // seven memoized once-per-round store builds (the warm-up pass
+      // absorbs them) + seven store counts + a 7-row manifest collect
+      // — every store build is a constituent family's own benched/
+      // gated artifact
+      "q_pipeline_manifest",
       // the append is a once-per-dump memoized bucketed write; the
       // timed probe is q_dedup_incremental's plan class over half the
       // dump — already benched
@@ -138,6 +143,11 @@ object SparkEntry {
       // absorb.
       "q_agg_inc2", "q_events_scd_inc2", "q_dedup_append2",
       "q_mm_phash_inc2",
+      // q_events_scd_inc's window classes plus two hash semi-joins
+      // against an empty quarantine key set — no new plan shape; the
+      // late branch's cost story is per-affected-user and benched by
+      // the same window classes
+      "q_events_scd_late",
       // both legs are q_pagerank_incremental's (benched) warm
       // 4-iteration plan class — the same pinned per-iteration
       // shuffles over a bucketed seed store; note (the
@@ -145,6 +155,10 @@ object SparkEntry {
       // of that class, not one — the plan class, not the cost
       // constant, is what the bench carries
       "q_pagerank_inc2",
+      // the serve is q_pagerank_incremental's (benched) warm
+      // 4-iteration class plus three narrow string-predicate filters
+      // (pages, edges, seed) — no new plan shape
+      "q_graph_delete",
       // the lag/lead window class is timed by q_window_lag and
       // q_window_running on 3× the rows
       "q_events_scd",

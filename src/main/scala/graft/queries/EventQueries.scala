@@ -132,6 +132,36 @@ object EventQueries {
         col("version"))
       .orderBy(col("user_id"), col("version"))
 
+  /** LATE-AWARE dimension merge (VERDICT r18 item 5 — the event
+    * family silently dropped late data: the merge's delta filter was
+    * `ts >= mark`, so an event OLDER than the mark arriving in a later
+    * dump was invisibly lost). The law has a trap worth stating: a
+    * late change CANNOT simply chain onto the store's open tail,
+    * because the store holds only SURVIVING change rows — a late
+    * insert can RESURRECT a collapsed standing update. Counterexample
+    * (pinned by ScdLateSpec): log [A@1, A@2, B@3] stores as
+    * [A@1, B@3] (A@2 collapses); late B@1.5 arrives — truth is
+    * [A@1, B@1.5, A@2, B@3] (A@2 is a change again), but chaining the
+    * store's rows with the late event gives [A@1, B@1.5] and B@3
+    * wrongly collapses. So: late events' USERS are detected (the
+    * quarantine set), and exactly those users' chains rebuild from
+    * their FULL per-user log — cost ∝ |affected users| × their
+    * history, pruned by a user_id semi-join against the user_id-
+    * bucketed log — while every unaffected user takes the normal
+    * open-tail merge. merged-with-late ≡ rebuild-on-reordered-log. */
+  private[graft] def scdMergeWithLate(store: DataFrame, delta: DataFrame,
+      fullLog: DataFrame, markUs: Long): DataFrame = {
+    val late = delta.filter(unix_micros(col("ts")) < markUs)
+    val onTime = delta.filter(unix_micros(col("ts")) >= markUs)
+    val lateUsers = late.select(col("user_id")).distinct()
+    val rebuilt = scdOf(fullLog
+      .join(lateUsers, Seq("user_id"), "left_semi"))
+    val merged = scdMergeOf(
+      store.join(lateUsers, Seq("user_id"), "left_anti"),
+      onTime.join(lateUsers, Seq("user_id"), "left_anti"))
+    rebuilt.unionByName(merged)
+  }
+
   /** The ADVANCED high-water mark after the first of the two event
     * dump slices (q_events_scd_inc2): the dump's ts midpoint
     * `mark + (max − mark)/2` in epoch micros — integer floor division
@@ -788,6 +818,28 @@ object EventQueries {
       scdServe(scdMergeOf(scdStore(s, d),
         eventSlice(s, d, eventsTsThreshold(s, d), None)))),
 
+    // LATE-AWARE SCD2 maintenance (VERDICT r18 item 5): the merge
+    // path that survives out-of-order arrivals — late events (ts
+    // below the mark, arriving in the dump) quarantine their USERS,
+    // whose chains rebuild from the full per-user log (a late change
+    // can resurrect a collapsed standing update, so the store's open
+    // tail is NOT enough — the counterexample and the scale story
+    // live on [[scdMergeWithLate]]); unaffected users merge normally.
+    // On the driver corpus dumps are ts-defined so the late set is
+    // EMPTY and this gate proves the late-aware plumbing (semi/anti
+    // splits included) still answers the rebuild exactly — the late
+    // branch's teeth are ScdLateSpec's constructed feeds (the
+    // StreamGraphMaintainSpec pattern: this corpus cannot produce
+    // late data, a fixture must). ONE oracle: q_events_scd's SQL
+    // VERBATIM. Gate-only in the bench: q_events_scd_inc's window
+    // classes plus two hash semi-joins against an empty key set.
+    "q_events_scd_late" -> ((s, d) => {
+      val mark = eventsTsThreshold(s, d)
+      val delta = eventSlice(s, d, mark, None)
+      scdServe(scdMergeWithLate(scdStore(s, d), delta,
+        Tables.events(s, d), mark))
+    }),
+
     // RE-ENTRANT SCD2 maintenance — TWO successive dumps (VERDICT r18
     // item 1, event family): the dump splits at the ts midpoint
     // ([[eventsTsMid]]) into ordered slices d1/d2 and the high-water
@@ -1104,6 +1156,11 @@ object EventQueries {
     // merges through a persisted intermediate dimension store must
     // still answer the full-log rebuild — the re-entrancy law
     "q_events_scd_inc2" -> scdSql,
+    // ONE oracle, FOUR physical paths: the late-aware merge (with its
+    // quarantine splits and per-user rebuild leg) must also answer
+    // the full-log rebuild — on this corpus the late set is empty,
+    // so the plumbing must be a perfect identity
+    "q_events_scd_late" -> scdSql,
     // the INDEPENDENT interval-containment replay of the PIT read:
     // the same dimension CTEs, then each purchase fact LEFT-joined to
     // the version whose lead-closed interval strictly precedes and

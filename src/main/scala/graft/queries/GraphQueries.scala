@@ -117,6 +117,32 @@ object GraphQueries {
          UNION ALL
          SELECT dst AS src, src AS dst FROM dsgood)"""
 
+  /** Graph-family takedown rule (VERDICT r18 item 6 — the missing leg
+    * of the otherwise-uniform store lifecycle matrix: dedup, pHash and
+    * ANN all forget; a taken-down page stayed in the rank vector
+    * forever): supplier pages whose numeric key matches the shared
+    * 10%-of-ids shape ([[DedupQueries.DedupDeleteRule]] applied to the
+    * page universe). A pure STRING predicate, so removing a vertex and
+    * its incident edges is a narrow filter — no join, no shuffle. */
+  private[graft] def graphTombstoned(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    c.startsWith("s") && substring(c, 2, 20).cast("long") % 10 === 3
+
+  /** The same rule as a DuckDB fragment — one definition per engine,
+    * matched textually across the oracle's three uses. */
+  private def graphTombSql(c: String): String =
+    s"($c LIKE 's%' AND CAST(substring($c, 2) AS BIGINT) % 10 = 3)"
+
+  /** [[warmGraphCtes]] plus the survivor page set and the survivor
+    * standing edges (both endpoints alive) for the warm-after-delete
+    * oracle. */
+  private lazy val delGraphCtes = warmGraphCtes + s""",
+       pages2 AS (SELECT page FROM pages
+                  WHERE NOT ${graphTombSql("page")}),
+       gdel AS (SELECT src, dst FROM sgood
+                WHERE NOT ${graphTombSql("src")}
+                  AND NOT ${graphTombSql("dst")})"""
+
   /** [[warmGraphCtes]] plus the MID edge set (orders below the
     * ADVANCED mark — GraphCatalog.tpchOrderMid's thr + (max − thr)/2
     * rule inlined as the midk CTE) for the twice-warmed oracle,
@@ -412,6 +438,38 @@ object GraphQueries {
       PageRank.run(g.pages, GraphCatalog.symmetrized(g.edges),
           iters = WarmIters,
           initRanks = Some(GraphCatalog.tpchStandingRanks(s, d)))
+        .select(col("page"), round(col("rank"), 6).as("pr"))
+        .orderBy(col("page"))
+    }),
+
+    // GRAPH TOMBSTONES — the takedown leg for the rank store (VERDICT
+    // r18 item 6): a taken-down page must leave the standing graph
+    // (vertex + ALL incident edges) and the rank vector must warm-
+    // start over the SURVIVOR set — never a cold rebuild per takedown,
+    // and never a tombstoned page in any served rank row. The rule is
+    // a string predicate ([[graphTombstoned]]), so deletion is a
+    // narrow filter on pages, edges AND the bucketed rank-store seed —
+    // zero joins, zero store rewrites (the q_dedup_delete
+    // filter-inside-the-probe shape brought to the graph). Teleport
+    // mass renormalizes automatically: PageRank.run recounts N over
+    // the survivor pages it is given, exactly as the oracle's survivor
+    // chain divides by the survivor count. The oracle unrolls the
+    // standing 8-iteration chain, restricts its vector to survivors,
+    // and runs the 4 warm iterations over the survivor graph — one
+    // statement for store + takedown + warm re-run. Gate-only in the
+    // bench: the serve is q_pagerank_incremental's (benched) warm
+    // 4-iteration class with three narrow filters added.
+    "q_graph_delete" -> ((s, d) => {
+      val g = GraphCatalog.tpch(s, d)
+      val thr = GraphCatalog.tpchOrderThreshold(s, d)
+      val standing = GraphCatalog.symmetrized(LinkGraph.removeRedLinks(
+        LinkGraph.tpchEdges(s, d, maxOrder = Some(thr)), g.pages))
+      val survivorPages = g.pages.filter(!graphTombstoned(col("page")))
+      val survivorEdges = standing.filter(
+        !graphTombstoned(col("src")) && !graphTombstoned(col("dst")))
+      PageRank.run(survivorPages, survivorEdges, iters = WarmIters,
+          initRanks = Some(GraphCatalog.tpchStandingRanks(s, d)
+            .filter(!graphTombstoned(col("page")))))
         .select(col("page"), round(col("rank"), 6).as("pr"))
         .orderBy(col("page"))
     }),
@@ -776,6 +834,13 @@ object GraphQueries {
     // re-entrancy law for the rank store)
     "q_pagerank_inc2" -> PageRankOracle.warm2Sql(warm2GraphCtes,
       PageRank.DefaultIters, WarmIters, WarmIters,
+      s"SELECT page, ROUND(pr, 6) AS pr FROM w$WarmIters ORDER BY page"),
+    // the warm-after-delete replay: the standing chain, its vector
+    // restricted to survivors, 4 warm iterations over the survivor
+    // graph under the survivor teleport count — store + takedown +
+    // re-run in one statement
+    "q_graph_delete" -> PageRankOracle.warmDeleteSql(delGraphCtes,
+      PageRank.DefaultIters, WarmIters,
       s"SELECT page, ROUND(pr, 6) AS pr FROM w$WarmIters ORDER BY page"),
     // churn + both chains + the selection, one statement — the
     // q_ann_maintain oracle shape for the graph store

@@ -45,7 +45,7 @@ object TextQueries {
 
   /** q_text_classifier knobs: hashed bag-of-words bucket count, batch
     * epochs, and the sources labeled "curated" (+1). */
-  private val ClfB = 256
+  private[graft] val ClfB = 256
   private val ClfEpochs = 8
   private val ClfPos = Seq("src0", "src1", "src2", "src3")
 
