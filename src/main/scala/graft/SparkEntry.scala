@@ -89,6 +89,10 @@ object SparkEntry {
       // — every store build is a constituent family's own benched/
       // gated artifact
       "q_pipeline_manifest",
+      // five bounded counts over already-gated *_2 constituents plus
+      // range-pruned slice counts — the q_pipeline_dump rationale for
+      // the second arrival
+      "q_pipeline_dump2",
       // the append is a once-per-dump memoized bucketed write; the
       // timed probe is q_dedup_incremental's plan class over half the
       // dump — already benched

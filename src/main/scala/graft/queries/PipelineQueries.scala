@@ -234,6 +234,68 @@ object PipelineQueries {
         .orderBy("family")
     }),
 
+    // THE TWO-ARRIVAL PIPELINE (round 19 capstone): q_pipeline_dump
+    // states that seven families react to ONE dump; the five
+    // re-entrancy gates state that each family's merge law composes
+    // across TWO arrivals. What neither states is the CROSS-FAMILY
+    // claim for the second arrival: that every store-backed family
+    // splits the dump at the SAME advanced mark (one split
+    // definition per key family — the order-keyed pair shares
+    // tpchOrderMid by delegation exactly as they share the r18
+    // boundary) and that each family's post-second-merge serve still
+    // answers its rebuild. The gate emits one (family, d1_rows,
+    // d2_rows, output_rows) row per re-entrant family — both slices
+    // non-empty IS "the mark genuinely advanced", stated as data;
+    // the oracle recomputes every slice size from the shared split
+    // rules and every output count from the constituent *_2 oracles
+    // VERBATIM (the q_pipeline_dump composition form). Gate-only:
+    // five bounded counts over already-gated constituents.
+    "q_pipeline_dump2" -> ((s, d) => {
+      import s.implicits._
+      val oThr = GraphCatalog.tpchOrderThreshold(s, d)
+      val oMid = GraphCatalog.tpchOrderMid(s, d)
+      val li = Tables.lineitem(s, d)
+      val mv1 = li.filter(col("l_orderkey") >= lit(oThr)
+        && col("l_orderkey") < lit(oMid)).count()
+      val mv2 = li.filter(col("l_orderkey") >= lit(oMid)).count()
+      val mvOut = RelationalQueries.queries("q_agg_inc2")(s, d).count()
+
+      val eThr = EventQueries.eventsTsThreshold(s, d)
+      val eMid = EventQueries.eventsTsMid(s, d)
+      val ev = Tables.events(s, d).select(unix_micros(col("ts")).as("us"))
+      val scd1 = ev.filter(col("us") >= lit(eThr)
+        && col("us") < lit(eMid)).count()
+      val scd2 = ev.filter(col("us") >= lit(eMid)).count()
+      val scdOut = EventQueries.queries("q_events_scd_inc2")(s, d).count()
+
+      val dMid = DedupQueries.incMidpoint(s, d)
+      val dump = Tables.documents(s, d)
+        .filter(col("source") === DedupQueries.IncNewSource)
+      val dd1 = dump.filter(col("doc_id") <= lit(dMid)).count()
+      val dd2 = dump.filter(col("doc_id") > lit(dMid)).count()
+      val ddOut = DedupQueries.queries("q_dedup_append2")(s, d).count()
+
+      val hashable = dump.filter(octet_length(col("text")) >= 256)
+      val ph1 = hashable.filter(col("doc_id") <= lit(dMid)).count()
+      val ph2 = hashable.filter(col("doc_id") > lit(dMid)).count()
+      val phOut = MultimodalQueries.queries("q_mm_phash_inc2")(s, d)
+        .count()
+
+      val g = GraphCatalog.tpch(s, d)
+      def edgesBelow(k: Long) = LinkGraph.removeRedLinks(
+        LinkGraph.tpchEdges(s, d, maxOrder = Some(k)), g.pages).count()
+      val eStand = edgesBelow(oThr)
+      val gr1 = edgesBelow(oMid) - eStand
+      val gr2 = g.edges.count() - eStand - gr1
+      val grOut = GraphQueries.queries("q_pagerank_inc2")(s, d).count()
+
+      Seq(("dedup", dd1, dd2, ddOut), ("graph", gr1, gr2, grOut),
+        ("mv", mv1, mv2, mvOut), ("phash", ph1, ph2, phOut),
+        ("scd", scd1, scd2, scdOut))
+        .toDF("family", "d1_rows", "d2_rows", "output_rows")
+        .orderBy("family")
+    }),
+
     // THE COMMIT MANIFEST gate (VERDICT r18 item 3): after ONE
     // committed pass, every family must be registered at the SAME
     // dump_id, and each family's store — resolved THROUGH the
@@ -322,6 +384,91 @@ object PipelineQueries {
             'probe',
             (SELECT COUNT(*)
              FROM (${MultimodalQueries.oracles("q_mm_phash_inc")}) t)
+        ) ORDER BY family"""
+    },
+
+    // the two-arrival composition: every slice size recomputed from
+    // the SHARED split rules (the order-keyed families' d1/d2 bounds
+    // are literally one subquery pair), every output count from the
+    // constituent *_2 oracles verbatim; the graph output is the page
+    // universe (q_pagerank_inc2 emits one row per page by
+    // construction — the q_pipeline_dump precedent: counting a
+    // 16-iteration chain restates cost, not strength)
+    "q_pipeline_dump2" -> {
+      val ns = DedupQueries.IncNewSource
+      s"""WITH thr AS (SELECT MAX(o_orderkey) - MAX(o_orderkey) // 10 AS t
+                       FROM orders),
+          omid AS (SELECT (SELECT t FROM thr)
+                          + (MAX(o_orderkey) - (SELECT t FROM thr)) // 2
+                            AS m
+                   FROM orders),
+          ethr AS (SELECT MAX(epoch_us(ts))
+                          - (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 10
+                            AS t
+                   FROM events),
+          emid AS (SELECT (SELECT t FROM ethr)
+                          + (MAX(epoch_us(ts)) - (SELECT t FROM ethr)) // 2
+                            AS m
+                   FROM events),
+          dmid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m
+                   FROM documents WHERE source = '$ns'),
+          pages AS (
+            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS page FROM customer
+            UNION ALL
+            SELECT 's' || CAST(s_suppkey AS VARCHAR) AS page FROM supplier),
+          ebelow AS (
+            SELECT o_orderkey AS k,
+                   'c' || CAST(o_custkey AS VARCHAR) AS src,
+                   's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          egood AS (
+            SELECT src, dst, MIN(k) AS firstk FROM ebelow e
+            WHERE EXISTS (SELECT 1 FROM pages p WHERE p.page = e.dst)
+            GROUP BY src, dst)
+        SELECT * FROM (
+          SELECT 'dedup' AS family,
+            (SELECT COUNT(*) FROM documents WHERE source = '$ns'
+             AND doc_id <= (SELECT m FROM dmid)) AS d1_rows,
+            (SELECT COUNT(*) FROM documents WHERE source = '$ns'
+             AND doc_id > (SELECT m FROM dmid)) AS d2_rows,
+            (SELECT COUNT(*)
+             FROM (${DedupQueries.oracles("q_dedup_append2")}) t)
+              AS output_rows
+        UNION ALL
+          SELECT 'graph',
+            (SELECT COUNT(*) FROM egood
+             WHERE firstk >= (SELECT t FROM thr)
+               AND firstk < (SELECT m FROM omid)),
+            (SELECT COUNT(*) FROM egood
+             WHERE firstk >= (SELECT m FROM omid)),
+            (SELECT COUNT(*) FROM customer)
+              + (SELECT COUNT(*) FROM supplier)
+        UNION ALL
+          SELECT 'mv',
+            (SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey >= (SELECT t FROM thr)
+               AND l_orderkey < (SELECT m FROM omid)),
+            (SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey >= (SELECT m FROM omid)),
+            (SELECT COUNT(*)
+             FROM (${RelationalQueries.oracles("q_agg_inc2")}) t)
+        UNION ALL
+          SELECT 'phash',
+            (SELECT COUNT(*) FROM documents WHERE source = '$ns'
+             AND strlen(text) >= 256 AND doc_id <= (SELECT m FROM dmid)),
+            (SELECT COUNT(*) FROM documents WHERE source = '$ns'
+             AND strlen(text) >= 256 AND doc_id > (SELECT m FROM dmid)),
+            (SELECT COUNT(*)
+             FROM (${MultimodalQueries.oracles("q_mm_phash_inc2")}) t)
+        UNION ALL
+          SELECT 'scd',
+            (SELECT COUNT(*) FROM events
+             WHERE epoch_us(ts) >= (SELECT t FROM ethr)
+               AND epoch_us(ts) < (SELECT m FROM emid)),
+            (SELECT COUNT(*) FROM events
+             WHERE epoch_us(ts) >= (SELECT m FROM emid)),
+            (SELECT COUNT(*)
+             FROM (${EventQueries.oracles("q_events_scd_inc2")}) t)
         ) ORDER BY family"""
     },
 

@@ -65,6 +65,12 @@ class PipelineDumpSpec extends SparkSpec {
         GraphCatalog.tpchOrderThreshold(spark, dir),
       "the MV and graph families derive different order boundaries " +
         "— the r18 unification was undone")
+    // and the round-19 re-entrancy split rides the same delegation:
+    // ONE advanced mark for both order-keyed families
+    assert(RelationalQueries.lineitemMid(spark, dir) ==
+        GraphCatalog.tpchOrderMid(spark, dir),
+      "the MV and graph families derive different SECOND marks — " +
+        "the two-arrival split is no longer one definition")
   }
 
   test("composition: decisions and counts equal the constituents'") {
