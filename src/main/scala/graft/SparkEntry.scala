@@ -152,6 +152,13 @@ object SparkEntry {
       // late branch's cost story is per-affected-user and benched by
       // the same window classes
       "q_events_scd_late",
+      // q_events_scd_inc's window classes with one pushed user_id
+      // filter on each side — no new plan shape
+      "q_events_scd_delete",
+      // the serve is q_ann_ivfpq_stored's (benched) bucket-pruned
+      // plan over the twice-appended table; the appends are
+      // once-per-dump memoized bucketed writes
+      "q_ann_append2",
       // both legs are q_pagerank_incremental's (benched) warm
       // 4-iteration plan class — the same pinned per-iteration
       // shuffles over a bucketed seed store; note (the

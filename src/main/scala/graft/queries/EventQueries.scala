@@ -818,6 +818,23 @@ object EventQueries {
       scdServe(scdMergeOf(scdStore(s, d),
         eventSlice(s, d, eventsTsThreshold(s, d), None)))),
 
+    // USER ERASURE on the SCD2 dimension (the forget leg completing
+    // the store lifecycle matrix — dedup, pHash, ANN, the rank store
+    // and the MV's retraction all forget; a GDPR-erased user's
+    // versions stayed in the dimension forever): the shared
+    // 10%-of-ids takedown shape on user_id filters the STORE side of
+    // the merge AND the delta (erasure is total: history and future
+    // events of an erased user both vanish) — a narrow predicate on
+    // the user_id-bucketed store, no rewrite per erasure, the
+    // q_dedup_delete filter-inside-the-probe move. ONE oracle: the
+    // scd chain rebuilt over exactly the SURVIVING users' events.
+    // Gate-only in the bench: q_events_scd_inc's (gated) window
+    // classes with one pushed filter added.
+    "q_events_scd_delete" -> ((s, d) =>
+      scdServe(scdMergeOf(scdStore(s, d).filter(!ScdDeleteRule),
+        eventSlice(s, d, eventsTsThreshold(s, d), None)
+          .filter(!ScdDeleteRule)))),
+
     // LATE-AWARE SCD2 maintenance (VERDICT r18 item 5): the merge
     // path that survives out-of-order arrivals — late events (ts
     // below the mark, arriving in the dump) quarantine their USERS,
@@ -1124,12 +1141,15 @@ object EventQueries {
   /** q_events_scd's oracle — ALSO q_events_scd_inc's, VERBATIM:
     * maintaining the dimension from the store + the delta must answer
     * exactly what rebuilding from the full log answers (the
-    * q_agg_incremental one-oracle law, event family). */
-  private val scdSql =
-    """WITH c AS (SELECT user_id, event_id, ts, event_type,
+    * q_agg_incremental one-oracle law, event family). The `events`
+    * source is parameterized ONLY for the erasure gate
+    * (q_events_scd_delete rebuilds over the surviving users — one
+    * chain, two source slices). */
+  private def scdSqlOver(source: String) =
+    s"""WITH c AS (SELECT user_id, event_id, ts, event_type,
                   LAG(event_type) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id) AS prev
-                FROM events),
+                FROM $source),
           ch AS (SELECT user_id, event_id, ts, event_type FROM c
                  WHERE prev IS NULL OR prev <> event_type),
           v AS (SELECT user_id, event_type,
@@ -1144,6 +1164,18 @@ object EventQueries {
                 strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
                 vt IS NULL AS is_current, version
          FROM v ORDER BY user_id, version"""
+
+  private val scdSql = scdSqlOver("events")
+
+  /** The event family's erasure rule (q_events_scd_delete): the shared
+    * 10%-of-ids takedown shape on user_id — GDPR user erasure, the
+    * forget leg completing the lifecycle matrix (dedup, pHash, ANN,
+    * graph and the MV's retraction all forget; the dimension could
+    * not). */
+  private[graft] val ScdDeleteRule = col("user_id") % 10 === 3
+
+  private val scdDeleteSql = scdSqlOver(
+    "(SELECT * FROM events WHERE user_id % 10 <> 3)")
 
   def oracles: Map[String, String] = Map(
     // the change-collapse + interval-close replay: LAG filters
@@ -1161,6 +1193,8 @@ object EventQueries {
     // the full-log rebuild — on this corpus the late set is empty,
     // so the plumbing must be a perfect identity
     "q_events_scd_late" -> scdSql,
+    // erasure: the same chain over exactly the surviving users
+    "q_events_scd_delete" -> scdDeleteSql,
     // the INDEPENDENT interval-containment replay of the PIT read:
     // the same dimension CTEs, then each purchase fact LEFT-joined to
     // the version whose lead-closed interval strictly precedes and

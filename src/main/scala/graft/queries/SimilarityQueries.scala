@@ -1312,6 +1312,24 @@ object SimilarityQueries {
         newEnc.select(standing.columns.map(col).toIndexedSeq: _*)))
     }),
 
+    // RE-ENTRANT index accretion — TWO successive appends (the round-
+    // 19 re-entrancy law, ANN family — completing the *_2 matrix with
+    // MV, SCD, dedup, pHash and the rank store): the vector dump
+    // splits at its id midpoint ([[incVecMid]]) and BOTH waves are
+    // PQ-encoded + IVF-assigned under the frozen quantizers and
+    // appended in arrival order to one persisted bucketed table
+    // ([[annStoreAppended2]] — Spark's bucketed APPEND, the
+    // sigStoreAppended2 move); the serve searches the twice-appended
+    // store with exactly the q_ann_ivfpq_stored strategy. Because
+    // encode is per-row under one codebook, append∘append ≡ rebuild —
+    // ONE oracle, q_ann_ivfpq's chain verbatim (the q_ann_incremental
+    // precedent); AnnAppend2Spec pins the store's row set against the
+    // from-scratch encode and both waves non-empty. Gate-only in the
+    // bench: the serve is q_ann_ivfpq_stored's (benched) bucket-pruned
+    // plan; the appends are once-per-dump memoized writes.
+    "q_ann_append2" -> ((s, d) =>
+      storedSearch(Tables.embeddings(s, d), annStoreAppended2(s, d))),
+
     // DRIFT-TRIGGERED index maintenance (VERDICT r14 item 4) — the
     // lifecycle rule that connects the q_embed_drift monitor to the
     // stored index: if any label's standing→new centroid shift exceeds
@@ -2002,6 +2020,74 @@ object SimilarityQueries {
       quantFrom = Some(standing))
   }
 
+  private val vecMidCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), Long]
+
+  /** The ADVANCED vector mark after the first of the two dump waves
+    * (q_ann_append2): thr + (max − thr)/2 on vec_id — the shared
+    * midpoint idiom, one 1-row agg, integer floor division. */
+  private[graft] def incVecMid(s: SparkSession, d: String): Long = {
+    vecMidCache.keys.foreach { k =>
+      if (k._1.isStopped) vecMidCache.remove(k)
+    }
+    graft.plans.Lineage.once(vecMidCache, (s.sparkContext, d)) {
+      val hi = Tables.embeddings(s, d)
+        .agg(max("vec_id")).head.getLong(0)
+      val thr = incVecThreshold(s, d)
+      thr + (hi - thr) / 2
+    }
+  }
+
+  private val annApp2Cache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The ANN store after BOTH dump waves' appends (q_ann_append2):
+    * the standing encoded rows written, then wave A ([thr, mid))
+    * encoded under the FROZEN full-corpus quantizers and appended,
+    * then wave B ([mid, ∞)) — two successive bucket-spec-matching
+    * appends with the arrival mark advancing. Per-row encoding under
+    * one codebook makes append∘append ≡ rebuild ([[annStore]]'s own
+    * content); the gates' [[annStore]] / [[annStoreStanding]] stay
+    * untouched. */
+  private[graft] def annStoreAppended2(s: SparkSession, d: String)
+      : DataFrame = {
+    graft.GraftFunctions.register(s)
+    annApp2Cache.keys.foreach { k =>
+      if (k._1.isStopped) annApp2Cache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(annApp2Cache, (s.sparkContext, d)) {
+      val tbl = "graft_ann_app2_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val e = Tables.embeddings(s, d)
+      val thr = incVecThreshold(s, d)
+      val mid = incVecMid(s, d)
+      require(thr < mid,
+        s"q_ann_append2: the mark did not advance (thr=$thr, mid=$mid)")
+      def enc(slice: DataFrame) =
+        pqEncode(slice, PqSeedRule, cbFrom = Some(e))
+          .join(ivfAssign(slice, ivfCentroids(e)), "vec_id")
+      enc(e.filter(col("vec_id") < lit(thr)))
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .mode("overwrite").saveAsTable(tbl)
+      enc(e.filter(col("vec_id") >= lit(thr) && col("vec_id") < lit(mid)))
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .mode("append").saveAsTable(tbl)
+      enc(e.filter(col("vec_id") >= lit(mid)))
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .mode("append").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
   /** Context-keyed like [[DedupQueries.signatureStore]]: the persisted
     * table is a catalog artifact shared by sibling sessions — a
     * per-session key would destructively rebuild it under a live
@@ -2538,6 +2624,10 @@ object SimilarityQueries {
         // appending to an index never changes an answer: encode is
         // per-row under frozen quantizers, so standing ∪ new ≡ full
         ("q_ann_incremental" -> base("q_ann_ivfpq")) +
+        // two successive appends under the frozen quantizers still
+        // never change an answer — append∘append ≡ rebuild, the
+        // re-entrancy law on the same one oracle
+        ("q_ann_append2" -> base("q_ann_ivfpq")) +
         // the stream serves the SAME stored search bit-identically
         // (AnnStreamSpec pins the row-for-row law) — one oracle
         ("q_stream_ann" -> base("q_ann_ivfpq")) +
