@@ -93,6 +93,9 @@ object SparkEntry {
       // range-pruned slice counts — the q_pipeline_dump rationale for
       // the second arrival
       "q_pipeline_dump2",
+      // six memoized v2 store builds (the re-entrancy gates' own
+      // artifacts, warm-up absorbed) + six counts + a 6-row collect
+      "q_pipeline_manifest2",
       // the append is a once-per-dump memoized bucketed write; the
       // timed probe is q_dedup_incremental's plan class over half the
       // dump — already benched

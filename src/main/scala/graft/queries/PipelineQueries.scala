@@ -101,11 +101,33 @@ object PipelineCommit {
     base + h(d) + (if (version == 1L) "" else s"_v$version")
   }
 
+  /** The dump-2 manifest — the pointer generation the SECOND pass
+    * publishes (q_pipeline_manifest2): its own table, so the dump-1
+    * gate's snapshot stays readable while the next generation
+    * commits (in production the SAME table would be overwritten; two
+    * tables here keep both gates order-independent under one Verify
+    * run). */
+  private[graft] def manifest2Table(d: String): String =
+    "graft_manifest2_" + h(d)
+
+  /** The six families with a v2 (post-second-merge) store and those
+    * stores' physical names — the re-entrancy gates' own artifacts
+    * (curate has no dump-keyed store; its weight vector is
+    * sample-trained, not accreted). */
+  private[graft] def families2(d: String): Seq[(String, String)] = Seq(
+    "ann"   -> ("graft_ann_app2_" + h(d)),
+    "dedup" -> ("graft_sig_app2_" + h(d)),
+    "graph" -> ("graft_rank_store2_" + h(d)),
+    "mv"    -> ("graft_agg_store2_" + h(d)),
+    "phash" -> ("graft_phash_app2_" + h(d)),
+    "scd"   -> ("graft_scd_store2_" + h(d)))
+
   /** Overwrite the manifest with the given (family, dump_id,
     * store_table) rows — THE commit point, one atomic table swap.
     * Exposed for the abort/flip spec. */
   private[graft] def publish(s: SparkSession, d: String,
-      rows: Seq[(String, Long, String)]): Unit = {
+      rows: Seq[(String, Long, String)],
+      table: Option[String] = None): Unit = {
     import s.implicits._
     rows.foreach { case (f, _, t) =>
       require(s.catalog.tableExists(t),
@@ -113,7 +135,7 @@ object PipelineCommit {
           s"does not exist: $t — refusing to publish a dangling " +
           "pointer")
     }
-    val tbl = manifestTable(d)
+    val tbl = table.getOrElse(manifestTable(d))
     // a previous JVM may have left the managed LOCATION on disk
     // without this session's catalog knowing the table (the
     // signature-store lesson); in production this drop+write is a
@@ -151,6 +173,33 @@ object PipelineCommit {
       EventQueries.scdStore(s, d)
       publish(s, d, Families.map(f => (f, 1L, storeName(f, d, 1L))))
       manifestTable(d)
+    }
+    s.table(name)
+  }
+
+  private val commit2Cache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The SECOND pass's commit: build every family's v2 store (the
+    * re-entrancy gates' own idempotent builders), THEN publish the
+    * dump-2 manifest — the same stores-first-pointer-last protocol,
+    * one generation later. */
+  private[graft] def commitSecond(s: SparkSession, d: String)
+      : DataFrame = {
+    commit2Cache.keys.foreach { k =>
+      if (k._1.isStopped) commit2Cache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(commit2Cache, (s.sparkContext, d)) {
+      SimilarityQueries.annStoreAppended2(s, d)
+      DedupQueries.sigStoreAppended2(s, d)
+      GraphCatalog.tpchStandingRanks2(s, d)
+      RelationalQueries.aggStore2(s, d)
+      MultimodalQueries.phashStoreAppended2(s, d)
+      EventQueries.scdStore2(s, d)
+      publish(s, d, families2(d).map { case (f, t) => (f, 2L, t) },
+        table = Some(manifest2Table(d)))
+      manifest2Table(d)
     }
     s.table(name)
   }
@@ -315,6 +364,29 @@ object PipelineQueries {
     "q_pipeline_manifest" -> ((s, d) => {
       import s.implicits._
       PipelineCommit.commitStanding(s, d)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .toSeq
+        .map { case (f, id, t) => (f, id, s.table(t).count()) }
+        .toDF("family", "dump_id", "store_rows")
+        .orderBy("family")
+    }),
+
+    // THE SECOND GENERATION of the commit manifest — the manifest
+    // protocol tied to the re-entrancy story: after the two-arrival
+    // pass, the six accreting families' v2 stores (the *_2 gates' own
+    // persisted artifacts) publish under dump_id 2, stores first,
+    // pointer last, and the serve resolves THROUGH that pointer. The
+    // oracle restates both the (family, dump_id 2) rows and each v2
+    // store's from-scratch population — the v2 index stores hold the
+    // FULL corpus (both waves appended: 1/embedding, 4 band rows/doc
+    // over ALL documents, 64 tier-2 rows per hashable asset), the v2
+    // merge stores hold the below-mid generation (MV groups / change
+    // rows below the ADVANCED mark), the v2 rank store one row per
+    // page. Gate-only: six memoized builds + six counts + a 6-row
+    // collect.
+    "q_pipeline_manifest2" -> ((s, d) => {
+      import s.implicits._
+      PipelineCommit.commitSecond(s, d)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
         .toSeq
         .map { case (f, id, t) => (f, id, s.table(t).count()) }
@@ -515,6 +587,56 @@ object PipelineQueries {
                                           - (MAX(epoch_us(ts))
                                              - MIN(epoch_us(ts))) // 10
                                           FROM events)) t
+                  WHERE prev IS NULL OR prev <> event_type)
+        ) ORDER BY family"""
+    },
+
+    // the second generation: six families at dump_id 2, each resolved
+    // v2 store holding its from-scratch population — full-corpus for
+    // the appended indexes, below-the-ADVANCED-mark for the merge
+    // stores
+    "q_pipeline_manifest2" -> {
+      val ns = DedupQueries.IncNewSource
+      s"""WITH thr AS (SELECT MAX(o_orderkey) - MAX(o_orderkey) // 10 AS t
+                       FROM orders),
+          omid AS (SELECT (SELECT t FROM thr)
+                          + (MAX(o_orderkey) - (SELECT t FROM thr)) // 2
+                            AS m
+                   FROM orders),
+          e0 AS (SELECT MAX(epoch_us(ts))
+                        - (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 10
+                          AS t
+                 FROM events),
+          emid AS (SELECT (SELECT t FROM e0)
+                          + (MAX(epoch_us(ts)) - (SELECT t FROM e0)) // 2
+                            AS m
+                   FROM events)
+        SELECT * FROM (
+          SELECT 'ann' AS family, 2 AS dump_id,
+                 (SELECT COUNT(*) FROM embeddings) AS store_rows
+        UNION ALL
+          SELECT 'dedup', 2, 4 * (SELECT COUNT(*) FROM documents)
+        UNION ALL
+          SELECT 'graph', 2,
+                 (SELECT COUNT(*) FROM customer)
+                   + (SELECT COUNT(*) FROM supplier)
+        UNION ALL
+          SELECT 'mv', 2,
+                 (SELECT COUNT(DISTINCT (l_returnflag, l_linestatus))
+                  FROM lineitem
+                  WHERE l_orderkey < (SELECT m FROM omid))
+        UNION ALL
+          SELECT 'phash', 2,
+                 64 * (SELECT COUNT(*) FROM documents
+                       WHERE strlen(text) >= 256)
+        UNION ALL
+          SELECT 'scd', 2,
+                 (SELECT COUNT(*) FROM (
+                    SELECT user_id, event_type,
+                           LAG(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev
+                    FROM events
+                    WHERE epoch_us(ts) < (SELECT m FROM emid)) t
                   WHERE prev IS NULL OR prev <> event_type)
         ) ORDER BY family"""
     }

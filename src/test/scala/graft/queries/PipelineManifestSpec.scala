@@ -106,4 +106,25 @@ class PipelineManifestSpec extends SparkSpec {
     }
     assert(manifestRows() == v1, "the restore did not round-trip")
   }
+
+  test("the second generation: six v2 stores publish at dump_id 2, " +
+      "pointing at the re-entrancy gates' own artifacts, without " +
+      "touching the dump-1 snapshot") {
+    val v1 = manifestRows()
+    val gen2 = PipelineCommit.commitSecond(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(gen2.map(_._1) == PipelineCommit.families2(dir).map(_._1))
+    assert(gen2.map(_._2).distinct == Seq(2L),
+      s"the second generation is not uniformly at dump 2: $gen2")
+    assert(gen2.map(t => t._1 -> t._3) ==
+        PipelineCommit.families2(dir),
+      "generation 2 does not point at the v2 store tables")
+    gen2.foreach { case (f, _, t) =>
+      assert(spark.catalog.tableExists(t),
+        s"family $f's generation-2 pointer names a missing table $t")
+    }
+    assert(manifestRows() == v1,
+      "publishing generation 2 mutated the dump-1 manifest")
+  }
 }
