@@ -124,7 +124,14 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default = the ANCHOR config (BASELINE.md: local[32]/shuffle=32).
+    // It was "4" through round 19, which let a bench launched without
+    // the env var silently measure a local[4] workload and be recorded
+    // next to local[32] standing rows (VERDICT r19 item 1) — the
+    // standalone default now matches the documented anchor so the
+    // footgun is gone; readers must still check the emitted "config"
+    // block before citing any record.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -137,6 +137,10 @@ object SparkEntry {
       // incremental serve adds a range-pruned delta agg + a
       // ≤2×|groups|-row merge
       "q_agg_incremental",
+      // the same two partial-agg legs as q_agg_incremental with the
+      // late rows moved between them — no new plan shape; the late
+      // slice's scan is the benched q_agg_lineitem class
+      "q_agg_inc_late",
       // the re-entrancy gates (round 19) re-run the SAME merge/probe
       // plan classes their one-dump parents carry, over half-dump
       // slices, through an extra once-per-round persisted store:

@@ -169,7 +169,9 @@ object GraphCatalog {
       sedges.unpersist()
       tbl
     }
-    spark.table(name)
+    // the production read path: resolve through the committed manifest
+    // pointer once a pass has published (VERDICT r19 item 1)
+    graft.queries.PipelineCommit.resolveOr(spark, dir, "graph", 1L, name)
   }
 
   private val rankStore2Cache =
@@ -215,7 +217,7 @@ object GraphCatalog {
       medges.unpersist()
       tbl
     }
-    spark.table(name)
+    graft.queries.PipelineCommit.resolveOr(spark, dir, "graph", 2L, name)
   }
 
   private val pranks = TrieMap.empty[(SparkSession, String), DataFrame]

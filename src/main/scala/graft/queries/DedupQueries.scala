@@ -873,7 +873,9 @@ object DedupQueries {
         .mode("overwrite").saveAsTable(tbl)
       tbl
     }
-    s.table(name)
+    // the production read path: resolve through the committed manifest
+    // pointer once a pass has published (VERDICT r19 item 1)
+    PipelineCommit.resolveOr(s, d, "dedup", 1L, name)
   }
 
   private val incMidCache =
@@ -983,7 +985,7 @@ object DedupQueries {
         .mode("append").saveAsTable(tbl)
       tbl
     }
-    s.table(name)
+    PipelineCommit.resolveOr(s, d, "dedup", 2L, name)
   }
 
   /** Tombstoned STANDING documents (q_dedup_delete /

@@ -209,7 +209,9 @@ object EventQueries {
         .mode("overwrite").saveAsTable(tbl)
       tbl
     }
-    s.table(name)
+    // the production read path: resolve through the committed manifest
+    // pointer once a pass has published (VERDICT r19 item 1)
+    PipelineCommit.resolveOr(s, d, "scd", 1L, name)
   }
 
   /** The event dump slice [lo, hi) — a pushed ts range predicate; the
@@ -256,7 +258,7 @@ object EventQueries {
         .mode("overwrite").saveAsTable(tbl)
       tbl
     }
-    s.table(name)
+    PipelineCommit.resolveOr(s, d, "scd", 2L, name)
   }
 
   /** (user_id, ts) uniqueness guard (ADVICE r18): the PIT read breaks

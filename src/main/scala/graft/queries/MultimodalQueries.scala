@@ -144,7 +144,9 @@ object MultimodalQueries {
         .mode("overwrite").saveAsTable(tbl)
       tbl
     }
-    s.table(name)
+    // the production read path: resolve through the committed manifest
+    // pointer once a pass has published (VERDICT r19 item 1)
+    PipelineCommit.resolveOr(s, d, "phash", 1L, name)
   }
 
   private val phashCache =
@@ -258,7 +260,7 @@ object MultimodalQueries {
         .mode("append").saveAsTable(tbl)
       tbl
     }
-    s.table(name)
+    PipelineCommit.resolveOr(s, d, "phash", 2L, name)
   }
 
   private val phashCompactCache =

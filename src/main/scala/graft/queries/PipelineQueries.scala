@@ -56,18 +56,24 @@ import graft.multimodal.Multimodal
   * is a benched constituent; the composition's own work is seven
   * 1-row aggs.
   */
-/** THE COMMIT MANIFEST (VERDICT r18 item 3): the seven family stores
-  * are independent `saveAsTable` writes, so a mid-pass failure would
-  * leave families at DIFFERENT dump boundaries — precisely the
-  * consistency q_pipeline_dump asserts, but only on a healthy run.
-  * The minimal scale-real answer is one atomic pointer: a manifest
-  * table (family, dump_id, store_table) written ONCE, AFTER every
-  * family store committed, and serves resolving physical store names
-  * THROUGH it. A pass that dies after N of 7 store writes publishes
-  * nothing — every reader keeps resolving the previous consistent
-  * snapshot (PipelineManifestSpec aborts a pass mid-write and proves
-  * it). This lifts the per-family store-swap pattern (DROP + recreate
-  * under Lineage.once) to one cross-family commit point.
+/** THE COMMIT MANIFEST (VERDICT r18 item 3, reworked per VERDICT r19
+  * items 1+4 and ADVICE r19 item 4): ONE generation-keyed manifest
+  * table per corpus — `(generation, family, store_table)` rows plus a
+  * `__commit__` sentinel row per generation — written APPEND-ONLY.
+  * The family stores are independent `saveAsTable` writes, so a
+  * mid-pass failure would leave families at DIFFERENT dump
+  * boundaries; the manifest is the single cross-family commit point:
+  * stores first, then ONE single-job append of the generation's rows
+  * (sentinel included). The job-level commit of that append is the
+  * atomic flip — a pass that dies at ANY point, including during a
+  * RE-publish, has appended nothing visible, and because no publish
+  * ever drops or rewrites existing rows, every previously committed
+  * generation stays readable forever (the round-19 DROP+overwrite
+  * form lost the whole manifest to a crash between the drop and the
+  * write — exactly the window this layout closes). Readers resolve a
+  * family at a PINNED generation (every family serve routes through
+  * [[resolveOr]]), or take the max committed generation
+  * ([[currentGen]]) — the "readers take max" production shape.
   */
 object PipelineCommit {
 
@@ -77,6 +83,12 @@ object PipelineCommit {
     * commit loudly instead of publishing a dangling pointer). */
   private[graft] val Families: Seq[String] =
     Seq("ann", "curate", "dedup", "graph", "mv", "phash", "scd")
+
+  /** The sentinel family name whose row marks a generation as
+    * COMMITTED: readers ignore generations without it, so the
+    * family rows and the sentinel landing in one write job make the
+    * generation's visibility atomic at job commit. */
+  private[graft] val CommitSentinel = "__commit__"
 
   private def h(d: String): String =
     org.apache.commons.codec.digest.DigestUtils.md5Hex(d).take(8)
@@ -101,18 +113,9 @@ object PipelineCommit {
     base + h(d) + (if (version == 1L) "" else s"_v$version")
   }
 
-  /** The dump-2 manifest — the pointer generation the SECOND pass
-    * publishes (q_pipeline_manifest2): its own table, so the dump-1
-    * gate's snapshot stays readable while the next generation
-    * commits (in production the SAME table would be overwritten; two
-    * tables here keep both gates order-independent under one Verify
-    * run). */
-  private[graft] def manifest2Table(d: String): String =
-    "graft_manifest2_" + h(d)
-
-  /** The six families with a v2 (post-second-merge) store and those
-    * stores' physical names — the re-entrancy gates' own artifacts
-    * (curate has no dump-keyed store; its weight vector is
+  /** The six families with a generation-2 (post-second-merge) store
+    * and those stores' physical names — the re-entrancy gates' own
+    * artifacts (curate has no dump-keyed store; its weight vector is
     * sample-trained, not accreted). */
   private[graft] def families2(d: String): Seq[(String, String)] = Seq(
     "ann"   -> ("graft_ann_app2_" + h(d)),
@@ -122,48 +125,160 @@ object PipelineCommit {
     "phash" -> ("graft_phash_app2_" + h(d)),
     "scd"   -> ("graft_scd_store2_" + h(d)))
 
-  /** Overwrite the manifest with the given (family, dump_id,
-    * store_table) rows — THE commit point, one atomic table swap.
-    * Exposed for the abort/flip spec. */
-  private[graft] def publish(s: SparkSession, d: String,
-      rows: Seq[(String, Long, String)],
-      table: Option[String] = None): Unit = {
+  // ---- manifest storage ------------------------------------------------
+  //
+  // The catalog is per-JVM (only table FILES persist across JVMs), so
+  // the manifest table is (re)initialized empty once per (context,
+  // corpus) — the usual DROP + delete-location dance clears a prior
+  // JVM's orphaned files. From then on it only ever gains rows.
+  // Because this JVM's publish() is thereby the table's ONLY writer,
+  // a driver-side mirror of the committed generations is exact, and
+  // resolution costs zero Spark jobs on the hot path (committed
+  // generations are immutable — publish refuses to rewrite one — so
+  // the mirror can never go stale). The durable TABLE remains the
+  // artifact of record: [[storeFor]] and the gates read it, and
+  // PipelineManifestSpec pins table ≡ mirror after every commit.
+
+  private val manifestInitCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  private val mirror =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String),
+        scala.collection.immutable.SortedMap[Long, Map[String, String]]]
+
+  private def ensureManifest(s: SparkSession, d: String): String = {
+    manifestInitCache.keys.foreach { k =>
+      if (k._1.isStopped) { manifestInitCache.remove(k); mirror.remove(k) }
+    }
+    graft.plans.Lineage.once(manifestInitCache, (s.sparkContext, d)) {
+      import s.implicits._
+      val tbl = manifestTable(d)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      Seq.empty[(Long, String, String)]
+        .toDF("generation", "family", "store_table")
+        .coalesce(1).write.mode("overwrite").saveAsTable(tbl)
+      mirror.put((s.sparkContext, d),
+        scala.collection.immutable.SortedMap.empty[Long, Map[String, String]])
+      tbl
+    }
+  }
+
+  private def committed(s: SparkSession, d: String)
+      : scala.collection.immutable.SortedMap[Long, Map[String, String]] = {
+    ensureManifest(s, d)
+    mirror((s.sparkContext, d))
+  }
+
+  /** The max committed generation, if any — "readers take max". */
+  private[graft] def currentGen(s: SparkSession, d: String): Option[Long] =
+    committed(s, d).lastOption.map(_._1)
+
+  /** APPEND the generation's (family → store_table) rows plus the
+    * commit sentinel in ONE single-partition write job — THE commit
+    * point. Nothing existing is ever dropped or rewritten: a crash
+    * before the append's job commit leaves the manifest exactly as it
+    * was (all previously committed generations readable), and a crash
+    * after it has committed the full generation. Re-publishing an
+    * already committed generation with identical content is a no-op
+    * (idempotent re-run); with different content it is refused loudly
+    * — committed generations are immutable, which is what makes the
+    * driver-side mirror and the memoized resolutions sound. */
+  private[graft] def publish(s: SparkSession, d: String, gen: Long,
+      rows: Seq[(String, String)]): Unit = synchronized {
     import s.implicits._
-    rows.foreach { case (f, _, t) =>
+    require(rows.nonEmpty && rows.map(_._1).distinct.size == rows.size,
+      s"manifest generation $gen has duplicate or no family rows: $rows")
+    require(!rows.exists(_._1 == CommitSentinel),
+      s"family name $CommitSentinel is reserved for the commit marker")
+    rows.foreach { case (f, t) =>
       require(s.catalog.tableExists(t),
         s"manifest commit for family $f names a store table that " +
           s"does not exist: $t — refusing to publish a dangling " +
           "pointer")
     }
-    val tbl = table.getOrElse(manifestTable(d))
-    // a previous JVM may have left the managed LOCATION on disk
-    // without this session's catalog knowing the table (the
-    // signature-store lesson); in production this drop+write is a
-    // transactional catalog swap — here the overwrite of a 7-row
-    // table is the commit point
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
-    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    rows.toDF("family", "dump_id", "store_table")
-      .coalesce(1).write.mode("overwrite").saveAsTable(tbl)
+    val tbl = ensureManifest(s, d)
+    val key = (s.sparkContext, d)
+    mirror(key).get(gen) match {
+      case Some(prev) =>
+        require(prev == rows.toMap,
+          s"manifest generation $gen is already committed with " +
+            s"different content ($prev vs $rows) — committed " +
+            "generations are immutable; publish the next generation " +
+            "instead")
+      case None =>
+        (rows :+ (CommitSentinel -> ""))
+          .map { case (f, t) => (gen, f, t) }
+          .toDF("generation", "family", "store_table")
+          .coalesce(1).write.mode("append").saveAsTable(tbl)
+        mirror.put(key, mirror(key) + (gen -> rows.toMap))
+    }
+  }
+
+  /** The committed snapshot of one generation, read from the DURABLE
+    * table (not the mirror) — the spec-facing read that proves what a
+    * restarted reader would resolve. Sentinel row excluded. */
+  private[graft] def snapshot(s: SparkSession, d: String, gen: Long)
+      : Seq[(String, String)] =
+    s.table(ensureManifest(s, d))
+      .filter(col("generation") === gen
+        && col("family") =!= CommitSentinel)
+      .select("family", "store_table")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+
+  private val resolveCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String, String, Long), String]
+
+  /** THE family-store read path: resolve `family` at the PINNED
+    * `gen` through the manifest pointer when that generation is
+    * committed, falling back to the builder's own physical name only
+    * while no commit exists yet (bootstrap — production's very first
+    * pass, where the builder IS the writer publishing the pointer a
+    * moment later). Every store-backed serve in the catalog returns
+    * through here, so once a pass has committed, what readers get is
+    * BY CONSTRUCTION a committed snapshot — repointing a family (e.g.
+    * a compaction swapping the physical table) redirects every
+    * consumer without touching one serve. Committed resolutions are
+    * memoized (pointers are immutable once committed). */
+  private[graft] def resolveOr(s: SparkSession, d: String,
+      family: String, gen: Long, fallback: String): DataFrame = {
+    resolveCache.keys.foreach { k =>
+      if (k._1.isStopped) resolveCache.remove(k)
+    }
+    val key = (s.sparkContext, d, family, gen)
+    resolveCache.get(key) match {
+      case Some(t) => s.table(t)
+      case None =>
+        committed(s, d).get(gen).flatMap(_.get(family)) match {
+          case Some(t) => resolveCache.put(key, t); s.table(t)
+          case None    => s.table(fallback)
+        }
+    }
   }
 
   private val commitCache =
     scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.SparkContext, String), String]
+      .empty[(org.apache.spark.SparkContext, String), Boolean]
 
   /** Build every family's standing store (each idempotent under its
-    * own Lineage.once), THEN publish the dump-1 manifest — the write
-    * order IS the protocol: stores first, pointer last. */
+    * own Lineage.once), THEN publish generation 1 — the write order
+    * IS the protocol: stores first, pointer last. Returns the
+    * committed generation-1 rows with resolved store names, read from
+    * the durable table. */
   private[graft] def commitStanding(s: SparkSession, d: String)
       : DataFrame = {
     commitCache.keys.foreach { k =>
       if (k._1.isStopped) commitCache.remove(k)
     }
-    val name = graft.plans.Lineage.once(commitCache, (s.sparkContext, d)) {
+    graft.plans.Lineage.once(commitCache, (s.sparkContext, d)) {
       SimilarityQueries.annStore(s, d)
       TextQueries.clfWeightsStore(s, d)
       DedupQueries.signatureStore(s, d)
@@ -171,47 +286,54 @@ object PipelineCommit {
       RelationalQueries.aggStore(s, d)
       MultimodalQueries.phashStore(s, d)
       EventQueries.scdStore(s, d)
-      publish(s, d, Families.map(f => (f, 1L, storeName(f, d, 1L))))
-      manifestTable(d)
+      publish(s, d, 1L, Families.map(f => (f, storeName(f, d, 1L))))
+      true
     }
-    s.table(name)
+    genRows(s, d, 1L)
   }
 
   private val commit2Cache =
     scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.SparkContext, String), String]
+      .empty[(org.apache.spark.SparkContext, String), Boolean]
 
   /** The SECOND pass's commit: build every family's v2 store (the
-    * re-entrancy gates' own idempotent builders), THEN publish the
-    * dump-2 manifest — the same stores-first-pointer-last protocol,
-    * one generation later. */
+    * re-entrancy gates' own idempotent builders), THEN publish
+    * generation 2 into the SAME manifest table — the same
+    * stores-first-pointer-last protocol, one generation later.
+    * Generation 1 stays readable (append-only). */
   private[graft] def commitSecond(s: SparkSession, d: String)
       : DataFrame = {
     commit2Cache.keys.foreach { k =>
       if (k._1.isStopped) commit2Cache.remove(k)
     }
-    val name = graft.plans.Lineage.once(commit2Cache, (s.sparkContext, d)) {
+    graft.plans.Lineage.once(commit2Cache, (s.sparkContext, d)) {
       SimilarityQueries.annStoreAppended2(s, d)
       DedupQueries.sigStoreAppended2(s, d)
       GraphCatalog.tpchStandingRanks2(s, d)
       RelationalQueries.aggStore2(s, d)
       MultimodalQueries.phashStoreAppended2(s, d)
       EventQueries.scdStore2(s, d)
-      publish(s, d, families2(d).map { case (f, t) => (f, 2L, t) },
-        table = Some(manifest2Table(d)))
-      manifest2Table(d)
+      publish(s, d, 2L, families2(d))
+      true
     }
-    s.table(name)
+    genRows(s, d, 2L)
   }
 
-  /** Resolve a family's store THROUGH the manifest — the read path
-    * whose answer can only ever be a committed snapshot. The 7-row
-    * manifest collect is the N-counter contract. */
+  /** One committed generation as a (family, dump_id, store_table)
+    * frame off the durable table — what the manifest gates emit. */
+  private def genRows(s: SparkSession, d: String, gen: Long): DataFrame =
+    s.table(ensureManifest(s, d))
+      .filter(col("generation") === gen
+        && col("family") =!= CommitSentinel)
+      .select(col("family"), col("generation").as("dump_id"),
+        col("store_table"))
+
+  /** Resolve a family's standing (generation-1) store THROUGH the
+    * manifest — commits first if needed. Spec-facing. */
   private[graft] def storeFor(s: SparkSession, d: String,
       family: String): DataFrame = {
-    val t = commitStanding(s, d)
-      .filter(col("family") === family)
-      .select("store_table").head().getString(0)
+    commitStanding(s, d).collect()
+    val t = snapshot(s, d, 1L).toMap.apply(family)
     s.table(t)
   }
 }

@@ -178,6 +178,56 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // LATE-ARRIVING DATA in MV maintenance (VERDICT r19 gap 2):
+    // q_agg_incremental's delta is the key-range slice `l_orderkey >=
+    // thr`, so a row BELOW the mark arriving in a later dump is
+    // invisibly lost — the exact bug class the SCD family fixed with
+    // quarantine-and-rebuild (scdMergeWithLate). For a
+    // self-decomposable aggregate the remedy is cheaper and exact:
+    // the fix is the DUMP DEFINITION, not the merge. A dump is an
+    // ARRIVAL set, not a key range — here the late set is the
+    // deterministic ~1% rule (l_orderkey < thr AND l_orderkey % 97 =
+    // 13): rows the standing store's build never saw (the store leg
+    // below excludes them) that arrive WITH the dump. SUM and COUNT
+    // partials COMMUTE, so merging the late rows' partials alongside
+    // the dump's is exactly rebuild — no quarantine, no
+    // affected-group recompute, no ordering requirement (contrast
+    // SCD2, where the open chain tail makes store-only reopening
+    // UNSOUND — EventQueries.scdMergeWithLate — because chain state,
+    // unlike a sum, does not commute). ONE oracle states the law:
+    // q_agg_lineitem's full-recompute SQL VERBATIM. AggLateSpec pins
+    // the teeth: the late slice is non-empty, spans real groups, and
+    // the key-range-only merge over the SAME late-excluding store is
+    // WRONG — the arrival-based delta is load-bearing. Scale: the
+    // modulo rule stands in for an arrival tag (a dump/ingest
+    // partition column, pruned at the scan in production); cost is
+    // ∝ the arrival set (dump + late slice), never the corpus. Same
+    // float contract as q_agg_incremental (one IEEE reorder, the
+    // measured-margin spec). Gate-only in the bench: both legs are
+    // q_agg_lineitem's (benched) partial-agg plan class.
+    "q_agg_inc_late" -> ((s, d) => {
+      val thr = lineitemThreshold(s, d)
+      val li = Tables.lineitem(s, d)
+      val late = col("l_orderkey") < lit(thr) &&
+        col("l_orderkey") % 97 === 13
+      def partials(f: DataFrame) = f
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("p_qty"),
+          sum(col("l_extendedprice")).as("p_base"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("p_disc"),
+          count(lit(1)).as("p_n"))
+      val store = partials(li.filter(col("l_orderkey") < lit(thr) && !late))
+      val delta = partials(li.filter(col("l_orderkey") >= lit(thr) || late))
+      store.unionByName(delta)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("p_qty")), 2).as("sum_qty"),
+          round(sum(col("p_base")), 2).as("sum_base"),
+          round(sum(col("p_disc")), 2).as("sum_disc_price"),
+          sum(col("p_n")).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // Existence semi-join — the J1 pattern (PageRank.java:130-157) on
     // relational data: orders whose customer is in the BUILDING segment.
     // The filtered customer side is small → Catalyst broadcasts it
@@ -644,7 +694,9 @@ object RelationalQueries {
         .write.mode("overwrite").saveAsTable(tbl)
       tbl
     }
-    s.table(name)
+    // the production read path: resolve through the committed manifest
+    // pointer once a pass has published (VERDICT r19 item 1)
+    PipelineCommit.resolveOr(s, d, "mv", 1L, name)
   }
 
   private val aggStore2Cache =
@@ -692,7 +744,7 @@ object RelationalQueries {
         .write.mode("overwrite").saveAsTable(tbl)
       tbl
     }
-    s.table(name)
+    PipelineCommit.resolveOr(s, d, "mv", 2L, name)
   }
 
   def oracles: Map[String, String] = Map(
@@ -704,6 +756,10 @@ object RelationalQueries {
     // merges through a persisted intermediate store must still answer
     // the full recompute — the re-entrancy law
     "q_agg_inc2" -> aggLineitemSql,
+    // the late-data law: merge(store-without-late, dump ∪ late) must
+    // STILL answer the full recompute — arrival-based dumps lose
+    // nothing (the key-range delta would)
+    "q_agg_inc_late" -> aggLineitemSql,
     // the retraction law in one statement: maintaining with negated
     // partials must equal recomputing over exactly the SURVIVING rows
     // (the retention cut inlined as the engine's min + (max−min)//20)

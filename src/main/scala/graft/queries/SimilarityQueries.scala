@@ -1737,7 +1737,9 @@ object SimilarityQueries {
         .mode("overwrite").saveAsTable(tbl)
       tbl
     }
-    s.table(name)
+    // the production read path: resolve through the committed manifest
+    // pointer once a pass has published (VERDICT r19 item 1)
+    PipelineCommit.resolveOr(s, d, "ann", 1L, name)
   }
 
   private val annCompactCache =
@@ -2085,7 +2087,7 @@ object SimilarityQueries {
         .mode("append").saveAsTable(tbl)
       tbl
     }
-    s.table(name)
+    PipelineCommit.resolveOr(s, d, "ann", 2L, name)
   }
 
   /** Context-keyed like [[DedupQueries.signatureStore]]: the persisted

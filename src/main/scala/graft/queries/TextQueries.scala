@@ -175,7 +175,9 @@ object TextQueries {
         .coalesce(1).write.mode("overwrite").saveAsTable(tbl)
       tbl
     }
-    s.table(name)
+    // the production read path: resolve through the committed manifest
+    // pointer once a pass has published (VERDICT r19 item 1)
+    PipelineCommit.resolveOr(s, d, "curate", 1L, name)
   }
 
   /** The FULL corpus scored under the STORED sampled-trained weights

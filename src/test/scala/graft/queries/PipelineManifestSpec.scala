@@ -5,26 +5,36 @@ import org.apache.spark.sql.functions._
 import graft.{SparkEntry, SparkSpec}
 
 /** `q_pipeline_manifest` / [[PipelineCommit]] — the cross-family
-  * commit point (VERDICT r18 item 3): stores first, ONE atomic
-  * manifest overwrite last, serves resolving store names through it.
+  * commit point (VERDICT r18 item 3), reworked in round 20 to the
+  * production shape (VERDICT r19 items 1+4, ADVICE r19 item 4): ONE
+  * generation-keyed manifest table written APPEND-ONLY, a
+  * `__commit__` sentinel row making each generation's visibility
+  * atomic at job commit, and every family serve resolving its store
+  * THROUGH the committed pointer.
   *
   * Laws:
   *  1. CONSISTENCY — one committed pass registers all seven families
-  *     at the SAME dump_id, each resolving to an existing table.
-  *  2. ABORTED PASS IS INVISIBLE — a pass that writes N of 7 v2
-  *     stores and dies BEFORE the manifest write leaves every
-  *     manifest-resolved read on the previous snapshot, row for row.
-  *  3. COMMIT FLIPS ATOMICALLY — once all 7 v2 stores exist and the
-  *     manifest is overwritten, every read resolves v2 (and only
-  *     then).
-  *  4. NO DANGLING POINTERS — publishing a manifest naming a missing
-  *     table is refused loudly.
+  *     at the SAME generation, each resolving to an existing table.
+  *  2. ABORTED PASS IS INVISIBLE — store writes without a publish
+  *     change nothing a reader resolves.
+  *  3. RE-PUBLISH KEEPS THE PREVIOUS SNAPSHOT — committing
+  *     generation N+1 never drops or rewrites generation N's rows
+  *     (the round-19 DROP+overwrite publish lost the WHOLE manifest
+  *     to a crash between the drop and the write; append-only closes
+  *     that window by construction).
+  *  4. COMMITTED GENERATIONS ARE IMMUTABLE — re-publishing a
+  *     generation with identical content is a no-op; with different
+  *     content it is refused loudly.
+  *  5. NO DANGLING POINTERS — publishing a generation naming a
+  *     missing table is refused, and the refusal appends nothing.
+  *  6. THE POINTER IS THE READ PATH — after a commit, every family
+  *     serve resolves through the manifest with NO builder fallback.
   */
 class PipelineManifestSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
-  private def manifestRows() =
+  private def gen1Rows() =
     PipelineCommit.commitStanding(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
       .sortBy(_._1).toSeq
@@ -34,11 +44,11 @@ class PipelineManifestSpec extends SparkSpec {
       .map(f => f -> PipelineCommit.storeFor(spark, dir, f).count())
       .toMap
 
-  test("consistency: seven families, one dump_id, live tables") {
-    val rows = manifestRows()
+  test("consistency: seven families, one generation, live tables") {
+    val rows = gen1Rows()
     assert(rows.map(_._1) == PipelineCommit.Families)
     assert(rows.map(_._2).distinct == Seq(1L),
-      s"families sit at DIFFERENT dump ids: $rows")
+      s"families sit at DIFFERENT generations: $rows")
     rows.foreach { case (f, _, t) =>
       assert(spark.catalog.tableExists(t),
         s"family $f's manifest pointer names a missing table $t")
@@ -49,74 +59,118 @@ class PipelineManifestSpec extends SparkSpec {
     assert(gate == resolvedCounts())
   }
 
-  test("an aborted pass is invisible; a full commit flips atomically; " +
-      "dangling pointers are refused") {
-    val before = resolvedCounts()
-    val v1 = manifestRows()
-    val v2Names = PipelineCommit.Families
-      .map(f => f -> PipelineCommit.storeName(f, dir, 2L)).toMap
+  test("append-only protocol: aborted pass invisible, dangling " +
+      "pointer refused, committed generations immutable, and a " +
+      "re-publish keeps every previous generation readable") {
+    gen1Rows() // the v1 store tables must exist for the copies below
+    // an isolated manifest namespace: the protocol laws exercised
+    // against their own table, so this spec cannot disturb the real
+    // corpus manifest other suites resolve through
+    val ns = dir + "#manifest-protocol-spec"
+    val mtbl = PipelineCommit.manifestTable(ns)
+    def tableRows() = spark.table(mtbl)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val v1 = PipelineCommit.Families
+      .map(f => f -> PipelineCommit.storeName(f, dir, 1L))
+    val copies = PipelineCommit.Families
+      .map(f => f -> (PipelineCommit.storeName(f, dir, 2L) + "_mspec"))
+      .toMap
     try {
-      // ABORT: the pass writes only three of seven v2 stores (content
-      // = a copy of v1, the identity dump) and dies before publish
+      assert(PipelineCommit.currentGen(spark, ns).isEmpty,
+        "a fresh namespace already has a committed generation")
+
+      // ABORTED PASS: three store writes, no publish → invisible
       Seq("mv", "scd", "dedup").foreach { f =>
-        spark.sql(s"DROP TABLE IF EXISTS ${v2Names(f)}")
-        spark.sql(s"CREATE TABLE ${v2Names(f)} AS SELECT * FROM " +
+        spark.sql(s"DROP TABLE IF EXISTS ${copies(f)}")
+        spark.sql(s"CREATE TABLE ${copies(f)} AS SELECT * FROM " +
           PipelineCommit.storeName(f, dir, 1L))
       }
-      assert(resolvedCounts() == before,
-        "an aborted (unpublished) pass changed what readers resolve")
-      assert(manifestRows() == v1,
-        "an aborted pass mutated the manifest itself")
+      assert(PipelineCommit.currentGen(spark, ns).isEmpty,
+        "an aborted (unpublished) pass became visible to readers")
 
-      // publishing a manifest that names a missing table must refuse
+      // COMMIT generation 1 (the real v1 tables)
+      PipelineCommit.publish(spark, ns, 1L, v1)
+      assert(PipelineCommit.currentGen(spark, ns).contains(1L))
+      assert(PipelineCommit.snapshot(spark, ns, 1L) == v1,
+        "the durable table does not hold what was published")
+      val rowsAfterG1 = tableRows()
+      assert(rowsAfterG1.size == PipelineCommit.Families.size + 1,
+        s"generation 1 should be 7 family rows + the sentinel: " +
+          s"$rowsAfterG1")
+      assert(rowsAfterG1.exists(r =>
+          r._1 == 1L && r._2 == PipelineCommit.CommitSentinel),
+        "generation 1 committed without its sentinel row")
+
+      // DANGLING POINTER: refused, and the refusal appends NOTHING
       val err = intercept[IllegalArgumentException] {
-        PipelineCommit.publish(spark, dir,
-          PipelineCommit.Families.map(f => (f, 2L, v2Names(f))))
+        PipelineCommit.publish(spark, ns, 2L,
+          v1.init :+ ("scd" -> "graft_no_such_table_mspec"))
       }
       assert(err.getMessage.contains("does not exist"),
         s"wrong refusal: ${err.getMessage}")
-      assert(resolvedCounts() == before,
-        "a refused publish still changed resolution")
+      assert(tableRows() == rowsAfterG1,
+        "a refused publish still appended manifest rows")
 
-      // COMMIT: finish the remaining four stores, then ONE publish
+      // IMMUTABILITY: same generation, different content → refused
+      val err2 = intercept[IllegalArgumentException] {
+        PipelineCommit.publish(spark, ns, 1L,
+          v1.map { case (f, t) =>
+            (f, if (Set("mv", "scd", "dedup")(f)) copies(f) else t) })
+      }
+      assert(err2.getMessage.contains("immutable"),
+        s"wrong refusal: ${err2.getMessage}")
+      // ... and identical content → idempotent no-op
+      PipelineCommit.publish(spark, ns, 1L, v1)
+      assert(tableRows() == rowsAfterG1,
+        "an idempotent re-publish duplicated manifest rows")
+
+      // RE-PUBLISH (generation 2, identity copies): the previous
+      // generation's rows survive byte-identical — the crash window
+      // ADVICE r19 item 4 flagged (DROP-then-write losing the old
+      // pointer) cannot exist when nothing is ever dropped
       PipelineCommit.Families.filterNot(
           Set("mv", "scd", "dedup")).foreach { f =>
-        spark.sql(s"DROP TABLE IF EXISTS ${v2Names(f)}")
-        spark.sql(s"CREATE TABLE ${v2Names(f)} AS SELECT * FROM " +
+        spark.sql(s"DROP TABLE IF EXISTS ${copies(f)}")
+        spark.sql(s"CREATE TABLE ${copies(f)} AS SELECT * FROM " +
           PipelineCommit.storeName(f, dir, 1L))
       }
-      PipelineCommit.publish(spark, dir,
-        PipelineCommit.Families.map(f => (f, 2L, v2Names(f))))
-      val flipped = manifestRows()
-      assert(flipped.map(_._2).distinct == Seq(2L),
-        "the commit did not flip every family to dump 2")
-      assert(flipped.map(t => t._1 -> t._3).toMap == v2Names,
-        "the commit did not point every family at its v2 store")
-      assert(resolvedCounts() == before,
-        "the identity dump changed resolved contents — the copy or " +
-          "the resolution is broken")
-    } finally {
-      // restore the standing snapshot for every other consumer
-      PipelineCommit.publish(spark, dir,
-        PipelineCommit.Families.map(f =>
-          (f, 1L, PipelineCommit.storeName(f, dir, 1L))))
+      PipelineCommit.publish(spark, ns, 2L,
+        PipelineCommit.Families.map(f => f -> copies(f)))
+      assert(PipelineCommit.currentGen(spark, ns).contains(2L),
+        "the commit did not advance the max committed generation")
+      assert(PipelineCommit.snapshot(spark, ns, 2L) ==
+          PipelineCommit.Families.map(f => f -> copies(f)),
+        "generation 2 does not point at the pass's stores")
+      assert(PipelineCommit.snapshot(spark, ns, 1L) == v1,
+        "committing generation 2 disturbed generation 1's rows")
+      assert(tableRows().filter(_._1 == 1L) ==
+          rowsAfterG1.filter(_._1 == 1L),
+        "generation 1's physical rows changed under an append")
+
+      // the identity dump resolves to identical contents either way
       PipelineCommit.Families.foreach { f =>
-        spark.sql(s"DROP TABLE IF EXISTS ${v2Names(f)}")
+        val c1 = spark.table(
+          PipelineCommit.snapshot(spark, ns, 1L).toMap.apply(f)).count()
+        val c2 = spark.table(
+          PipelineCommit.snapshot(spark, ns, 2L).toMap.apply(f)).count()
+        assert(c1 == c2, s"identity copy of $f changed row count")
       }
+    } finally {
+      copies.values.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
-    assert(manifestRows() == v1, "the restore did not round-trip")
   }
 
-  test("the second generation: six v2 stores publish at dump_id 2, " +
-      "pointing at the re-entrancy gates' own artifacts, without " +
-      "touching the dump-1 snapshot") {
-    val v1 = manifestRows()
+  test("the second generation: six v2 stores publish at generation 2 " +
+      "in the SAME table, pointing at the re-entrancy gates' own " +
+      "artifacts, without touching the generation-1 rows") {
+    val v1 = gen1Rows()
     val gen2 = PipelineCommit.commitSecond(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
       .sortBy(_._1).toSeq
     assert(gen2.map(_._1) == PipelineCommit.families2(dir).map(_._1))
     assert(gen2.map(_._2).distinct == Seq(2L),
-      s"the second generation is not uniformly at dump 2: $gen2")
+      s"the second generation is not uniformly at generation 2: $gen2")
     assert(gen2.map(t => t._1 -> t._3) ==
         PipelineCommit.families2(dir),
       "generation 2 does not point at the v2 store tables")
@@ -124,7 +178,30 @@ class PipelineManifestSpec extends SparkSpec {
       assert(spark.catalog.tableExists(t),
         s"family $f's generation-2 pointer names a missing table $t")
     }
-    assert(manifestRows() == v1,
-      "publishing generation 2 mutated the dump-1 manifest")
+    assert(gen1Rows() == v1,
+      "publishing generation 2 mutated the generation-1 rows")
+  }
+
+  test("the pointer is the read path: after the commits, every " +
+      "family serve resolves through the manifest with NO builder " +
+      "fallback") {
+    PipelineCommit.commitStanding(spark, dir).collect()
+    PipelineCommit.commitSecond(spark, dir).collect()
+    // a fallback name that cannot exist: if resolution ever fell
+    // back instead of following the committed pointer, s.table would
+    // throw — so a passing count IS proof the pointer path served
+    PipelineCommit.Families.foreach { f =>
+      val viaPointer = PipelineCommit.resolveOr(
+        spark, dir, f, 1L, "graft_no_such_fallback")
+      assert(viaPointer.count() ==
+          PipelineCommit.storeFor(spark, dir, f).count(),
+        s"family $f's generation-1 pointer serve diverges")
+    }
+    PipelineCommit.families2(dir).foreach { case (f, t) =>
+      val viaPointer = PipelineCommit.resolveOr(
+        spark, dir, f, 2L, "graft_no_such_fallback")
+      assert(viaPointer.count() == spark.table(t).count(),
+        s"family $f's generation-2 pointer serve diverges")
+    }
   }
 }
