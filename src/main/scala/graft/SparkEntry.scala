@@ -96,6 +96,12 @@ object SparkEntry {
       // six memoized v2 store builds (the re-entrancy gates' own
       // artifacts, warm-up absorbed) + six counts + a 6-row collect
       "q_pipeline_manifest2",
+      // six memoized mixed-store builds — each a tombstone-filtered
+      // index-sized rewrite (the q_ann_compact / q_dedup_compact
+      // benched-class rationale) plus a dump-sized append of that
+      // family's benched sketch/encode/merge class — + twelve
+      // bounded counts + six pointer-resolved counts
+      "q_pipeline_mixed",
       // the append is a once-per-dump memoized bucketed write; the
       // timed probe is q_dedup_incremental's plan class over half the
       // dump — already benched

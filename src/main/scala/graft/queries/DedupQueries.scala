@@ -1057,6 +1057,48 @@ object DedupQueries {
     s.table(name)
   }
 
+  private val sigMixedCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The signature store after a MIXED pass (q_pipeline_mixed — a
+    * real nightly dump carries appends AND a takedown list under ONE
+    * boundary): the standing store rewritten WITHOUT the
+    * [[DedupDeleteRule]] tombstones (compaction's filtered
+    * index-sized pass — never a re-sketch) and the WHOLE new dump's
+    * band signatures appended, bucket-spec-matching, in the same
+    * pass. Deletes are standing-only (the LOAD-BEARING invariant at
+    * [[DedupDeleteRule]]): a takedown names corpus documents, never
+    * rows of the dump being ingested alongside it. Final population
+    * = sketch(standing − tombstoned) ∪ sketch(dump), which the
+    * q_pipeline_mixed oracle restates from `documents` alone. */
+  private[graft] def sigStoreMixed(s: SparkSession, d: String)
+      : DataFrame = {
+    sigMixedCache.keys.foreach { k =>
+      if (k._1.isStopped) sigMixedCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(sigMixedCache,
+        (s.sparkContext, d)) {
+      val tbl = "graft_sig_mx_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      signatureStore(s, d).filter(!DedupDeleteRule)
+        .write.bucketBy(IncBuckets, "band", "bkey").sortBy("band", "bkey")
+        .mode("overwrite").saveAsTable(tbl)
+      bandedSigs(Tables.documents(s, d)
+          .filter(col("source") === IncNewSource))
+        .write.bucketBy(IncBuckets, "band", "bkey").sortBy("band", "bkey")
+        .mode("append").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
   /** The new dump's banded signatures — the ONLY sketching
     * q_dedup_incremental performs at query time. The source filter
     * reaches the parquet scan (pushdown — the standing corpus's bytes

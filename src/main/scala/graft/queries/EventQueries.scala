@@ -216,7 +216,7 @@ object EventQueries {
 
   /** The event dump slice [lo, hi) — a pushed ts range predicate; the
     * open upper bound is the next mark or ∞. */
-  private def eventSlice(s: SparkSession, d: String, lo: Long,
+  private[graft] def eventSlice(s: SparkSession, d: String, lo: Long,
       hi: Option[Long]): DataFrame = {
     val base = Tables.events(s, d)
       .filter(col("ts") >= timestamp_micros(lit(lo)))
@@ -259,6 +259,41 @@ object EventQueries {
       tbl
     }
     PipelineCommit.resolveOr(s, d, "scd", 2L, name)
+  }
+
+  private val scdMixedCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The SCD2 store after a MIXED pass (q_pipeline_mixed): erasure
+    * ([[ScdDeleteRule]] users filtered from the store AND from the
+    * arriving dump — q_events_scd_delete's two narrow user_id
+    * filters) and the dump's merge in ONE pass, persisted bucketed
+    * like the standing store. merge ≡ rebuild over the surviving
+    * users' full log (the delete gate's proven law), which the
+    * q_pipeline_mixed oracle restates. */
+  private[graft] def scdStoreMixed(s: SparkSession, d: String)
+      : DataFrame = {
+    scdMixedCache.keys.foreach { k =>
+      if (k._1.isStopped) scdMixedCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(scdMixedCache, (s.sparkContext, d)) {
+      val tbl = "graft_scd_mx_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      scdMergeOf(scdStore(s, d).filter(!ScdDeleteRule),
+          eventSlice(s, d, eventsTsThreshold(s, d), None)
+            .filter(!ScdDeleteRule))
+        .write.bucketBy(8, "user_id").sortBy("user_id", "version")
+        .mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
   }
 
   /** (user_id, ts) uniqueness guard (ADVICE r18): the PIT read breaks

@@ -130,8 +130,51 @@ object GraphQueries {
 
   /** The same rule as a DuckDB fragment — one definition per engine,
     * matched textually across the oracle's three uses. */
-  private def graphTombSql(c: String): String =
+  private[graft] def graphTombSql(c: String): String =
     s"($c LIKE 's%' AND CAST(substring($c, 2) AS BIGINT) % 10 = 3)"
+
+  private val rankMixedCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The rank store after a MIXED pass (q_pipeline_mixed): the
+    * takedown ([[graphTombstoned]] pages leave the graph, vertex +
+    * incident edges + seed rows — q_graph_delete's three narrow
+    * filters) and the dump's new edges arrive in ONE pass; the rank
+    * vector warm-starts over the survivor FULL graph seeded from the
+    * standing store restricted to survivors, and is persisted
+    * bucketed on page like the standing store. Teleport mass
+    * renormalizes over the survivor count (PageRank.run recounts the
+    * page set it is given). Final population = survivor pages. */
+  private[graft] def rankStoreMixed(s: SparkSession, d: String)
+      : DataFrame = {
+    rankMixedCache.keys.foreach { k =>
+      if (k._1.isStopped) rankMixedCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(rankMixedCache,
+        (s.sparkContext, d)) {
+      val tbl = "graft_rank_mx_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val g = GraphCatalog.tpch(s, d)
+      val survivorPages = g.pages.filter(!graphTombstoned(col("page")))
+      val survivorFull = GraphCatalog.symmetrized(g.edges).filter(
+        !graphTombstoned(col("src")) && !graphTombstoned(col("dst")))
+      PageRank.run(survivorPages, survivorFull,
+          iters = WarmIters,
+          initRanks = Some(GraphCatalog.tpchStandingRanks(s, d)
+            .filter(!graphTombstoned(col("page")))))
+        .write.bucketBy(8, "page").sortBy("page")
+        .mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
 
   /** [[warmGraphCtes]] plus the survivor page set and the survivor
     * standing edges (both endpoints alive) for the warm-after-delete

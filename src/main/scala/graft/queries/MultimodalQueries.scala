@@ -293,6 +293,42 @@ object MultimodalQueries {
     s.table(name)
   }
 
+  private val phashMixedCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The pHash store after a MIXED pass (q_pipeline_mixed): the
+    * standing tier-2 index rewritten without the shared tombstones
+    * and the whole dump's hashable assets' rows appended in the same
+    * pass — the [[graft.queries.DedupQueries.sigStoreMixed]] shape on
+    * the image index (64 rows per surviving/new ≥256-byte asset). */
+  private[graft] def phashStoreMixed(s: SparkSession, d: String)
+      : DataFrame = {
+    phashMixedCache.keys.foreach { k =>
+      if (k._1.isStopped) phashMixedCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(phashMixedCache,
+        (s.sparkContext, d)) {
+      val tbl = "graft_phash_mx_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      phashStore(s, d).filter(!DedupQueries.DedupDeleteRule)
+        .write.bucketBy(8, "band", "bkey").sortBy("band", "bkey")
+        .mode("overwrite").saveAsTable(tbl)
+      tier2Rows(Multimodal.aHashBands(Multimodal.assets(s, d)
+          .filter(col("meta.origin") === DedupQueries.IncNewSource), 32))
+        .write.bucketBy(8, "band", "bkey").sortBy("band", "bkey")
+        .mode("append").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> ((s, d) => {
       val feats = Multimodal.extractFeatures(Multimodal.assets(s, d))

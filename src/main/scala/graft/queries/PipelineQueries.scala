@@ -319,6 +319,47 @@ object PipelineCommit {
     genRows(s, d, 2L)
   }
 
+  /** The six families with a MIXED-pass (delete + append under one
+    * dump boundary) store and those stores' physical names
+    * (q_pipeline_mixed — curate again has no dump-keyed store). */
+  private[graft] def familiesMixed(d: String): Seq[(String, String)] = Seq(
+    "ann"   -> ("graft_ann_mx_" + h(d)),
+    "dedup" -> ("graft_sig_mx_" + h(d)),
+    "graph" -> ("graft_rank_mx_" + h(d)),
+    "mv"    -> ("graft_agg_mx_" + h(d)),
+    "phash" -> ("graft_phash_mx_" + h(d)),
+    "scd"   -> ("graft_scd_mx_" + h(d)))
+
+  private val commitMixedCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), Boolean]
+
+  /** The MIXED pass's commit (VERDICT r19 gap 3): one dump carries
+    * appends AND a takedown list, every family applies BOTH legs
+    * under the one boundary, and the manifest publishes all six
+    * post-mixed stores as generation 3 in ONE append — deletes and
+    * appends become visible to readers TOGETHER or not at all (the
+    * half-applied state a crash could otherwise expose — takedowns
+    * live but the dump missing, or vice versa — is unpublishable by
+    * construction). */
+  private[graft] def commitMixed(s: SparkSession, d: String)
+      : DataFrame = {
+    commitMixedCache.keys.foreach { k =>
+      if (k._1.isStopped) commitMixedCache.remove(k)
+    }
+    graft.plans.Lineage.once(commitMixedCache, (s.sparkContext, d)) {
+      SimilarityQueries.annStoreMixed(s, d)
+      DedupQueries.sigStoreMixed(s, d)
+      GraphQueries.rankStoreMixed(s, d)
+      RelationalQueries.aggStoreMixed(s, d)
+      MultimodalQueries.phashStoreMixed(s, d)
+      EventQueries.scdStoreMixed(s, d)
+      publish(s, d, 3L, familiesMixed(d))
+      true
+    }
+    genRows(s, d, 3L)
+  }
+
   /** One committed generation as a (family, dump_id, store_table)
     * frame off the durable table — what the manifest gates emit. */
   private def genRows(s: SparkSession, d: String, gen: Long): DataFrame =
@@ -493,6 +534,93 @@ object PipelineQueries {
         .orderBy("family")
     }),
 
+    // THE MIXED PASS (VERDICT r19 gap 3): a real nightly dump carries
+    // appends AND a takedown list — the per-family delete gates
+    // (q_dedup_delete, q_ann_delete, q_events_scd_delete,
+    // q_graph_delete, q_agg_retract, q_mm_phash_delete) and the
+    // append gates each ran SOLO; no pass applied both under one dump
+    // boundary with the manifest publishing both. Here every family's
+    // mixed store = (standing − takedown) ∪ append(dump) is built in
+    // ONE pass (each family's own proven rules: the shared
+    // DedupDeleteRule for the two document indexes, AnnDeleteRule,
+    // ScdDeleteRule, graphTombstoned, the MV retention cut — deletes
+    // are STANDING-only: a takedown names corpus items, never the
+    // arriving dump), and generation 3 publishes all six in ONE
+    // append — a crash can never expose takedowns-without-the-dump or
+    // the-dump-without-takedowns. The gate emits one (family,
+    // n_deleted, n_appended, store_rows) row per family, with
+    // store_rows resolved THROUGH the generation-3 pointer (the
+    // fallback name is deliberately unpublishable — resolution
+    // succeeding IS the pointer read); units per family are that
+    // family's own store rows (band rows for dedup, tier-2 rows for
+    // phash, index rows for ann, change rows for scd, pages for
+    // graph, corpus rows / groups for mv's retract and view). The
+    // oracle restates every count from the raw tables under the
+    // shared rules. PipelineMixedSpec pins the mixed stores' CONTENTS
+    // (not just counts) against their from-scratch forms. Gate-only:
+    // six memoized store builds (each a filtered index-sized rewrite
+    // + a dump-sized append of benched classes) + twelve bounded
+    // counts + six pointer counts.
+    "q_pipeline_mixed" -> ((s, d) => {
+      import s.implicits._
+      PipelineCommit.commitMixed(s, d).collect()
+      def viaPointer(f: String) = PipelineCommit.resolveOr(
+        s, d, f, 3L, "graft_mixed_unpublished").count()
+
+      val vThr = SimilarityQueries.incVecThreshold(s, d)
+      val annDel = SimilarityQueries.annStoreStanding(s, d)
+        .filter(SimilarityQueries.AnnDeleteRule).count()
+      val annApp = Tables.embeddings(s, d)
+        .filter(col("vec_id") >= lit(vThr)).count()
+
+      val docs = Tables.documents(s, d)
+      val dedupDel = DedupQueries.signatureStore(s, d)
+        .filter(DedupQueries.DedupDeleteRule).count()
+      val dedupApp = DedupQueries.bandedSigs(
+        docs.filter(col("source") === DedupQueries.IncNewSource)).count()
+
+      val g = GraphCatalog.tpch(s, d)
+      val oThr = GraphCatalog.tpchOrderThreshold(s, d)
+      def surv(e: DataFrame) = e.filter(
+        !GraphQueries.graphTombstoned(col("src")) &&
+          !GraphQueries.graphTombstoned(col("dst")))
+      val graphDel = g.pages
+        .filter(GraphQueries.graphTombstoned(col("page"))).count()
+      val graphApp = surv(g.edges).count() -
+        surv(LinkGraph.removeRedLinks(
+          LinkGraph.tpchEdges(s, d, maxOrder = Some(oThr)), g.pages))
+          .count()
+
+      val li = Tables.lineitem(s, d)
+      val mvDel = li.filter(col("l_orderkey") <
+        lit(RelationalQueries.retentionThreshold(s, d))).count()
+      val mvApp = li.filter(col("l_orderkey") >=
+        lit(RelationalQueries.lineitemThreshold(s, d))).count()
+
+      val phDel = MultimodalQueries.phashStore(s, d)
+        .filter(DedupQueries.DedupDeleteRule).count()
+      val phApp = MultimodalQueries.tier2Rows(Multimodal.aHashBands(
+        Multimodal.assets(s, d)
+          .filter(col("meta.origin") === DedupQueries.IncNewSource), 32))
+        .count()
+
+      val scdDel = EventQueries.scdStore(s, d)
+        .filter(EventQueries.ScdDeleteRule).count()
+      val scdApp = EventQueries.eventSlice(s, d,
+          EventQueries.eventsTsThreshold(s, d), None)
+        .filter(!EventQueries.ScdDeleteRule).count()
+
+      Seq(
+        ("ann", annDel, annApp, viaPointer("ann")),
+        ("dedup", dedupDel, dedupApp, viaPointer("dedup")),
+        ("graph", graphDel, graphApp, viaPointer("graph")),
+        ("mv", mvDel, mvApp, viaPointer("mv")),
+        ("phash", phDel, phApp, viaPointer("phash")),
+        ("scd", scdDel, scdApp, viaPointer("scd")))
+        .toDF("family", "n_deleted", "n_appended", "store_rows")
+        .orderBy("family")
+    }),
+
     // THE SECOND GENERATION of the commit manifest — the manifest
     // protocol tied to the re-entrancy story: after the two-arrival
     // pass, the six accreting families' v2 stores (the *_2 gates' own
@@ -663,6 +791,105 @@ object PipelineQueries {
              WHERE epoch_us(ts) >= (SELECT m FROM emid)),
             (SELECT COUNT(*)
              FROM (${EventQueries.oracles("q_events_scd_inc2")}) t)
+        ) ORDER BY family"""
+    },
+
+    // the mixed pass: every per-family delete and append count
+    // recomputed from the raw tables under the SHARED rules (the
+    // tombstonedSql / graphTombSql / retention-cut fragments are the
+    // same definitions the solo delete gates' oracles use), and every
+    // store population = (standing − takedown) ∪ dump in that
+    // family's own row units
+    "q_pipeline_mixed" -> {
+      val ns = DedupQueries.IncNewSource
+      s"""WITH thr AS (SELECT MAX(o_orderkey) - MAX(o_orderkey) // 10 AS t
+                       FROM orders),
+          ret AS (SELECT MIN(l_orderkey)
+                         + (MAX(l_orderkey) - MIN(l_orderkey)) // 20 AS r
+                  FROM lineitem),
+          vthr AS (SELECT MAX(vec_id) - MAX(vec_id) // 10 AS t
+                   FROM embeddings),
+          emark AS (SELECT MAX(epoch_us(ts))
+                           - (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 10
+                             AS t
+                    FROM events),
+          tpages AS (
+            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS page FROM customer
+            UNION ALL
+            SELECT 's' || CAST(s_suppkey AS VARCHAR) AS page FROM supplier),
+          ebelow AS (
+            SELECT o_orderkey AS k,
+                   'c' || CAST(o_custkey AS VARCHAR) AS src,
+                   's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          egood AS (
+            SELECT src, dst, MIN(k) AS firstk FROM ebelow e
+            WHERE EXISTS (SELECT 1 FROM tpages p WHERE p.page = e.dst)
+            GROUP BY src, dst)
+        SELECT * FROM (
+          SELECT 'ann' AS family,
+            (SELECT COUNT(*) FROM embeddings
+             WHERE vec_id < (SELECT t FROM vthr) AND vec_id % 10 = 3)
+              AS n_deleted,
+            (SELECT COUNT(*) FROM embeddings
+             WHERE vec_id >= (SELECT t FROM vthr)) AS n_appended,
+            (SELECT COUNT(*) FROM embeddings
+             WHERE vec_id >= (SELECT t FROM vthr) OR vec_id % 10 <> 3)
+              AS store_rows
+        UNION ALL
+          SELECT 'dedup',
+            4 * (SELECT COUNT(*) FROM documents d
+                 WHERE ${DedupQueries.tombstonedSql("d")}),
+            4 * (SELECT COUNT(*) FROM documents WHERE source = '$ns'),
+            4 * (SELECT COUNT(*) FROM documents d
+                 WHERE NOT ${DedupQueries.tombstonedSql("d")})
+        UNION ALL
+          SELECT 'graph',
+            (SELECT COUNT(*) FROM tpages
+             WHERE ${GraphQueries.graphTombSql("page")}),
+            (SELECT COUNT(*) FROM egood
+             WHERE firstk >= (SELECT t FROM thr)
+               AND NOT ${GraphQueries.graphTombSql("src")}
+               AND NOT ${GraphQueries.graphTombSql("dst")}),
+            (SELECT COUNT(*) FROM tpages
+             WHERE NOT ${GraphQueries.graphTombSql("page")})
+        UNION ALL
+          SELECT 'mv',
+            (SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey < (SELECT r FROM ret)),
+            (SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey >= (SELECT t FROM thr)),
+            (SELECT COUNT(DISTINCT (l_returnflag, l_linestatus))
+             FROM lineitem WHERE l_orderkey >= (SELECT r FROM ret))
+        UNION ALL
+          SELECT 'phash',
+            64 * (SELECT COUNT(*) FROM documents d
+                  WHERE ${DedupQueries.tombstonedSql("d")}
+                    AND strlen(d.text) >= 256),
+            64 * (SELECT COUNT(*) FROM documents
+                  WHERE source = '$ns' AND strlen(text) >= 256),
+            64 * (SELECT COUNT(*) FROM documents d
+                  WHERE NOT ${DedupQueries.tombstonedSql("d")}
+                    AND strlen(d.text) >= 256)
+        UNION ALL
+          SELECT 'scd',
+            (SELECT COUNT(*) FROM (
+               SELECT user_id, event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev
+               FROM events
+               WHERE user_id % 10 = 3
+                 AND epoch_us(ts) < (SELECT t FROM emark)) x
+             WHERE prev IS NULL OR prev <> event_type),
+            (SELECT COUNT(*) FROM events
+             WHERE user_id % 10 <> 3
+               AND epoch_us(ts) >= (SELECT t FROM emark)),
+            (SELECT COUNT(*) FROM (
+               SELECT user_id, event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev
+               FROM events WHERE user_id % 10 <> 3) y
+             WHERE prev IS NULL OR prev <> event_type)
         ) ORDER BY family"""
     },
 

@@ -747,6 +747,59 @@ object RelationalQueries {
     PipelineCommit.resolveOr(s, d, "mv", 2L, name)
   }
 
+  private val aggMixedCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The MV store after a MIXED pass (q_pipeline_mixed): ONE merge
+    * absorbing the dump's partials (+) AND the retention expiry's
+    * partials (−) — q_agg_retract's maintenance materialized as the
+    * next standing store of RAW unrounded partials. A group whose
+    * surviving count hits zero leaves the view (exact on the long
+    * count). Final population = groups over rows at or above the
+    * retention cut. */
+  private[graft] def aggStoreMixed(s: SparkSession, d: String)
+      : DataFrame = {
+    aggMixedCache.keys.foreach { k =>
+      if (k._1.isStopped) aggMixedCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(aggMixedCache, (s.sparkContext, d)) {
+      val tbl = "graft_agg_mx_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val thr = lineitemThreshold(s, d)
+      val ret = retentionThreshold(s, d)
+      require(ret < thr,
+        s"q_pipeline_mixed: retention cut $ret is not below the dump " +
+          s"mark $thr under $d")
+      val li = Tables.lineitem(s, d)
+      def partials(f: DataFrame, sign: Long) = f
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg((lit(sign) * sum(col("l_quantity"))).as("p_qty"),
+          (lit(sign) * sum(col("l_extendedprice"))).as("p_base"),
+          (lit(sign) * sum(col("l_extendedprice")
+            * (lit(1) - col("l_discount")))).as("p_disc"),
+          (lit(sign) * count(lit(1))).as("p_n"))
+      aggStore(s, d)
+        .unionByName(partials(li.filter(col("l_orderkey") >= lit(thr)), 1L))
+        .unionByName(partials(li.filter(col("l_orderkey") < lit(ret)), -1L))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("p_qty")).as("p_qty"),
+          sum(col("p_base")).as("p_base"),
+          sum(col("p_disc")).as("p_disc"),
+          sum(col("p_n")).as("p_n"))
+        .filter(col("p_n") > 0)
+        .write.mode("overwrite").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
   def oracles: Map[String, String] = Map(
     "q_agg_lineitem" -> aggLineitemSql,
     // ONE oracle, two physical paths: incremental MV maintenance must

@@ -2130,6 +2130,46 @@ object SimilarityQueries {
     s.table(name)
   }
 
+  private val annMixedCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The ANN store after a MIXED pass (q_pipeline_mixed): the
+    * STANDING index rewritten without the [[AnnDeleteRule]]
+    * tombstones (deletes are standing-only in the mixed pass — a
+    * takedown names corpus vectors, never the dump being ingested)
+    * and the whole dump encoded under the FROZEN full-corpus
+    * quantizers and appended, bucket-spec-matching, in the same
+    * pass. Final population = (standing − tombstoned) ∪ dump. */
+  private[graft] def annStoreMixed(s: SparkSession, d: String)
+      : DataFrame = {
+    graft.GraftFunctions.register(s)
+    annMixedCache.keys.foreach { k =>
+      if (k._1.isStopped) annMixedCache.remove(k)
+    }
+    val name = graft.plans.Lineage.once(annMixedCache, (s.sparkContext, d)) {
+      val tbl = "graft_ann_mx_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val e = Tables.embeddings(s, d)
+      val dump = e.filter(col("vec_id") >= incVecThreshold(s, d))
+      annStoreStanding(s, d).filter(!AnnDeleteRule)
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .mode("overwrite").saveAsTable(tbl)
+      pqEncode(dump, PqSeedRule, cbFrom = Some(e))
+        .join(ivfAssign(dump, ivfCentroids(e)), "vec_id")
+        .write.bucketBy(8, "cell").sortBy("cell")
+        .mode("append").saveAsTable(tbl)
+      tbl
+    }
+    s.table(name)
+  }
+
   private val pqIndexCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
