@@ -96,6 +96,10 @@ object SparkEntry {
       // six memoized v2 store builds (the re-entrancy gates' own
       // artifacts, warm-up absorbed) + six counts + a 6-row collect
       "q_pipeline_manifest2",
+      // micro-batch replay floor (the q_stream_* rationale) +
+      // q_events_scd_inc's window classes over the landed dump + one
+      // once-per-round bucketed store write and a 1-row publish
+      "q_stream_commit",
       // six memoized mixed-store builds — each a tombstone-filtered
       // index-sized rewrite (the q_ann_compact / q_dedup_compact
       // benched-class rationale) plus a dump-sized append of that

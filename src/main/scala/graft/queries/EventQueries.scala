@@ -296,6 +296,46 @@ object EventQueries {
     s.table(name)
   }
 
+  private val scdStreamCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.SparkContext, String), String]
+
+  /** The SCD2 store built from a STREAM-LANDED dump (q_stream_commit):
+    * the ts high-water slice replayed chronologically through a
+    * MemoryStream into a landed frame, merged into the standing
+    * dimension, persisted bucketed, and PUBLISHED as generation 4 —
+    * the landing-to-commit path end to end. The returned frame
+    * resolves through the generation-4 pointer (the fallback name is
+    * deliberately unpublishable). */
+  private[graft] def scdStoreStreamed(s: SparkSession, d: String)
+      : DataFrame = {
+    scdStreamCache.keys.foreach { k =>
+      if (k._1.isStopped) scdStreamCache.remove(k)
+    }
+    graft.plans.Lineage.once(scdStreamCache, (s.sparkContext, d)) {
+      val tbl = "graft_scd_st_" + org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(d).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      import s.implicits._
+      val chunks = cachedChunks(s, d, "commit")(sortedFeed(
+        eventSlice(s, d, eventsTsThreshold(s, d), None)
+          .as[(Long, Long, java.sql.Timestamp, String)], "ts"))
+      val landed = replayToTable(s, chunks)(stream =>
+        stream.toDF.toDF("user_id", "event_id", "ts", "event_type"))
+      scdMergeOf(scdStore(s, d), landed)
+        .write.bucketBy(8, "user_id").sortBy("user_id", "version")
+        .mode("overwrite").saveAsTable(tbl)
+      PipelineCommit.publish(s, d, 4L, Seq("scd" -> tbl))
+      tbl
+    }
+    PipelineCommit.resolveOr(s, d, "scd", 4L, "graft_stream_unpublished")
+  }
+
   /** (user_id, ts) uniqueness guard (ADVICE r18): the PIT read breaks
     * same-ts ties by event_id inside the window while its oracle's
     * containment join requires strictly vf < ts — a corpus with
@@ -855,6 +895,33 @@ object EventQueries {
       scdServe(scdMergeOf(scdStore(s, d),
         eventSlice(s, d, eventsTsThreshold(s, d), None)))),
 
+    // STREAMING LANDING → MANIFEST COMMIT (VERDICT r19 gap 5): the
+    // stream gates replay and assert OUTPUTS; none drove the COMMIT
+    // protocol — production's nightly is "a dump LANDS (as a stream),
+    // the family merges it, ONE pointer publish makes the result
+    // visible". Here the event dump (the shared ts high-water slice)
+    // lands chronologically through a MemoryStream (append-mode
+    // landing — the landed SET equals the slice under ANY chunking),
+    // the landed table merges into the standing dimension (scdMergeOf
+    // — the proven q_events_scd_inc law), the merged dimension
+    // PERSISTS as its own bucketed store, and generation 4 publishes
+    // it: store first, pointer last, at the END of the landing. The
+    // serve resolves THROUGH the generation-4 pointer against an
+    // unpublishable fallback — resolution succeeding IS the pointer
+    // read. ONE oracle: the scd chain over the full log
+    // (q_events_scd_inc's SQL verbatim) — a lost or duplicated landed
+    // row, a broken merge, or a dangling pointer hash-mismatches.
+    // This pass publishes one family (what it landed); a multi-family
+    // landing would publish them all in its one generation, the
+    // q_pipeline_mixed shape. Gate-only in the bench: micro-batch
+    // replay floor (the q_stream_* rationale) + q_events_scd_inc's
+    // window classes + one 1-row publish. Scale: the landing is the
+    // real streaming ingest shape (source → landed table →
+    // merge-on-commit); cost ∝ the dump, and the standing log's bytes
+    // are never re-read.
+    "q_stream_commit" -> ((s, d) =>
+      scdServe(scdStoreStreamed(s, d))),
+
     // USER ERASURE on the SCD2 dimension (the forget leg completing
     // the store lifecycle matrix — dedup, pHash, ANN, the rank store
     // and the MV's retraction all forget; a GDPR-erased user's
@@ -1221,6 +1288,10 @@ object EventQueries {
     // ONE oracle, two physical paths: incremental dimension
     // maintenance must be observationally equal to a full rebuild
     "q_events_scd_inc" -> scdSql,
+    // the landing-to-commit law in one statement: a stream-landed
+    // dump, merged and served through the committed pointer, must
+    // still answer the full-log rebuild
+    "q_stream_commit" -> scdSql,
     // ONE oracle, THREE physical paths: two successive mark-advancing
     // merges through a persisted intermediate dimension store must
     // still answer the full-log rebuild — the re-entrancy law
