@@ -27,7 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra one-off JVM flags for diagnosis runs (e.g. -Xlog:gc to
+  // adjudicate whether a bench swing is GC — BASELINE.md watch item 1);
+  // unset in every recorded configuration
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
 // Forked run output goes straight to stdout, NOT through sbt's logger:
 // the driver parses graft.Bench's single JSON line from stdout, and the
 // default logger prefixes every line with "[info] " (BENCH_r01.json

@@ -89,15 +89,30 @@ object Bench {
     * single-threaded probe too, so requiring corroboration keeps the
     * true positives (the r9/r12 contaminations carried busy loadavgs
     * and elevated CPU probes) while un-flagging the engine's own
-    * shadow. A flagged record's totals measure the machine, not the
-    * engine — discount them and re-measure quiet. */
+    * shadow. Round 20 (VERDICT r19 item 7): the 1-min value alone
+    * missed a run launched on the TAIL of heavy work — the judge's
+    * second anchor run started at loadavg "0.51 3.20 ..." (1-min fully
+    * recovered, 5-min still carrying the previous bench's drain) and
+    * read 129 s vs 109.6 s same-code. That signature — 5-min ≥ 2.0
+    * while the 1-min has recovered below 1.0 — now flags: the box
+    * looks idle this second but was saturated minutes ago, and the
+    * first timed queries run on its cooldown. A 5-min elevated while
+    * the 1-min sits between 1 and 2 is the steady moderate state real
+    * clean records carried (load_start "1.99 2.40" at the r12 record,
+    * "1.30 3.03" at an r13 run) and stays unflagged. A flagged
+    * record's totals measure the machine, not the engine — discount
+    * them and re-measure quiet. */
   def contendedFlag(loadStart: String, cpuStart: Double, cpuEnd: Double,
       sparkStart: Double, sparkEnd: Double): Boolean = {
-    val load1m = scala.util.Try(loadStart.split("\\s+")(0).toDouble)
-      .getOrElse(0.0)
+    val fields = loadStart.split("\\s+")
+    def field(i: Int): Double =
+      scala.util.Try(fields(i).toDouble).getOrElse(0.0)
+    val load1m = field(0)
+    val load5m = field(1)
     def drift(a: Double, b: Double): Double =
       math.abs(b - a) / math.max(math.min(a, b), 1e-9)
-    load1m >= 2.0 || drift(cpuStart, cpuEnd) > 0.25 ||
+    load1m >= 2.0 || (load5m >= 2.0 && load1m < 1.0) ||
+      drift(cpuStart, cpuEnd) > 0.25 ||
       (drift(sparkStart, sparkEnd) > 0.50 && drift(cpuStart, cpuEnd) > 0.10)
   }
 
@@ -113,6 +128,19 @@ object Bench {
       math.abs(b - a) / math.max(math.min(a, b), 1e-9)
     contendedFlag(loadStart, cpuStart, cpuEnd, sparkStart, sparkEnd) ||
       drift(parStart, parEnd) > 0.35
+  }
+
+  /** Cumulative stop-the-world GC milliseconds across all collectors in
+    * this JVM. Deltas around a timed sample attribute the sample's wall
+    * time to GC — the round-20 adjudication instrument for BASELINE.md
+    * watch item 1 (the iterative loops inflating in-catalog while the
+    * start-of-run probes stay flat: GC pressure from the session's
+    * accumulated cached state is invisible to every start-of-run
+    * witness, but a per-query GC ledger sees it directly). */
+  def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
 
   /** Usable space (GiB) on the filesystem holding the given path. */
@@ -191,17 +219,23 @@ object Bench {
       // like this class of session-state sensitivity (ADVICE/VERDICT r7)
       graft.plans.Lineage.freeScratch(spark)
     }
-    val results = named.map { case (name, fn) =>
-      def sample(): Double = {
+    val gcRunStart = gcMs()
+    val resultsFull = named.map { case (name, fn) =>
+      // each sample carries its stop-the-world GC delta: the watch-item-1
+      // instrument — a query whose wall time inflates WITH its GC delta
+      // is paying session heap pressure, not engine work (round 20)
+      def sample(): (Double, Double) = {
+        val g0 = gcMs()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable => recordFailure(name, e) }
         val dt = (System.nanoTime() - t0) / 1e9
+        val gc = (gcMs() - g0) / 1e3
         // freeing is bookkeeping, not engine work — outside the clock
         graft.plans.Lineage.freeScratch(spark)
-        dt
+        (dt, gc)
       }
-      var samples = Seq.fill(reps)(sample()).sorted
+      var samples = Seq.fill(reps)(sample()).sortBy(_._1)
       // sub-second queries show the most RELATIVE jitter (scheduler /
       // GC noise is a ~0.1 s fixed floor at local[32]); two extra
       // samples are nearly free there and tighten the median. Validated
@@ -209,10 +243,16 @@ object Bench {
       // ≥1 s and within ~6% on the total; sub-second queries can still
       // deviate by the noise floor — judge deltas there in absolute
       // seconds, not percent
-      if (samples(samples.length / 2) < 1.0 && reps > 1)
-        samples = (samples ++ Seq.fill(2)(sample())).sorted
+      if (samples(samples.length / 2)._1 < 1.0 && reps > 1)
+        samples = (samples ++ Seq.fill(2)(sample())).sortBy(_._1)
+      // the reported GC second-count is the one observed DURING the
+      // median-wall sample, so gc_ms reads against the same run the
+      // queries map reports
       name -> samples(samples.length / 2)
     }
+    val results = resultsFull.map { case (n, (dt, _)) => n -> dt }
+    val gcByQuery = resultsFull.map { case (n, (_, gc)) => n -> gc }
+    val gcRunTotal = (gcMs() - gcRunStart) / 1e3
     // end-of-run machine context: a probe that moved vs its start sample
     // means contention arrived (or left) mid-run and the timings above
     // straddle it
@@ -278,8 +318,18 @@ object Bench {
     } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("\"errors\":{", ",", s"},\"n_failed\":${errors.size}")
+    // per-query stop-the-world GC seconds during the reported (median-
+    // wall) sample, entries ≥ 0.05 s only (below that is collector
+    // housekeeping, not signal), plus the run-wide total: the reader's
+    // first check when a query inflates across rounds with flat probes
+    // (watch item 1) — wall up WITH gc up = heap pressure, wall up with
+    // gc flat = the engine or the host
+    val gcJson = gcByQuery.filter(_._2 >= 0.05)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("\"gc_s\":{", ",",
+        s"},\"gc_run_total_s\":${fmt(gcRunTotal)}")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$errJson,$cfg,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$errJson,$gcJson,$cfg,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture has truncated the head of this line in
     // every round so far (r5 lost 9 of 74 timings) — persist the full

@@ -62,8 +62,35 @@ class BenchContentionSpec extends AnyFunSuite {
       0.35, 0.36))
   }
 
+  test("launch on the tail of heavy work flags via the 5-min loadavg " +
+      "(round 20)") {
+    // the REAL r19 judge contamination: second anchor run launched at
+    // "0.51 3.20 ..." — 1-min fully recovered, 5-min still draining the
+    // first run's tail — and read 129 s vs 109.6 s same-code. The 1-min
+    // check alone passed it clean.
+    assert(Bench.contendedFlag("0.51 3.20 2.80", 0.80, 0.81, 0.20, 0.21))
+    // steady moderate load (1-min between 1 and 2) with an elevated
+    // 5-min is the state real CLEAN records carried — must not flag
+    assert(!Bench.contendedFlag("1.30 3.03 3.95", 0.80, 0.81, 0.20, 0.21))
+    // quiet in both windows stays clean
+    assert(!Bench.contendedFlag("0.50 1.70 2.58", 0.80, 0.81, 0.20, 0.21))
+  }
+
   test("unparseable loadavg falls back to probe drift only") {
     assert(!Bench.contendedFlag("n/a", 0.80, 0.81, 0.20, 0.21))
     assert(Bench.contendedFlag("n/a", 0.80, 1.30, 0.20, 0.21))
+  }
+
+  test("gcMs is a non-negative monotone counter (round-20 gc_s ledger)") {
+    val a = Bench.gcMs()
+    assert(a >= 0L)
+    // allocate enough to plausibly trigger a young collection, then
+    // request one explicitly; the counter must never move backwards
+    var junk: Array[Byte] = null
+    (1 to 64).foreach(_ => junk = new Array[Byte](4 << 20))
+    if (junk.length == -1) println("") // keep the allocation live
+    System.gc()
+    val b = Bench.gcMs()
+    assert(b >= a)
   }
 }
