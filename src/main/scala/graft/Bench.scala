@@ -130,6 +130,36 @@ object Bench {
       drift(parStart, parEnd) > 0.35
   }
 
+  /** Fixed-work disk probe (~0.3-1 s nominal): write 256 MiB to
+    * java.io.tmpdir in 8 MiB chunks, force() to the device, delete.
+    * The shuffle path's witness — the cpu/par/spark probes do no IO,
+    * so a tmp-filesystem era (throttled, shared, or degraded disk)
+    * was invisible to every start-of-run witness before round 20 even
+    * though every 32-way shuffle writes through exactly this
+    * filesystem. Context only: NOT wired into [[contendedFlag]] until
+    * a quiet-box envelope exists to set a threshold from — readers
+    * compare start/end and across records by hand. Write+force only
+    * (no read-back: a read immediately after the write measures page
+    * cache, not the device). */
+  def ioProbe(): Double = {
+    val tmp = java.nio.file.Paths
+      .get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val f = java.nio.file.Files.createTempFile(tmp, "graft_io_probe", ".bin")
+    val chunk = new Array[Byte](8 << 20)
+    new java.util.Random(42L).nextBytes(chunk)
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      var i = 0
+      while (i < 32) { ch.write(java.nio.ByteBuffer.wrap(chunk)); i += 1 }
+      ch.force(false)
+    } finally ch.close()
+    val dt = (System.nanoTime() - t0) / 1e9
+    java.nio.file.Files.deleteIfExists(f)
+    dt
+  }
+
   /** Cumulative stop-the-world GC milliseconds across all collectors in
     * this JVM. Deltas around a timed sample attribute the sample's wall
     * time to GC — the round-20 adjudication instrument for BASELINE.md
@@ -174,9 +204,10 @@ object Bench {
     // one untimed warm call each: the first sparkProbe pays ~3 s of
     // one-time codegen/JIT bootstrap that would make start ≠ end on a
     // perfectly quiet machine and bury the signal the probes exist for
-    cpuProbe(); sparkProbe(spark); parProbe()
+    cpuProbe(); sparkProbe(spark); parProbe(); ioProbe()
     val cpuProbeStart = cpuProbe()
     val sparkProbeStart = sparkProbe(spark)
+    val ioProbeStart = math.min(ioProbe(), ioProbe())
     // min-of-2 for the all-cores probe at BOTH ends: round 15 observed
     // the start sample reading ~1.13 vs ~0.92 at the end on a quiet
     // box in every run — a one-warmup residue (C2/turbo ramp at 32
@@ -260,6 +291,7 @@ object Bench {
     val cpuProbeEnd = cpuProbe()
     val sparkProbeEnd = sparkProbe(spark)
     val parProbeEnd = math.min(parProbe(), parProbe())
+    val ioProbeEnd = math.min(ioProbe(), ioProbe())
     // 4-decimal seconds (0.1 ms resolution): the driver's stdout capture
     // keeps only the last ~2.3 KB, and at full double precision the
     // 78-query line overflowed it every round (BENCH_r* `parsed: null`,
@@ -299,6 +331,7 @@ object Bench {
       s""""cpu_probe_start":${fmt(cpuProbeStart)},"cpu_probe_end":${fmt(cpuProbeEnd)},""" +
       s""""spark_probe_start":${fmt(sparkProbeStart)},"spark_probe_end":${fmt(sparkProbeEnd)},""" +
       s""""par_probe_start":${fmt(parProbeStart)},"par_probe_end":${fmt(parProbeEnd)},""" +
+      s""""io_probe_start":${fmt(ioProbeStart)},"io_probe_end":${fmt(ioProbeEnd)},""" +
       s""""contended":$contended,""" +
       s""""tmp_free_gb":${freeDiskGb(sys.props.getOrElse("java.io.tmpdir", "/tmp"))}}"""
     val cfg = s""""config":{"cpus":${spark.sparkContext.defaultParallelism},""" +

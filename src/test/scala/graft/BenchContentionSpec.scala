@@ -81,6 +81,19 @@ class BenchContentionSpec extends AnyFunSuite {
     assert(Bench.contendedFlag("n/a", 0.80, 1.30, 0.20, 0.21))
   }
 
+  test("ioProbe does fixed disk work, returns seconds, leaves no file") {
+    val tmp = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val dt = Bench.ioProbe()
+    assert(dt > 0.0 && dt < 120.0)
+    // probe must clean up after itself — a leaked 256 MiB temp file per
+    // bench run would eventually contaminate tmp_free_gb
+    import scala.jdk.CollectionConverters._
+    val leaked = java.nio.file.Files.list(tmp).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("graft_io_probe"))
+    assert(!leaked)
+  }
+
   test("gcMs is a non-negative monotone counter (round-20 gc_s ledger)") {
     val a = Bench.gcMs()
     assert(a >= 0L)
