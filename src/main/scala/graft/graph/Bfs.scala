@@ -71,9 +71,13 @@ object Bfs {
     // round's only shuffle is the candidate distinct — the edge table
     // never crosses the wire (the Components vhint pattern). Above the
     // gate both joins fall back to shuffles on `page`.
-    val hintSmall = knownVertexCount.getOrElse(pages.count()) <=
-      PageRank.broadcastVertexLimit(spark)
+    val nv = knownVertexCount.getOrElse(pages.count())
+    val hintSmall = nv <= PageRank.broadcastVertexLimit(spark)
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
+
+    // small-state loop scope (AQE off + |V|-derived shuffle partitions
+    // for the per-level actions); no-op above the threshold — LoopExec
+    graft.plans.LoopExec.withSmallLoopExec(spark, nv) {
 
     val frontierAcc = spark.sparkContext.longAccumulator("graft.bfs.frontier")
     val bump = udf { () => frontierAcc.add(1L); true }.asNondeterministic()
@@ -120,5 +124,6 @@ object Bfs {
     // union result reads all of them
     graft.plans.Lineage.registerScratch(visited)
     visited
+    } // withSmallLoopExec
   }
 }

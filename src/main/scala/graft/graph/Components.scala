@@ -55,9 +55,13 @@ object Components {
     val (undirected, ownPin) = undirectedView(edges)
 
     // callers that already hold |V| (GraphCatalog) skip the count job
-    val hintSmall = knownVertexCount.getOrElse(pages.count()) <=
-      PageRank.broadcastVertexLimit(pages.sparkSession)
+    val nv = knownVertexCount.getOrElse(pages.count())
+    val hintSmall = nv <= PageRank.broadcastVertexLimit(pages.sparkSession)
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
+
+    // small-state loop scope (AQE off + |V|-derived shuffle partitions
+    // for the loop's actions); no-op above the threshold — see LoopExec
+    graft.plans.LoopExec.withSmallLoopExec(pages.sparkSession, nv) {
 
     var labels = pages.select(col("page"), col("page").as("lbl"))
     val rounds_ = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -82,6 +86,7 @@ object Components {
     graft.plans.Lineage.registerScratch(labels)
     if (ownPin) undirected.unpersist()
     labels.select(col("page"), col("lbl").as("comp"))
+    } // withSmallLoopExec
   }
 
   /** HashMin + pointer-jumping to convergence: each round a vertex takes
@@ -115,9 +120,12 @@ object Components {
                  knownVertexCount: Option[Long] = None): DataFrame = {
     val (undirected, ownPin) = undirectedView(edges)
 
-    val hintSmall = knownVertexCount.getOrElse(pages.count()) <=
-      PageRank.broadcastVertexLimit(pages.sparkSession)
+    val nv = knownVertexCount.getOrElse(pages.count())
+    val hintSmall = nv <= PageRank.broadcastVertexLimit(pages.sparkSession)
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
+
+    // small-state loop scope (see labelPropagation / LoopExec)
+    graft.plans.LoopExec.withSmallLoopExec(pages.sparkSession, nv) {
 
     val changedAcc = pages.sparkSession.sparkContext
       .longAccumulator("graft.components.changed")
@@ -165,6 +173,7 @@ object Components {
     graft.plans.Lineage.registerScratch(labels) // final result = scratch
     if (ownPin) undirected.unpersist()
     labels.select(col("page"), col("lbl").as("comp"))
+    } // withSmallLoopExec
   }
 
   /** Connected components by alternating large-star / small-star
@@ -190,7 +199,14 @@ object Components {
     * it, against GraphX, and against the recursive-closure oracle.
     */
   def componentsStarContraction(pages: DataFrame, edges: DataFrame,
-                                maxRounds: Int = 50): DataFrame = {
+                                maxRounds: Int = 50,
+                                knownVertexCount: Option[Long] = None)
+      : DataFrame = {
+    // |V| bounds every contracted edge set's endpoint universe — the
+    // small-state gate for the loop scope (counted here when the caller
+    // doesn't know it, like components/labelPropagation)
+    val nv = knownVertexCount.getOrElse(pages.count())
+    graft.plans.LoopExec.withSmallLoopExec(pages.sparkSession, nv) {
     // dedup = false skips the distinct between the two half-rounds: the
     // duplicate edges a non-deduped large-star emits are harmless to
     // small-star's min-agg and cheaper than an extra shuffle; one
@@ -277,5 +293,6 @@ object Components {
       .join(mapping, Seq("page"), "left")
       .select(col("page"), coalesce(col("root"), col("page")).as("comp"))
     out
+    } // withSmallLoopExec
   }
 }

@@ -78,6 +78,12 @@ object Hits {
 
     val eOwn = edges.storageLevel == StorageLevel.NONE
     val e = if (eOwn) edges.persist(StorageLevel.MEMORY_AND_DISK) else edges
+    // small-state loop scope: AQE off for the loop's actions (incl. the
+    // final eager checkpoint); no-op above the deployment threshold.
+    // Partition derivation OFF — the hub/authority aggregates sum
+    // doubles (the PageRank.run rationale; see LoopExec).
+    graft.plans.LoopExec.withSmallLoopExec(spark, n.toLong,
+        derivePartitions = false) {
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val zero = p.select(col("page"), lit(0.0).as("v"))
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -134,6 +140,7 @@ object Hits {
     if (eOwn) e.unpersist()
     if (pOwn) p.unpersist()
     out
+    } // withSmallLoopExec
   }
 
   /** DuckDB replay: chained CTEs (a1, h1, …, a_iters, h_iters) over

@@ -38,8 +38,13 @@ object KCore {
            // each round's UN-truncated survivor plan (before the eager
            // checkpoint) — plan-shape specs inspect it; must not
            // execute the plan (PageRank.onIterationPlan contract)
-           onRoundPlan: (Int, DataFrame) => Unit = (_, _) => ())
+           onRoundPlan: (Int, DataFrame) => Unit = (_, _) => (),
+           // vertex-count bound for the small-state loop scope
+           // (LoopExec); None (edges-only API default) = scope disabled
+           knownVertexCount: Option[Long] = None)
       : DataFrame = {
+    graft.plans.LoopExec.withSmallLoopExec(edges.sparkSession,
+        knownVertexCount.getOrElse(-1L)) {
     val (und, ownPin) = Components.undirectedView(edges)
 
     // round-0 vertex set: every edge endpoint (an isolated vertex has
@@ -73,5 +78,6 @@ object KCore {
     if (ownPin) und.unpersist()
     graft.plans.Lineage.freeLocalCheckpoint(v)
     out
+    } // withSmallLoopExec
   }
 }

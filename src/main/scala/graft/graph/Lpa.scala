@@ -44,8 +44,13 @@ object Lpa {
     * @return DataFrame["page", "lbl"] — the label after `rounds`
     *         rounds; vertices sharing a label form a community */
   def communities(pages: DataFrame, edges: DataFrame, rounds: Int,
-      onRoundPlan: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+      onRoundPlan: (Int, DataFrame) => Unit = (_, _) => (),
+      knownVertexCount: Option[Long] = None): DataFrame = {
     val (und, ownPin) = Components.undirectedView(edges)
+    // small-state loop scope, |V|-gated (counted when unknown — the
+    // labelPropagation contract); no-op above the threshold — LoopExec
+    val nv = knownVertexCount.getOrElse(pages.count())
+    graft.plans.LoopExec.withSmallLoopExec(pages.sparkSession, nv) {
     var labels = pages.select(col("page"), col("page").as("lbl"))
     val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- 1 to rounds) {
@@ -69,5 +74,6 @@ object Lpa {
     graft.plans.Lineage.registerScratch(labels)
     if (ownPin) und.unpersist()
     labels
+    } // withSmallLoopExec
   }
 }

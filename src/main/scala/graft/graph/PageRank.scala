@@ -153,6 +153,23 @@ object PageRank {
     val hintSmall = n <= broadcastVertexLimit(spark)
     def vhint(df: DataFrame): DataFrame = if (hintSmall) broadcast(df) else df
 
+    // the whole loop — including the eager checkpoints that execute it —
+    // runs under the small-state scope: AQE re-planning off (no-op when
+    // n exceeds the deployment threshold — see LoopExec). Partition
+    // derivation is OFF: the contribution aggregate SUMS DOUBLES, and a
+    // different reduce partition count reorders the accumulation —
+    // ulp-level wiggle the 1e-6-rounded gates absorb but the rank
+    // store's bit-exact load-≡-fresh pin (PageRankWarmSpec) does not.
+    // The redistribute branch is EXCLUDED (rows = -1 → no-op): it runs
+    // one eager action per iteration, where AQE's runtime coalescing
+    // pays for its re-planning — measured neutral-to-worse under the
+    // scope (5.40 s off vs 5.45 s scoped median, noisy 4.8–7.3 s
+    // envelope, tools/probe_scope3) vs the lazy branch's clear win
+    // (5.48 → 3.79 s median, 38 → 14 jobs).
+    graft.plans.LoopExec.withSmallLoopExec(spark,
+        if (redistributeDangling) -1L else n.toLong,
+        derivePartitions = false) {
+
     // out-degree per source; rank_contribution(edge) = rank(src)/deg(src)
     // (weighted: deg = Σw, contribution = rank·w/Σw). Precomputed once,
     // reused all iterations (the reference recomputed it from the
@@ -328,6 +345,7 @@ object PageRank {
     // drop the internal dangling indicator (narrow projection over the
     // final checkpoint leaf — free)
     if (redistributeDangling) ranks.select("page", "rank") else ranks
+    } // withSmallLoopExec
   }
 
   /** F1 + O1 + M2: the reference's final ordering job — keep pages with

@@ -50,8 +50,14 @@ object Sssp {
     * @return DataFrame["page", "dist"] — vertices reachable within
     *         `rounds` relaxation rounds and their shortest known cost */
   def distances(edges: DataFrame, source: Any, rounds: Int,
-      onRoundPlan: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+      onRoundPlan: (Int, DataFrame) => Unit = (_, _) => (),
+      // vertex-count bound for the small-state loop scope (LoopExec);
+      // None (the edges-only API default) = scope disabled — there is
+      // no vertex frame here to count
+      knownVertexCount: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
+    graft.plans.LoopExec.withSmallLoopExec(spark,
+        knownVertexCount.getOrElse(-1L)) {
     var dist = spark.range(1)
       .select(lit(source).as("page"), lit(0L).as("dist"))
     var frontier = dist
@@ -80,5 +86,6 @@ object Sssp {
     scratch.foreach(graft.plans.Lineage.freeLocalCheckpoint)
     graft.plans.Lineage.registerScratch(dist)
     dist
+    } // withSmallLoopExec
   }
 }

@@ -291,6 +291,18 @@ object GraphQueries {
     * ([[graft.graph.Lpa]] — exact at any oscillation state). */
   private val LpaRounds = 3
 
+  private val suppCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  /** |supplier| — the vertex bound for the co-occurrence-graph loops'
+    * small-state scope ([[graft.plans.LoopExec]]): every coEdges /
+    * coWeightedUnd endpoint is a supplier key, so the supplier row
+    * count bounds those loops' per-round state. 1-row count, memoized
+    * per (session, dir) — the N-counter contract. */
+  private def supplierCount(s: SparkSession, d: String): Long =
+    graft.plans.Lineage.once(suppCountCache, (s, d))(
+      graft.Tables.supplier(s, d).count())
+
   /** Supplier co-occurrence edges (s1 < s2, distinct) above a quantity
     * cut — the sparse undirected-graph projection shared by the
     * triangle / k-core / clustering / LPA family (the cut keeps the
@@ -691,7 +703,9 @@ object GraphQueries {
         .select(col("s1").as("src"), col("s2").as("dst"))
       val pages = graft.Tables.supplier(s, d)
         .select(col("s_suppkey").as("page"))
-      Components.componentsStarContraction(pages, e).orderBy(col("page"))
+      Components.componentsStarContraction(pages, e,
+          knownVertexCount = Some(supplierCount(s, d)))
+        .orderBy(col("page"))
     }),
 
     // Fixed-round k-core peeling ([[graft.graph.KCore]]) — iterative
@@ -703,7 +717,8 @@ object GraphQueries {
     "q_graph_kcore" -> ((s, d) => {
       KCore.peel(coEdges(s, d, 45)
           .select(col("s1").as("src"), col("s2").as("dst")),
-          k = KCoreK, rounds = KCoreRounds)
+          k = KCoreK, rounds = KCoreRounds,
+          knownVertexCount = Some(supplierCount(s, d)))
         .select(col("page").as("supplier"), col("deg"))
         .orderBy(col("supplier"))
     }),
@@ -770,7 +785,8 @@ object GraphQueries {
           und.select(col("src").as("supplier"),
             col("w").cast("long").as("dist")).limit(0)
         else
-          Sssp.distances(und, srcRow.getLong(0), rounds = SsspRounds)
+          Sssp.distances(und, srcRow.getLong(0), rounds = SsspRounds,
+              knownVertexCount = Some(supplierCount(s, d)))
             .select(col("page").as("supplier"), col("dist"))
             .orderBy(col("supplier"))
       und.unpersist()
@@ -788,7 +804,8 @@ object GraphQueries {
       Lpa.communities(pages,
           coEdges(s, d, 45)
             .select(col("s1").as("src"), col("s2").as("dst")),
-          rounds = LpaRounds)
+          rounds = LpaRounds,
+          knownVertexCount = Some(supplierCount(s, d)))
         .select(col("page").as("supplier"), col("lbl").as("community"))
         .orderBy(col("supplier"))
     }),

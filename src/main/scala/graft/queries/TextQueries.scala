@@ -1055,6 +1055,15 @@ object TextQueries {
     import s.implicits._
     val SEP = BpeSep
     val vocab = graft.plans.Lineage.scratchCheckpoint(vocab0)
+    // vocabulary row count gates the small-state loop scope (LoopExec):
+    // every per-merge pair-count job shuffles ≤ |vocab| grouped rows, so
+    // below the threshold the K jobs run AQE-free on size-derived
+    // partitions (each job was paying a re-planning pass + 32 sub-100ms
+    // tasks for a KB-scale shuffle). One count job over the
+    // just-materialized checkpoint blocks, amortized over the K merges;
+    // a production-vocab run above the threshold is untouched.
+    val vocabRows = vocab.count()
+    graft.plans.LoopExec.withSmallLoopExec(s, vocabRows) {
     val pairsOf =
       "CASE WHEN size(ss) < 3 " +
         "THEN cast(array() as array<struct<a:string,b:string>>) " +
@@ -1121,6 +1130,7 @@ object TextQueries {
       }
     }
     learned.toSeq.toDF("rk", "a", "b", "cnt").orderBy(col("rk"))
+    } // withSmallLoopExec
   }
 
   /** The SAMPLED production trainer (q_text_bpe_train_sp): the exact
