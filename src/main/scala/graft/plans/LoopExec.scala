@@ -87,6 +87,25 @@ object LoopExec {
     math.min(derived, math.max(session, 1).toLong).toInt
   }
 
+  /** Narrow (shuffle-free) coalesce of a small loop-state frame to the
+    * same size-derived partition count the scope's shuffles use — for
+    * frames materialized BEFORE the scope engaged (e.g. a checkpoint
+    * whose row count the scope's gate needed), whose session-width
+    * block layout would otherwise put `session-partitions` map tasks
+    * under every loop job. No-op above the threshold / when disabled /
+    * when the frame already has no more partitions than derived.
+    * ONLY for order-insensitive loop state (the `derivePartitions`
+    * contract — coalesce reorders rows within partitions). */
+  def coalesceSmall(df: org.apache.spark.sql.DataFrame, rows: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val enabled = spark.conf.getOption(EnabledKey).forall(_ != "false")
+    val small = rows >= 0 &&
+      rows <= longConf(spark, SmallRowsKey, DefaultSmallRows)
+    if (!enabled || !small) df
+    else df.coalesce(partitionsFor(spark, rows))
+  }
+
   /** Run `body` (the loop, INCLUDING its materializing actions) with
     * AQE off and — when `derivePartitions` — size-derived shuffle
     * partitions, iff `rows` — the loop's per-round state size, e.g.
