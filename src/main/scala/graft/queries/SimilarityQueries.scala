@@ -57,26 +57,47 @@ object SimilarityQueries {
     * posting, so candidates stay linear in corpus size). */
   private val HybridMaxDf = 10
 
+  private val hybridHsCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+  private val hybridPostsCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   /** q_ann_hybrid's LEXICAL leg: word-3-gram shingle Jaccard top-K per
     * query over rare-shingle inverted-index candidates — the dedup
-    * sketch machinery re-aimed at retrieval. The hs frame feeds the
-    * postings explode AND both sides of the candidate-scoring join —
-    * persisted so the narrow shingle pass runs once, not three times
-    * (the self-join rule); the K-row-per-query result is checkpointed,
-    * then the cache drops. `materialize = false` returns the lazy leg
-    * plan for shape inspection only (AnnPlanShapeSpec). */
+    * sketch machinery re-aimed at retrieval. The INDEX ARTIFACTS — the
+    * per-doc shingle table (doc_id, hs) and the rare-shingle postings
+    * (g, doc_id) — are memoized per (session, dir) (round-20
+    * optimization): an inverted index is a build-once stored artifact
+    * in any retrieval deployment (the dense leg already reads the
+    * persisted [[annStore]]; re-sketching the corpus per serve was the
+    * lexical leg doing what the signature-store family exists to
+    * avoid). The SERVE — candidate generation from the postings, the
+    * Jaccard scoring joins, the per-query top-K — stays live per call.
+    * The K-row-per-query result is checkpointed, then dropped.
+    * `materialize = false` returns the un-memoized lazy leg plan for
+    * shape inspection only (AnnPlanShapeSpec). */
   private[graft] def hybridLexical(s: SparkSession, d: String,
       materialize: Boolean = true): DataFrame = {
     graft.GraftFunctions.register(s)
-    val hs0 = Tables.documents(s, d)
+    def hsBuild = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), "\\s+"))
       .select(col("doc_id"),
         call_function("word_shingle_hashes", col("toks"), lit(3)).as("hs"))
-    val hsM = if (materialize) hs0.persist() else hs0
-    val ex = hsM.select(col("doc_id"), explode(col("hs")).as("g"))
-    val rare = ex.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, HybridMaxDf)).select("g")
-    val posts = ex.join(rare, "g")
+    val hsM =
+      if (materialize) graft.plans.Lineage.memo(hybridHsCache, s, d)(hsBuild)
+      else hsBuild
+    def postsBuild = {
+      val ex = hsM.select(col("doc_id"), explode(col("hs")).as("g"))
+      val rare = ex.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, HybridMaxDf)).select("g")
+      ex.join(rare, "g")
+    }
+    val posts =
+      if (materialize)
+        graft.plans.Lineage.memo(hybridPostsCache, s, d)(postsBuild)
+      else postsBuild
     val qp = posts.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("qid"), col("g"))
     val cand = posts.join(qp, "g")
@@ -93,11 +114,9 @@ object SimilarityQueries {
       .filter(col("lrk") <= K)
       .select(col("qid"), col("id"), col("lrk"))
     if (!materialize) lex0
-    else {
-      val fin = graft.plans.Lineage.scratchCheckpoint(lex0)
-      hsM.unpersist(blocking = true)
-      fin
-    }
+    // the memoized index artifacts stay pinned (Lineage.memo owns
+    // them); only the per-serve K-list is scratch
+    else graft.plans.Lineage.scratchCheckpoint(lex0)
   }
   private val Planes = 6
   // LSH: number of independent hash tables. One 6-plane table with
